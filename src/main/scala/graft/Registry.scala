@@ -1,0 +1,17 @@
+package graft
+
+/** Aggregates every judge-facing query (SURVEY.md §2 inventory +
+  * north-star extensions) into the SparkEntry contract maps. */
+object Registry {
+  def defs: Seq[QueryDef] =
+    operators.RelationalQueries.all ++
+      operators.TextQueries.all
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    defs.map(d => d.name -> d.run).toMap
+
+  def oracleSql: Map[String, String] =
+    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  def benchNames: Seq[String] = defs.filter(_.bench).map(_.name)
+}

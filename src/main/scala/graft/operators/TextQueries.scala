@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** D1/D2 (wordcount — `/root/reference/examples/word_count/word_count.go`)
+  * plus the training-data text-analysis extensions: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * Every heuristic is expressed with portable scalar SQL so the DuckDB
+  * oracle computes the bit-identical value.
+  */
+object TextQueries {
+
+  // -- D1 + D2: tokenize flat-map + count-by-key ------------------------
+  private def wordcount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val wordcountSql =
+    """SELECT word, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(
+      |    lower(regexp_replace(text, '[^a-zA-Z0-9\s]+', ' ', 'g')),
+      |    '\s+')) AS word
+      |  FROM documents) t
+      |WHERE word <> '' GROUP BY word""".stripMargin
+
+  // -- token counting ---------------------------------------------------
+  private def tokenCountQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  CASE WHEN trim(text) = '' THEN 0
+      |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+      |  END AS n_tokens
+      |FROM documents""".stripMargin
+
+  // -- portable occurrence-count SQL (mirrors TextFunctions.countOccurrences)
+  private def occSql(needle: String): String = {
+    val esc = needle.replace("'", "''")
+    s"CAST((length(text) - length(replace(text, '$esc', ''))) / ${needle.length} AS INTEGER)"
+  }
+
+  private def langScoreSql(markers: Seq[String]): String =
+    markers.map(occSql).mkString("(", " + ", ")")
+
+  // -- language-ID: stopword-marker argmax ------------------------------
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = docs.select(
+      col("doc_id") +: langMarkers.map { case (lang, ms) =>
+        langScore(col("text"), ms).as(s"s_$lang")
+      }: _*)
+    // first language (in langMarkers order) achieving the max score
+    val langs = langMarkers.map(_._1)
+    val pick = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), elseCol) =>
+        val rest = langs.drop(i + 1)
+        val isMax = rest.map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+        when(isMax, lit(lang)).otherwise(elseCol)
+    }
+    scored.select(col("doc_id"), pick.as("pred_lang"))
+  }
+
+  private val langIdSql: String = {
+    val scoreDefs = langMarkers
+      .map { case (lang, ms) => s"${langScoreSql(ms)} AS s_$lang" }
+      .mkString(",\n    ")
+    val langs = langMarkers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+      val cond = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id,
+       |  CASE
+       |    $cases
+       |    ELSE '${langs.last}' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id,
+       |    $scoreDefs
+       |  FROM documents) t""".stripMargin
+  }
+
+  // -- quality scoring --------------------------------------------------
+  // score = 0.5*alpha_ratio + 0.3*min(n_tokens/100, 1) + 0.2*min(10*stop_density, 1)
+  // computed with an identical IEEE op sequence in both engines.
+  private def quality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nTok = tokenCount(col("text"))
+    val alpha = alphaRatio(col("text"))
+    val stops = langScore(col("text"), langMarkers.head._2)
+    val stopDensity = stops.cast("double") / greatest(nTok, lit(1))
+    val score = ((alpha * lit(0.5)) +
+      (least(nTok.cast("double") / lit(100.0), lit(1.0)) * lit(0.3))) +
+      (least(stopDensity * lit(10.0), lit(1.0)) * lit(0.2))
+    docs.select(col("doc_id"), nTok.as("n_tokens"), alpha.as("alpha_ratio"),
+      score.as("quality_score"))
+  }
+
+  private val qualitySql: String = {
+    val nTok =
+      """CASE WHEN trim(text) = '' THEN 0
+        |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END"""
+        .stripMargin
+    val alpha =
+      """CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END"""
+        .stripMargin
+    val stops = langScoreSql(langMarkers.head._2)
+    s"""SELECT doc_id, n_tokens, alpha_ratio,
+       |  ((alpha_ratio * 0.5) +
+       |   (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3)) +
+       |  (least((CAST(stops AS DOUBLE) / greatest(n_tokens, 1)) * 10.0, 1.0) * 0.2)
+       |    AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    $nTok AS n_tokens,
+       |    $alpha AS alpha_ratio,
+       |    $stops AS stops
+       |  FROM documents) t""".stripMargin
+  }
+
+  // -- document fingerprint (rolling-hash analogue, portable md5 form) --
+  private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q2_wordcount", wordcount, Some(wordcountSql), bench = true),
+    QueryDef("t1_token_count", tokenCountQ, Some(tokenCountSql)),
+    QueryDef("t2_langid", langId, Some(langIdSql)),
+    QueryDef("t3_quality", quality, Some(qualitySql), bench = true),
+    QueryDef("t4_fingerprint", fingerprintQ, Some(fingerprintSql)),
+  )
+}
