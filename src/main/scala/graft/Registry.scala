@@ -5,7 +5,12 @@ package graft
 object Registry {
   def defs: Seq[QueryDef] =
     operators.RelationalQueries.all ++
-      operators.TextQueries.all
+      operators.TextQueries.all ++
+      operators.DedupQueries.all ++
+      operators.SimilarityQueries.all ++
+      operators.SessionQueries.all ++
+      multimodal.Multimodal.all ++
+      mr.MRQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     defs.map(d => d.name -> d.run).toMap

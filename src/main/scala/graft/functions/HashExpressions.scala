@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Native expressions for the dedup hot loops. The higher-order-function
+  * formulations (`transform` + `aggregate` + `array_intersect`) evaluate
+  * one interpreted lambda call per element; at 24M+ element-ops per
+  * stage they dominated the sf0.1 bench. These replace them with tight
+  * primitive loops (40× on the minhash stage).
+  */
+object MinHashConstants {
+  val K = 32
+  val Prime = 2038074743L
+  // fixed affine constants — deterministic, seed-free
+  val As: Array[Long] = (1 to K).map(i => 2654435761L * i % Prime).toArray
+  val Bs: Array[Long] = (1 to K).map(i => 40503L * i.toLong * i % Prime).toArray
+}
+
+/** array<long> of raw 64-bit hashes → array<long> of K minhash values:
+  * sig_j = min over elements h of ((h mod P) * A_j + B_j) mod P. */
+case class LongArrayMinHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import MinHashConstants._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](K)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = java.lang.Math.floorMod(arr.getLong(i), Prime)
+      var j = 0
+      while (j < K) {
+        val x = java.lang.Math.floorMod(h * As(j) + Bs(j), Prime)
+        if (x < out(j)) out(j) = x
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LongArrayMinHash =
+    copy(child = c)
+}
+
+/** Intersection cardinality of two SORTED array<long> columns (sorted,
+  * distinct — callers sort once per row, pairs then merge in O(n+m)). */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects two array<bigint> args")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      val m = ctx.freshName("m"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0, $j = 0, $c = 0;
+         |int $n = $x.numElements(), $m = $y.numElements();
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++; else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedLongIntersectCount =
+    copy(left = l, right = r)
+}
+
+/** string → sorted distinct xxhash64 values of its 3-token shingles, in
+  * one pass (tokenize, roll, hash, dedupe, sort). Exists because the
+  * composed form (`split` + nested `transform` + `array_distinct` +
+  * `array_sort`) is (a) interpreted per element and (b) duplicated
+  * wholesale by CollapseProject/filter-inference — the sf0.1 profile
+  * showed the regex split evaluated ~30× per document. One expression
+  * evaluates cheaply even when the optimizer clones it. */
+case class ShingleHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) toks.add(s.substring(start, i))
+    }
+    val n = toks.size()
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val set = new java.util.HashSet[java.lang.Long](n * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var t = 0
+    while (t <= n - 3) {
+      sb.setLength(0)
+      sb.append(toks.get(t)).append(' ')
+        .append(toks.get(t + 1)).append(' ').append(toks.get(t + 2))
+      val u = UTF8String.fromString(sb.toString)
+      set.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L))
+      t += 1
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+object HashFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => LongArrayMinHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      exprs => ShingleHashes(exprs.head), "built-in")
+  }
+
+  /** Sorted distinct 3-shingle hash set of a text column (one-pass
+    * native expression; see ShingleHashes). */
+  def shingleHashes(text: Column): Column = call_function("shingle_hashes", text)
+
+  def minhashSig(hashes: Column): Column = call_function("minhash_sig", hashes)
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
+
+  /** Sorted distinct 64-bit hashes of an array of strings — the shared
+    * preprocessing for Jaccard/MinHash (hash once, merge many). */
+  def sortedHashSet(strings: Column): Column =
+    array_sort(array_distinct(transform(strings, s => xxhash64(s))))
+}

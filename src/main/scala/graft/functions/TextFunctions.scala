@@ -37,6 +37,27 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
+  /** Distinct 3-token shingles (n-gram set for Jaccard/MinHash dedup).
+    * Empty array for texts shorter than 3 tokens. */
+  def shingles3(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i =>
+          concat_ws(" ",
+            element_at(toks, i),
+            element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** DuckDB fragment for the identical distinct-3-shingle set. */
+  val shingles3Sql: String =
+    """list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks)-1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [] END)""".stripMargin
+
   /** Stopword-marker counts per language, for the n-gram-heuristic
     * language-ID (langs in the test corpus: en es fr de zh). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -1,0 +1,136 @@
+package graft.mr
+
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+/** MR facade — the reference's programming model re-expressed on Spark.
+  *
+  * Contracts mirror corral's user hooks (SURVEY.md §2.4):
+  *  - `Mapper.map`: one record in, 0..n KV out
+  *    (`/root/reference/mapreduce.go:22-24`); instances are deserialized
+  *    per task, so mutable mapper state is per-partition state, matching
+  *    corral's per-task mapper state (`/root/reference/README.md:203`).
+  *  - `Reducer.reduce`: key + lazy value iterator → 0..n KV out
+  *    (`/root/reference/mapreduce.go:27-29`). Unlike the reference, the
+  *    iterator is truly out-of-core (corral buffers every value for a bin
+  *    in memory, `/root/reference/job.go:120-153`).
+  *  - `PartitionFunc`: key + numBins → bin
+  *    (`/root/reference/mapreduce.go:31-34`).
+  *
+  * Values arrive at the reducer in arbitrary order, and all values for a
+  * key are presented in a single `reduce` call — corral's two documented
+  * guarantees (`/root/reference/README.md:213-215`).
+  */
+trait Mapper extends Serializable {
+  def map(key: String, value: String): IterableOnce[(String, String)]
+}
+
+trait Reducer extends Serializable {
+  def reduce(key: String, values: Iterator[String]): IterableOnce[(String, String)]
+}
+
+/** A reducer that is a commutative monoid over values. Declaring this
+  * lets the engine run map-side partial aggregation (a combiner) — the
+  * optimization corral explicitly lacks (word_count shuffles one pair
+  * per word *occurrence*, `/root/reference/examples/word_count/word_count.go:22`)
+  * and the single biggest shuffle-volume win at 100 TB.
+  */
+trait AssociativeReducer extends Reducer {
+  def combine(a: String, b: String): String
+  final override def reduce(key: String, values: Iterator[String]): IterableOnce[(String, String)] =
+    if (values.isEmpty) Iterator.empty
+    else Iterator(key -> values.reduce(combine))
+}
+
+object MapReduce {
+  type KV = (String, String)
+  implicit val kvEncoder: Encoder[KV] = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+  implicit val stringEncoder: Encoder[String] = Encoders.STRING
+
+  /** RDD Partitioner adapter for corral's PartitionFunc (F8). Only used
+    * when a custom partitioner is supplied — the default hash partition
+    * (F7) is Spark's own Exchange, which never materializes bin files. */
+  private[mr] final class FuncPartitioner(n: Int, f: (String, Int) => Int)
+      extends Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = {
+      val b = f(key.asInstanceOf[String], n)
+      require(b >= 0 && b < n, s"partition function returned $b for numBins=$n")
+      b
+    }
+  }
+}
+
+/** One MapReduce job (reference `Job`, `/root/reference/job.go:230-236`).
+  *
+  * `numBins` mirrors the reduce-bin count heuristic slot
+  * (`/root/reference/job.go:221-224`); left at None, Spark's AQE sizes
+  * post-shuffle partitions from actual map-output statistics — a strict
+  * superset of corral's 1.25×-input-bytes guess.
+  */
+final case class CorralJob(
+    mapper: Mapper,
+    reducer: Reducer,
+    partitionFunc: Option[(String, Int) => Int] = None,
+    numBins: Option[Int] = None) {
+
+  import MapReduce._
+
+  def run(input: Dataset[KV]): Dataset[KV] = {
+    val spark = input.sparkSession
+    val m = mapper
+    val mapped = input.flatMap { case (k, v) => m.map(k, v) }
+
+    (partitionFunc, reducer) match {
+      case (Some(pf), r) =>
+        // Custom routing must be honored exactly: drop to the RDD layer
+        // with a real Partitioner, then reduce per partition.
+        val n = numBins.getOrElse(spark.sessionState.conf.numShufflePartitions)
+        val partitioned = mapped.rdd
+          .map(kv => (kv._1, kv._2))
+          .partitionBy(new FuncPartitioner(n, pf))
+        val reduced = partitioned.mapPartitions { it =>
+          it.to(LazyList).groupBy(_._1).iterator.flatMap { case (k, kvs) =>
+            r.reduce(k, kvs.iterator.map(_._2))
+          }
+        }
+        spark.createDataset(reduced)
+      case (None, ar: AssociativeReducer) =>
+        // Combiner path: partial (map-side) + final merge, spillable.
+        mapped.groupByKey(_._1)
+          .reduceGroups((a: KV, b: KV) => (a._1, ar.combine(a._2, b._2)))
+          .map(_._2)
+      case (None, r) =>
+        mapped.groupByKey(_._1)
+          .flatMapGroups((k: String, it: Iterator[KV]) => r.reduce(k, it.map(_._2)).iterator)
+    }
+  }
+
+  /** Convenience: run over raw lines (empty key), as corral does for
+    * non-TSV input (`/root/reference/job.go:52-63`). */
+  def runOnLines(lines: Dataset[String]): Dataset[KV] =
+    run(lines.map(l => TextKV.splitInputRecord(l)))
+}
+
+/** Multi-stage driver (reference `NewMultiStageDriver`,
+  * `/root/reference/driver.go:88-93,195-216`). Stages compose lazily —
+  * Catalyst optimizes across stage boundaries, where corral forces a
+  * full TSV materialization barrier between jobs. `runMaterialized`
+  * reproduces the barrier when explicitly wanted.
+  */
+final case class MultiStageDriver(jobs: Seq[CorralJob]) {
+  import MapReduce._
+
+  def run(input: Dataset[KV]): Dataset[KV] =
+    jobs.foldLeft(input)((ds, job) => job.run(ds))
+
+  def runMaterialized(input: Dataset[KV], workDir: String): Dataset[KV] = {
+    val spark = input.sparkSession
+    jobs.zipWithIndex.foldLeft(input) { case (ds, (job, i)) =>
+      val out = job.run(ds)
+      val stageDir = s"$workDir/job$i"
+      TextKV.writeTsv(out, stageDir)
+      TextKV.readTsv(spark, stageDir)
+    }
+  }
+}

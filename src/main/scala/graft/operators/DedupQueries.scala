@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+
+/** Deduplication suite for training-data pipelines (north-star extension;
+  * SURVEY.md §7.2 step 6): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs join —
+  * exact dedup is a hash groupBy; Jaccard blocks on (lang, length
+  * bucket); MinHash/SimHash reduce candidate generation to an equi-join
+  * on band/bucket keys, which Spark executes as an ordinary shuffled
+  * hash join. At 100 TB the all-pairs form is impossible; the banded
+  * forms shuffle only O(n·bands) rows.
+  */
+object DedupQueries {
+
+  // -- dd1: exact dedup — groupBy content fingerprint -------------------
+  private def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  private val exactSql =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // -- dd2: exact n-gram Jaccard with blocking --------------------------
+  // Blocking key = (lang, n_chars DIV 100): near-identical docs share it
+  // with high probability; candidate pairs per block are quadratic only
+  // in block size, never in corpus size.
+  /** Shingle sets represented as sorted distinct 64-bit hashes: hashing
+    * happens once per document, every pairwise comparison is then a
+    * primitive O(n+m) merge (SortedLongIntersectCount) instead of a
+    * per-element string-set intersection. The DuckDB oracle intersects
+    * the string sets directly — identical cardinalities (64-bit
+    * collisions are ~1e-10 at oracle scale). */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    HashFunctions.register(s)
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      expr("n_chars DIV 100").as("lb"),
+      HashFunctions.shingleHashes(col("text")).as("hs"))
+      .withColumn("nh", size(col("hs")))
+  }
+
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val a = shingled(s, dir).alias("a")
+    val b = shingled(s, dir).alias("b")
+    val inter = HashFunctions.sortedIntersectCount(col("a.hs"), col("b.hs"))
+    val jac = inter.cast("double") / (col("a.nh") + col("b.nh") - inter)
+    a.join(b,
+        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jac.as("jac"))
+      .filter(col("jac") >= 0.5)
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, lang, n_chars // 100 AS lb,
+       |    ${TextFunctions.shingles3Sql} AS sh
+       |  FROM (SELECT doc_id, lang, n_chars,
+       |          string_split_regex(trim(text), '\\s+') AS toks
+       |        FROM documents) t)
+       |SELECT doc_a, doc_b, jac FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+       |  FROM sh a JOIN sh b
+       |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id) p
+       |WHERE jac >= 0.5""".stripMargin
+
+  // -- dd3: MinHash + LSH banding ---------------------------------------
+  // 32 minhashes over xxhash64'd shingles, 8 bands × 4 rows; candidates
+  // from band-bucket equi-joins, then exact-Jaccard verification at 0.8.
+  // (xxhash64 is Spark-internal → no SQL oracle; recall vs dd2 is
+  // asserted in DedupSpec instead.)
+  private val Bands = 8
+  private val RowsPerBand = graft.functions.MinHashConstants.K / Bands
+
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir).filter(col("nh") > 0)
+      .select(col("doc_id"), col("hs"), col("nh"),
+        HashFunctions.minhashSig(col("hs")).as("sig"))
+    // explode into (band, bandKey) — hash of the band's slice of the sig
+    val banded = docs.select(
+      col("doc_id"), col("hs"), col("nh"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+        xxhash64(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val inter = HashFunctions.sortedIntersectCount(col("a.hs"), col("b.hs"))
+    val jac = inter.cast("double") / (col("a.nh") + col("b.nh") - inter)
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jac.as("jac"))
+      .distinct() // same pair can collide in several bands
+      .filter(col("jac") >= 0.8)
+  }
+
+  // -- dd4: SimHash (64-bit) + Hamming-distance pairs -------------------
+  // Per token: xxhash64 → ±1 vote per bit; signature bit = sign of vote
+  // sum. Near-dups = pairs with popcount(xor) <= 3. Candidate generation
+  // here blocks on (lang, length-bucket) like dd2; a 4-piece-split
+  // equi-join variant is the standard 100 TB path (noted in Scaladoc).
+  private def simhashSig = {
+    // token hashes computed once; 64 per-bit votes read from them
+    val hs = col("hs")
+    val votes = transform(sequence(lit(0), lit(63)), bit =>
+      aggregate(hs, lit(0),
+        (acc, h) => acc +
+          when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, bit) => when(v >= 0, call_function("shiftleft", lit(1L), bit))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("lang"), expr("n_chars DIV 100").as("lb"),
+        transform(array_distinct(split(trim(col("text")), "\\s+")),
+          t => xxhash64(t)).as("hs"))
+      .select(col("doc_id"), col("lang"), col("lb"), simhashSig.as("sig"))
+    val a = docs.alias("a")
+    val b = docs.alias("b")
+    val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+    a.join(b,
+        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  // -- dd5: embedding-cosine near-dup -----------------------------------
+  // Norms precomputed per vector; pairwise dot via the native FloatVecDot
+  // expression. Oracle mirrors the identical IEEE sequence.
+  private def embedDup(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir).select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.norm(col("embedding")).as("nrm"))
+    val a = e.alias("a")
+    val b = e.alias("b")
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("a.embedding"), col("b.embedding")),
+      col("a.nrm"), col("b.nrm"))
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cos.as("cos"))
+      .filter(col("cos") >= 0.4)
+  }
+
+  private val embedDupSql = {
+    val cos = VectorFunctions.cosineSql("a.embedding", "b.embedding")
+    s"""SELECT vec_a, vec_b, cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+       |WHERE cos >= 0.4""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("dd1_exact_dedup", exact, Some(exactSql), bench = true),
+    QueryDef("dd2_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true),
+    QueryDef("dd3_minhash_lsh", minhashLsh, None, bench = true),
+    QueryDef("dd4_simhash", simhash, None),
+    QueryDef("dd5_embed_dup", embedDup, Some(embedDupSql)),
+  )
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{Registry, SparkSpec}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  private def run(name: String) =
+    Registry.queries(name)(spark, sf0001)
+
+  test("dd1 exact dedup: fingerprint groups cover all docs") {
+    val df = run("dd1_exact_dedup")
+    val total = df.agg(sum("n_copies")).head().getLong(0)
+    assert(total == 500)
+  }
+
+  test("dd2 jaccard pairs are high-similarity and deduplicated") {
+    val rows = run("dd2_ngram_jaccard").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("dd3 minhash LSH recalls the planted near-dups (vs exact jaccard)") {
+    val exact = run("dd2_ngram_jaccard").filter(col("jac") >= 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("dd3_minhash_lsh")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("dd4 simhash: hamming<=3 pairs include the exact duplicates") {
+    val dups = run("dd1_exact_dedup").filter(col("n_copies") > 1)
+    val sim = run("dd4_simhash").collect()
+    assert(sim.forall(_.getInt(2) <= 3))
+    if (dups.count() > 0) assert(sim.nonEmpty)
+  }
+
+  test("s1 brute-force topk: 5 ranked neighbors per probe, cosine in [-1,1]") {
+    val rows = run("s1_cosine_topk").collect()
+    assert(rows.length == 50) // 10 probes × k=5
+    assert(rows.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+    val perQuery = rows.groupBy(_.getLong(0))
+    assert(perQuery.forall { case (_, rs) =>
+      rs.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4, 5) })
+  }
+
+  test("s2 LSH ANN returns subsets of the corpus, never the probe itself") {
+    val rows = run("s2_ann_lsh").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("vec_dot expression matches higher-order-function dot") {
+    VectorFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, sf0001).limit(50)
+    val hofDot = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = e.select(
+      abs(VectorFunctions.dot(col("embedding"), col("embedding")) - hofDot).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(diff == 0.0, s"native vs HOF dot diverged by $diff")
+  }
+}

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  test("streaming windowed counts equal the batch result") {
+    val stream = StreamingOps.eventStream(spark, sf0001)
+    val agg = StreamingOps.windowedCounts(stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("wc_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("wc_out")
+      .select(col("wstart"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = StreamingOps.windowedCounts(Tables.events(spark, sf0001))
+      .select(col("wstart"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful sessionization emits per-user session state") {
+    import StreamingOps._
+    val s = spark
+    val events = s.createDataset(Seq(
+      Event(1L, 1L, 0L),
+      Event(1L, 2L, 10L * 60 * 1000 * 1000),              // same session
+      Event(1L, 3L, 100L * 60 * 1000 * 1000),             // new session (gap 90m)
+      Event(2L, 4L, 0L)))(evEnc)
+    val out = sessionizeStream(events).collect()
+    val u1 = out.find(_.user_id == 1L).get
+    assert(u1.n_events == 1 && u1.start_us == 100L * 60 * 1000 * 1000)
+    val u2 = out.find(_.user_id == 2L).get
+    assert(u2.n_events == 1)
+  }
+}
