@@ -47,7 +47,119 @@ object MRQueries {
       |  FROM documents) t
       |WHERE word <> '' GROUP BY word""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mr2: the reference's flagship multi-stage workload (AMPLab Q3,
+  // `/root/reference/examples/amplab3/amplab3.go`) re-enacted through
+  // the facade: two heterogeneous CSV streams tagged by arity
+  // (amplab3.go:37-68), JSON-encoded records in the value string
+  // (amplab3.go:26-33,70-73), reduce-side join buffering rows until the
+  // unique build row arrives (amplab3.go:75-97), then a second stage
+  // computing per-key averages by hand (amplab3.go:103-120).
+  // Money/quantity carried as exact integer cents so the hand-rolled
+  // average is bit-identical to the SQL oracle.
+  // -------------------------------------------------------------------
+
+  private val jsonNum = java.util.regex.Pattern.compile("\"(\\w+)\":(-?\\d+)")
+
+  private def parseJsonLongs(s: String): Map[String, Long] = {
+    val m = jsonNum.matcher(s)
+    val b = Map.newBuilder[String, Long]
+    while (m.find()) b += (m.group(1) -> m.group(2).toLong)
+    b.result()
+  }
+
+  /** Tag-by-arity mapper: 3-field lines are orders (filtered on date),
+    * 4-field lines are lineitems; both keyed by order key. */
+  final class TagJoinMapper extends Mapper {
+    override def map(key: String, value: String): IterableOnce[(String, String)] = {
+      val f = value.split(",", -1)
+      if (f.length == 3) {
+        if (f(2) < "1998-01-01") // ISO date: string order = date order
+          Iterator(f(0) -> s"""{"t":0,"custkey":${f(1).toLong}}""")
+        else Iterator.empty
+      } else if (f.length == 4) {
+        val qc = Math.round(f(2).toDouble * 100) // centi-units, exact
+        val pc = Math.round(f(3).toDouble * 100) // cents, exact
+        Iterator(f(0) -> s"""{"t":1,"qc":$qc,"pc":$pc}""")
+      } else Iterator.empty
+    }
+  }
+
+  /** Reduce-side inner join: buffers lineitems until the (unique) order
+    * record arrives, then streams — corral's exact algorithm. */
+  final class JoinReducer extends Reducer {
+    override def reduce(key: String, values: Iterator[String]): IterableOnce[(String, String)] = {
+      var custkey: Option[Long] = None
+      val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def emit(ck: Long, v: String): Unit = {
+        val r = parseJsonLongs(v)
+        out += (ck.toString -> s"""{"qc":${r("qc")},"pc":${r("pc")}}""")
+      }
+      values.foreach { v =>
+        if (v.contains("\"t\":0")) {
+          val ck = parseJsonLongs(v)("custkey")
+          custkey = Some(ck)
+          pending.foreach(emit(ck, _)); pending.clear()
+        } else custkey match {
+          case Some(ck) => emit(ck, v)
+          case None => pending += v
+        }
+      }
+      out
+    }
+  }
+
+  /** Stage-2: per-customer averages from exact integer sums
+    * (amplab3.go:103-120's sum/count by hand). */
+  final class AvgReducer extends Reducer {
+    override def reduce(key: String, values: Iterator[String]): IterableOnce[(String, String)] = {
+      var qc = 0L; var pc = 0L; var n = 0L
+      values.foreach { v =>
+        val r = parseJsonLongs(v)
+        qc += r("qc"); pc += r("pc"); n += 1
+      }
+      val avgRev = (pc.toDouble / 100.0) / n
+      val avgQty = (qc.toDouble / 100.0) / n
+      Iterator(key -> s"$avgRev|$avgQty")
+    }
+  }
+
+  private def mrJoinAvg(s: SparkSession, dir: String): DataFrame = {
+    import MapReduce._
+    val oLines = Tables.orders(s, dir).select(concat_ws(",",
+      col("o_orderkey"), col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd")).as("value"))
+    val lLines = Tables.lineitem(s, dir).select(concat_ws(",",
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice")).as("value"))
+    val lines = oLines.union(lLines).as[String](stringEncoder)
+    val driver = MultiStageDriver(Seq(
+      CorralJob(new TagJoinMapper, new JoinReducer),
+      CorralJob(IdentityMapper, new AvgReducer)))
+    val out = driver.run(lines.map(l => ("", l))(kvEncoder))
+    out.select(
+      col("_1").cast("long").as("o_custkey"),
+      split(col("_2"), "\\|").getItem(0).cast("double").as("avg_rev"),
+      split(col("_2"), "\\|").getItem(1).cast("double").as("avg_qty"))
+  }
+
+  object IdentityMapper extends Mapper {
+    override def map(key: String, value: String): IterableOnce[(String, String)] =
+      Iterator(key -> value)
+  }
+
+  // same oracle as the declarative two-stage pipeline (q8_two_stage)
+  private val mrJoinAvgSql =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_rev,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o_custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("mr1_wordcount", mrWordcount, Some(mrWordcountSql)),
+    QueryDef("mr2_join_avg", mrJoinAvg, Some(mrJoinAvgSql), bench = true),
   )
 }

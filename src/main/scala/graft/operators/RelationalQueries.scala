@@ -239,6 +239,16 @@ object RelationalQueries {
       |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
       |  FROM orders) t WHERE rn <= 3""".stripMargin
 
+  private def cubeQ(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+
+  private val cubeSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   private def rollupQ(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -322,6 +332,7 @@ object RelationalQueries {
     QueryDef("q15_setops", setOps, Some(setOpsSql)),
     QueryDef("q16_window_topn", windowTopN, Some(windowTopNSql), bench = true),
     QueryDef("q17_rollup", rollupQ, Some(rollupSql)),
+    QueryDef("q22_cube", cubeQ, Some(cubeSql)),
     QueryDef("q18_semijoin", semiJoin, Some(semiJoinSql)),
     QueryDef("q19_antijoin", antiJoin, Some(antiJoinSql)),
     QueryDef("q20_broadcast_star", broadcastStar, Some(broadcastStarSql), bench = true),

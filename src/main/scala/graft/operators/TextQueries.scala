@@ -136,8 +136,26 @@ object TextQueries {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  // -- BPE-ish subword token counting -----------------------------------
+  // The classic byte-pair pre-tokenization regex, simplified to the
+  // lookahead-free subset shared by Java regex and RE2: runs of letters,
+  // runs of digits, runs of other non-space symbols, each with an
+  // optional leading space.
+  private val BpePattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  private def bpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe"))
+
+  private val bpeTokensSql =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe
+       |FROM documents""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q2_wordcount", wordcount, Some(wordcountSql), bench = true),
+    QueryDef("t5_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("t1_token_count", tokenCountQ, Some(tokenCountSql)),
     QueryDef("t2_langid", langId, Some(langIdSql)),
     QueryDef("t3_quality", quality, Some(qualitySql), bench = true),
