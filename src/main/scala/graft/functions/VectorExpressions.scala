@@ -64,17 +64,82 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared LSH geometry (kept here so the expression and the query layer
+  * agree). */
+object SimConstants {
+  val NPlanes = 12
+  val NTables = 4
+}
+
+/** Random-hyperplane LSH signatures, one per hash table, in a single
+  * native pass. Coefficients are exact integer congruences (no RNG, no
+  * libm) so signatures are deterministic on any engine/platform:
+  * coef(t,p,d) = ((t*7919 + p*104729 + d*13007) mod 2039)/2039 - 0.5.
+  * Output: array<long> of `tables` signatures, bit p of signature t set
+  * iff dot(plane_{t,p}, v) >= 0.
+  */
+case class LshSignatures(child: Expression, tables: Int, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_signatures expects array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var d = 0
+        val base = t * 7919 + p * 104729
+        while (d < n) {
+          val c = ((base + d * 13007) % 2039).toDouble / 2039.0 - 0.5
+          dot += x.getFloat(d).toDouble * c
+          d += 1
+        }
+        if (dot >= 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshSignatures =
+    copy(child = c)
+}
+
 /** Column-level vector helpers. `register` installs the native function
   * into the session's FunctionRegistry (idempotent), after which
   * `call_function` builds Columns through the public API.
   */
 object VectorFunctions {
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
       exprs => FloatVecDot(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_signatures",
+      exprs => LshSignatures(exprs.head,
+        SimConstants.NTables, SimConstants.NPlanes),
+      "built-in")
+  }
+
+  def lshSignatures(emb: Column): Column = call_function("lsh_signatures", emb)
 
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 

@@ -223,6 +223,21 @@ object RelationalQueries {
       |INTERSECT
       |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin
 
+  private def unionExcept(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    val r0 = Tables.nation(s, dir).filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").as("nationkey"))
+    c.union(sup).distinct().except(r0)
+  }
+
+  private val unionExceptSql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |EXCEPT
+      |SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0""".stripMargin
+
   private def windowTopN(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -330,6 +345,7 @@ object RelationalQueries {
     QueryDef("q13_topk", topK, Some(topKSql)),
     QueryDef("q14_distinct", distinctQ, Some(distinctSql)),
     QueryDef("q15_setops", setOps, Some(setOpsSql)),
+    QueryDef("q23_union_except", unionExcept, Some(unionExceptSql)),
     QueryDef("q16_window_topn", windowTopN, Some(windowTopNSql), bench = true),
     QueryDef("q17_rollup", rollupQ, Some(rollupSql)),
     QueryDef("q22_cube", cubeQ, Some(cubeSql)),

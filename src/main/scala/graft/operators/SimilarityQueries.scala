@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -12,20 +12,23 @@ import graft.functions.VectorFunctions
   *  - s1: brute-force cosine top-k — the correctness baseline. The
   *    (small) query set is broadcast against the corpus, so the corpus
   *    side streams with no shuffle; the only exchange is the final
-  *    per-query top-k, which Spark executes as a partial top-k per
-  *    partition (WindowGroupLimit pushdown) before the shuffle.
-  *  - s2: LSH-bucketed variant — random-hyperplane signatures; buckets
-  *    equi-join, exact re-rank inside the bucket. This is the scale
-  *    path: candidate generation is an equi-join on the bucket key, so
-  *    cost is O(n·tables) shuffled rows instead of O(n·queries) dots.
-  *
-  * Hyperplane coefficients use exact integer arithmetic (no engine-
-  * dependent RNG or libm), so results are deterministic everywhere.
+  *    per-query top-k.
+  *  - s2: random-hyperplane LSH — signatures from a native expression
+  *    (deterministic integer-congruential hyperplanes), candidates from
+  *    a bucket equi-join, exact re-rank inside the bucket. Candidate
+  *    generation is O(n·tables) shuffled rows instead of O(n·queries)
+  *    dot products — the scale path.
+  *  - s3: IVF (inverted-file) — corpus partitioned into cells around
+  *    deterministic seed centroids, queries probe the nearest 2 cells.
+  *    No driver-side training loop: assignment is a broadcast join +
+  *    window top-1, fully distributed.
   */
 object SimilarityQueries {
 
   private val K = 5          // neighbors per query
   private val NQueries = 10  // vec_id < 10 are the probe vectors
+  private val NCells = 16    // IVF cells (seeded by vec_id < 16)
+  private val NProbe = 2     // IVF cells probed per query
 
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
@@ -63,37 +66,13 @@ object SimilarityQueries {
   }
 
   // -- s2: LSH-bucketed ANN --------------------------------------------
-  private val NPlanes = 12   // bits per signature
-  private val NTables = 4    // independent hash tables (recall boost)
-
-  /** Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
-    * exact integer congruential form — identical in any engine. */
-  private def coef(table: Int, plane: Int, d: Column): Column =
-    ((lit(table * 7919 + plane * 104729) + d * lit(13007))
-      .mod(lit(2039)).cast("double") / lit(2039.0)) - lit(0.5)
-
-  /** Sign-bit signature of one table: bit_p = [dot(plane_p, v) >= 0]. */
-  private def signature(table: Int, emb: Column): Column = {
-    val planeBits = (0 until NPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(emb, sequence(lit(0), lit(63)),
-          (x, d) => x.cast("double") * coef(table, p, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, math.pow(2, p).toLong).otherwise(0L)
-    }
-    planeBits.reduce(_ + _)
-  }
-
   private def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    // each vector lands in NTables buckets: (table, sig)
+    // each vector lands in NTables buckets: (table, signature)
     val tagged = c.select(
-      col("vec_id"), col("embedding"), col("nrm"),
-      explode(array((0 until NTables).map { t =>
-        struct(lit(t).as("tbl"), signature(t, col("embedding")).as("sig"))
-      }: _*)).as("bucket"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bucket.tbl").as("tbl"), col("bucket.sig").as("sig"))
+        col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(VectorFunctions.lshSignatures(col("embedding"))))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
     val q = tagged.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("tbl").as("q_tbl"), col("sig").as("q_sig"))
@@ -111,8 +90,49 @@ object SimilarityQueries {
       .filter(col("rank") <= K)
   }
 
+  // -- s3: IVF ANN ------------------------------------------------------
+  /** Assign each row of `df` to its `n` highest-cosine centroids. */
+  private def assignCells(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("c_emb"), col("embedding")),
+      col("c_nrm"), col("nrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_cos").desc, col("cent_id"))
+    df.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id"), cos.as("cell_cos"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= n)
+      .drop("r", "cell_cos")
+  }
+
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    // deterministic "training": seed centroids are the first NCells vectors
+    val cents = c.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val corpusCells = assignCells(c, cents, 1)
+    val queryCells = assignCells(c.filter(col("vec_id") < NQueries), cents, NProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id"))
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("q_emb"), col("embedding")),
+      col("q_nrm"), col("nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    corpusCells.join(broadcast(queryCells),
+        queryCells("cent_id") === corpusCells("cent_id") &&
+          col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .distinct() // NProbe cells may repeat a candidate
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s1_cosine_topk", bruteTopK, Some(bruteTopKSql), bench = true),
     QueryDef("s2_ann_lsh", lshTopK, None, bench = true),
+    QueryDef("s3_ann_ivf", ivfTopK, None, bench = true),
   )
 }

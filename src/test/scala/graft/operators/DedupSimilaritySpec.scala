@@ -59,6 +59,17 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("s3 IVF ANN: ranked results from probed cells, overlapping brute force") {
+    val brute = run("s1_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = run("s3_ann_ivf").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 5))
+    val ivf = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = brute.count(ivf.contains).toDouble / brute.size
+    assert(overlap > 0.0, "IVF found none of the brute-force neighbors")
+  }
+
   test("vec_dot expression matches higher-order-function dot") {
     VectorFunctions.register(spark)
     val e = graft.Tables.embeddings(spark, sf0001).limit(50)
