@@ -321,12 +321,17 @@ object RelationalQueries {
     * streaming twin lives in graft.streaming). */
   private def eventWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
 
+  // window start emitted as a string: timestamp columns round-trip with
+  // engine-dependent tz-awareness, strings don't
   private val eventWindowSql =
-    """SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n,
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+      |  event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 

@@ -60,6 +60,28 @@ object StreamingOps {
           }
         })
 
+  /** flatMapGroupsWithState variant: emits ONLY closed sessions (0..n
+    * outputs per group per batch — the shape mapGroupsWithState can't
+    * express). Sessions close when a new event arrives past the gap. */
+  def closedSessions(events: Dataset[Event]): Dataset[SessionUpdate] =
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          val evs = batch.toSeq.sortBy(e => (e.tsUs, e.event_id))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[SessionUpdate]
+          evs.foreach { e =>
+            if (st == null) st = SessionState(1, e.tsUs, e.tsUs)
+            else if (e.tsUs - st.end > SessionGapUs) {
+              closed += SessionUpdate(userId, st.n, st.start, st.end, closed = true)
+              st = SessionState(1, e.tsUs, e.tsUs)
+            } else st = SessionState(st.n + 1, st.start, e.tsUs)
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+        })
+
   /** Wire a parquet directory as a bounded stream (used by tests; in
     * production the source would be kafka/files with the same schema). */
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {

@@ -25,6 +25,19 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("flatMapGroupsWithState emits only closed sessions") {
+    import StreamingOps._
+    val s = spark
+    val events = s.createDataset(Seq(
+      Event(1L, 1L, 0L),
+      Event(1L, 2L, 10L * 60 * 1000 * 1000),
+      Event(1L, 3L, 100L * 60 * 1000 * 1000), // closes session 1 (2 events)
+      Event(2L, 4L, 0L)))(evEnc)              // user 2: still open, no output
+    val out = closedSessions(events).collect()
+    assert(out.length == 1)
+    assert(out.head.user_id == 1L && out.head.n_events == 2 && out.head.closed)
+  }
+
   test("stateful sessionization emits per-user session state") {
     import StreamingOps._
     val s = spark
