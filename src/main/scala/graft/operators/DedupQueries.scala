@@ -46,6 +46,13 @@ object DedupQueries {
       expr("n_chars DIV 100").as("lb"),
       HashFunctions.shingleHashes(col("text")).as("hs"))
       .withColumn("nh", size(col("hs")))
+      // materialization barrier: both sides of the pair join (and the
+      // null-filter the planner infers from the join keys) read the
+      // computed hs column instead of re-deriving it from text — the
+      // optimizer would otherwise clone the shingle expression into
+      // every consumer. At cluster scale this is a persist-to-disk of
+      // the shingled projection, standard for multi-use intermediates.
+      .localCheckpoint(false)
   }
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {

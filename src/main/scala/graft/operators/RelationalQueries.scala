@@ -335,6 +335,42 @@ object RelationalQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Distinct aggregation (two-phase partial-distinct plan in Spark);
+    * the approximate HLL twin is asserted within 5% in RegistrySpec —
+    * its sketch isn't oracle-comparable across engines. */
+  private def countDistinct_(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("nd_parts"),
+        count(lit(1)).as("n"))
+
+  private val countDistinctSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** rank / dense_rank / lag in one pass over a single window spec. */
+  private def windowFns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag(col("c_custkey"), 1).over(w).as("prev_cust"))
+      .filter(col("rnk") <= 5)
+  }
+
+  private val windowFnsSql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rnk, drnk, prev_cust FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    CAST(rank() OVER w AS INTEGER) AS rnk,
+      |    CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+      |    lag(c_custkey, 1) OVER w AS prev_cust
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment
+      |               ORDER BY c_acctbal DESC, c_custkey)) t
+      |WHERE rnk <= 5""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", pricingSummary, Some(pricingSummarySql), bench = true),
     QueryDef("q3_scan_filter", scanFilter, Some(scanFilterSql), bench = true),
@@ -354,6 +390,8 @@ object RelationalQueries {
     QueryDef("q16_window_topn", windowTopN, Some(windowTopNSql), bench = true),
     QueryDef("q17_rollup", rollupQ, Some(rollupSql)),
     QueryDef("q22_cube", cubeQ, Some(cubeSql)),
+    QueryDef("q24_count_distinct", countDistinct_, Some(countDistinctSql)),
+    QueryDef("q25_window_fns", windowFns, Some(windowFnsSql)),
     QueryDef("q18_semijoin", semiJoin, Some(semiJoinSql)),
     QueryDef("q19_antijoin", antiJoin, Some(antiJoinSql)),
     QueryDef("q20_broadcast_star", broadcastStar, Some(broadcastStarSql), bench = true),
