@@ -84,7 +84,10 @@ final case class CorralJob(
     (partitionFunc, reducer) match {
       case (Some(pf), r) =>
         // Custom routing must be honored exactly: drop to the RDD layer
-        // with a real Partitioner, then reduce per partition.
+        // with a real Partitioner, then reduce per partition. Grouping
+        // here buffers a partition's pairs in memory — the same bound
+        // corral's reducer has (job.go:120-153); the default (no custom
+        // partitioner) path below is fully spillable.
         val n = numBins.getOrElse(spark.sessionState.conf.numShufflePartitions)
         val partitioned = mapped.rdd
           .map(kv => (kv._1, kv._2))

@@ -23,6 +23,24 @@ class TextIOSpec extends AnyFunSuite with SparkSpec {
     assert(kvs == Set(("k1", "v1"), ("", "plain line"), ("k2", "v2")))
   }
 
+  test("malformed CSV rows drop silently (amplab1.go:23-26 skip-on-error)") {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(dir.resolve("r.csv"),
+      "url1,51,1.5\nurl2,notanint,2.0\nurl3,99,0.1\nshort\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pageURL",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pageRank",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("avgDuration",
+        org.apache.spark.sql.types.DoubleType)))
+    val df = spark.read.schema(schema).option("mode", "DROPMALFORMED")
+      .csv(dir.toString)
+      .filter(org.apache.spark.sql.functions.col("pageRank") > 50)
+    val urls = df.select("pageURL").collect().map(_.getString(0)).toSet
+    assert(urls == Set("url1", "url3"))
+  }
+
   test("TSV write → read round-trips the KV convention (emitter.go:39-46)") {
     val s = spark
     val dir = Files.createTempDirectory("graft-tsv").resolve("out").toString
