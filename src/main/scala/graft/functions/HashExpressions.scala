@@ -169,6 +169,48 @@ case class ShingleHashes(child: Expression)
     copy(child = c)
 }
 
+/** array<long> of token hashes → 64-bit SimHash: per bit, +1 vote for a
+  * set bit and -1 for clear; signature bit set iff the vote sum is
+  * non-negative. One pass over the hashes (the HOF form builds 64
+  * aggregates per row). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
 object HashFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -178,7 +220,12 @@ object HashFunctions {
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes",
       exprs => ShingleHashes(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
   }
+
+  def simhash64(tokenHashes: Column): Column =
+    call_function("simhash64", tokenHashes)
 
   /** Sorted distinct 3-shingle hash set of a text column (one-pass
     * native expression; see ShingleHashes). */

@@ -119,28 +119,15 @@ object DedupQueries {
   // sum. Near-dups = pairs with popcount(xor) <= 3. Candidate generation
   // here blocks on (lang, length-bucket) like dd2; a 4-piece-split
   // equi-join variant is the standard 100 TB path (noted in Scaladoc).
-  private def simhashSig = {
-    // token hashes computed once; 64 per-bit votes read from them
-    val hs = col("hs")
-    val votes = transform(sequence(lit(0), lit(63)), bit =>
-      aggregate(hs, lit(0),
-        (acc, h) => acc +
-          when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, bit) => when(v >= 0, call_function("shiftleft", lit(1L), bit))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
-
   private def simhash(s: SparkSession, dir: String): DataFrame = {
+    HashFunctions.register(s)
     val docs = Tables.documents(s, dir)
       .select(
         col("doc_id"), col("lang"), expr("n_chars DIV 100").as("lb"),
         transform(array_distinct(split(trim(col("text")), "\\s+")),
           t => xxhash64(t)).as("hs"))
-      .select(col("doc_id"), col("lang"), col("lb"), simhashSig.as("sig"))
+      .select(col("doc_id"), col("lang"), col("lb"),
+        HashFunctions.simhash64(col("hs")).as("sig"))
     val a = docs.alias("a")
     val b = docs.alias("b")
     val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
