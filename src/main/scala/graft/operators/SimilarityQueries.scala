@@ -130,9 +130,86 @@ object SimilarityQueries {
       .filter(col("rank") <= K)
   }
 
+  // -- oracles for the ANN paths ---------------------------------------
+  // Both are pure deterministic arithmetic (hyperplanes are integer
+  // congruences, IVF is cosine + row_number), so DuckDB reproduces them
+  // bit-for-bit; only the xxhash64-based MinHash path is rows-only.
+
+  private val ivfTopKSql = {
+    val assignCos =
+      s"(${VectorFunctions.dotSql("ct.c_emb", "x.embedding")} / (ct.c_nrm * x.nrm))"
+    val finalCos =
+      s"(${VectorFunctions.dotSql("q.q_emb", "p.embedding")} / (q.q_nrm * p.nrm))"
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM c WHERE vec_id < $NCells),
+       |corpus_cells AS (
+       |  SELECT vec_id, embedding, nrm, cent_id FROM (
+       |    SELECT x.vec_id, x.embedding, x.nrm, ct.cent_id,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY $assignCos DESC, ct.cent_id) AS r
+       |    FROM c x CROSS JOIN cents ct) t WHERE r <= 1),
+       |query_cells AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cent_id FROM (
+       |    SELECT x.vec_id, x.embedding, x.nrm, ct.cent_id,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY $assignCos DESC, ct.cent_id) AS r
+       |    FROM c x CROSS JOIN cents ct WHERE x.vec_id < $NQueries) t
+       |  WHERE r <= $NProbe),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, p.vec_id AS n_id, $finalCos AS cos
+       |  FROM query_cells q JOIN corpus_cells p
+       |    ON q.cent_id = p.cent_id AND q.q_id <> p.vec_id)
+       |SELECT q_id, n_id, cos, rank FROM (
+       |  SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+       |  FROM cand) t
+       |WHERE rank <= $K""".stripMargin
+  }
+
+  private val lshTopKSql = {
+    import graft.functions.SimConstants.{NPlanes, NTables}
+    // dot(plane_{t,p}, v) with the exact integer-congruential coefficients
+    def planeDot(t: Int, p: Int) = {
+      val base = t * 7919 + p * 104729
+      s"list_reduce(list_transform(range(1, len(embedding)+1), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * " +
+        s"((($base + (i-1)*13007) % 2039) / 2039.0 - 0.5)), (x, y) -> x + y)"
+    }
+    def sig(t: Int) = (0 until NPlanes).map { p =>
+      s"(CASE WHEN ${planeDot(t, p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val sigBranches = (0 until NTables).map { t =>
+      s"SELECT vec_id, embedding, nrm, $t AS tbl, ${sig(t)} AS sig FROM c"
+    }.mkString("\nUNION ALL\n")
+    val cos = s"(${VectorFunctions.dotSql("q.embedding", "p.embedding")} / (q.nrm * p.nrm))"
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |sigs AS (
+       |$sigBranches),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, p.vec_id AS n_id, $cos AS cos
+       |  FROM sigs q JOIN sigs p
+       |    ON q.tbl = p.tbl AND q.sig = p.sig AND q.vec_id <> p.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |SELECT q_id, n_id, cos, rank FROM (
+       |  SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+       |  FROM cand) t
+       |WHERE rank <= $K""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s1_cosine_topk", bruteTopK, Some(bruteTopKSql), bench = true),
-    QueryDef("s2_ann_lsh", lshTopK, None, bench = true),
-    QueryDef("s3_ann_ivf", ivfTopK, None, bench = true),
+    QueryDef("s2_ann_lsh", lshTopK, Some(lshTopKSql), bench = true),
+    QueryDef("s3_ann_ivf", ivfTopK, Some(ivfTopKSql), bench = true),
   )
 }
