@@ -25,6 +25,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark finalizes windows and drops late data (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ms = MemoryStream[(Long, String, Double)] // (epochSec, type, value)
+    val events = ms.toDF()
+      .select(col("_1").cast("timestamp").as("ts"),
+        col("_2").as("event_type"), col("_3").as("value"))
+    val q = StreamingOps.windowedCounts(events, "1 hour", "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      val H = 3600L
+      ms.addData((0L * H + 10, "a", 1.0), (1L * H + 10, "a", 1.0), (5L * H, "a", 1.0))
+      q.processAllAvailable() // watermark → 3h: windows [0,1) and [1,2) final
+      ms.addData((0L * H + 20, "a", 1.0), (9L * H, "a", 1.0)) // first is LATE
+      q.processAllAvailable()
+      val out = s.table("wm_out")
+        .select(col("wstart").cast("long").as("w"), col("n")).collect()
+        .map(r => (r.getLong(0) / H, r.getLong(1))).toMap
+      assert(out.get(0L).contains(1L), s"late row must not reach window 0: $out")
+      assert(out.get(1L).contains(1L), s"window 1 finalized once: $out")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits only closed sessions") {
     import StreamingOps._
     val s = spark
