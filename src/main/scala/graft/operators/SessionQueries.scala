@@ -16,9 +16,6 @@ object SessionQueries {
   private val GapUs = 30L * 60 * 1000 * 1000
 
   private def sessionize(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val runRows = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .withColumn("prev", lag(col("us"), 1).over(
