@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
@@ -25,8 +25,7 @@ object MinHashConstants {
 /** array<long> of raw 64-bit hashes → array<long> of K minhash values:
   * sig_j = min over elements h of ((h mod P) * A_j + B_j) mod P. */
 case class LongArrayMinHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  import MinHashConstants._
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -36,26 +35,38 @@ case class LongArrayMinHash(child: Expression)
       s"minhash_sig expects array<bigint>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val out = new Array[Long](K)
-    java.util.Arrays.fill(out, Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val h = java.lang.Math.floorMod(arr.getLong(i), Prime)
-      var j = 0
-      while (j < K) {
-        val x = java.lang.Math.floorMod(h * As(j) + Bs(j), Prime)
-        if (x < out(j)) out(j) = x
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minhashSig(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.HashKernels.minhashSig($x);")
 
   override protected def withNewChildInternal(c: Expression): LongArrayMinHash =
+    copy(child = c)
+}
+
+/** array<long> of token hashes → 64-bit SimHash (±1 vote per bit;
+  * signature bit set iff the vote sum is non-negative). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(HashKernels.simhash64(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.HashKernels.simhash64($x);")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
 }
 
@@ -121,7 +132,7 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   * showed the regex split evaluated ~30× per document. One expression
   * evaluates cheaply even when the optimizer clones it. */
 case class ShingleHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import org.apache.spark.unsafe.types.UTF8String
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -132,82 +143,14 @@ case class ShingleHashes(child: Expression)
       s"shingle_hashes expects string, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    val toks = new java.util.ArrayList[String]()
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
-      val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) toks.add(s.substring(start, i))
-    }
-    val n = toks.size()
-    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
-    val set = new java.util.HashSet[java.lang.Long](n * 2)
-    val sb = new java.lang.StringBuilder(64)
-    var t = 0
-    while (t <= n - 3) {
-      sb.setLength(0)
-      sb.append(toks.get(t)).append(' ')
-        .append(toks.get(t + 1)).append(' ').append(toks.get(t + 2))
-      val u = UTF8String.fromString(sb.toString)
-      set.add(org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L))
-      t += 1
-    }
-    val out = new Array[Long](set.size())
-    val it = set.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    java.util.Arrays.sort(out)
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.shingleHashes(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.HashKernels.shingleHashes($x);")
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
-    copy(child = c)
-}
-
-/** array<long> of token hashes → 64-bit SimHash: per bit, +1 vote for a
-  * set bit and -1 for clear; signature bit set iff the vote sum is
-  * non-negative. One pass over the hashes (the HOF form builds 64
-  * aggregates per row). */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 expects array<bigint>, got ${other.simpleString}")
-  }
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < n) {
-      val h = arr.getLong(i)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) >= 0) sig |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(sig)
-  }
-
-  override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
 }
 

@@ -79,8 +79,7 @@ object SimConstants {
   * iff dot(plane_{t,p}, v) >= 0.
   */
 case class LshSignatures(child: Expression, tables: Int, planes: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
@@ -91,31 +90,12 @@ case class LshSignatures(child: Expression, tables: Int, planes: Int)
       s"lsh_signatures expects array<float>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    val out = new Array[Long](tables)
-    var t = 0
-    while (t < tables) {
-      var sig = 0L
-      var p = 0
-      while (p < planes) {
-        var dot = 0.0
-        var d = 0
-        val base = t * 7919 + p * 104729
-        while (d < n) {
-          val c = ((base + d * 13007) % 2039).toDouble / 2039.0 - 0.5
-          dot += x.getFloat(d).toDouble * c
-          d += 1
-        }
-        if (dot >= 0) sig |= (1L << p)
-        p += 1
-      }
-      out(t) = sig
-      t += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.lshSignatures(v.asInstanceOf[ArrayData], tables, planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.HashKernels.lshSignatures($x, $tables, $planes);")
 
   override protected def withNewChildInternal(c: Expression): LshSignatures =
     copy(child = c)

@@ -1,0 +1,97 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Each native kernel is checked against an independent formulation:
+  * the composed Spark built-in chain (for shingles/intersection, on the
+  * real corpus) or a direct Scala reference implementation (for the
+  * hash signatures, on generated inputs). */
+class KernelSpec extends AnyFunSuite with SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L * i)))
+
+  test("shingleHashes equals the composed split/transform/xxhash64 chain") {
+    HashFunctions.register(spark)
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    val composed = HashFunctions.sortedHashSet(
+      graft.functions.TextFunctions.shingles3(col("text")))
+    val diff = docs.select(
+      HashFunctions.shingleHashes(col("text")).as("a"), composed.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("sortedIntersectCount equals size(array_intersect) on sorted sets") {
+    val gen = Gen.zip(
+      Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted),
+      Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted))
+    samples(gen, 50).foreach { case (a, b) =>
+      val got = HashKernels.sortedIntersectCount(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      assert(got == a.toSet.intersect(b.toSet).size, s"a=$a b=$b")
+    }
+  }
+
+  test("simhash64 equals a direct per-bit vote reference") {
+    def reference(hs: Seq[Long]): Long =
+      (0 until 64).foldLeft(0L) { (sig, b) =>
+        val votes = hs.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+        if (votes >= 0) sig | (1L << b) else sig
+      }
+    samples(Gen.listOf(Gen.long), 30).foreach { hs =>
+      val got = HashKernels.simhash64(new GenericArrayData(hs.toArray))
+      assert(got == reference(hs), s"hs=$hs")
+    }
+  }
+
+  test("minhashSig equals the per-function affine minimum") {
+    import MinHashConstants._
+    samples(Gen.nonEmptyListOf(Gen.long), 30).foreach { hs =>
+      val got = HashKernels.minhashSig(new GenericArrayData(hs.toArray))
+        .toLongArray()
+      val exp = (0 until K).map { j =>
+        hs.map { raw =>
+          val h = java.lang.Math.floorMod(raw, Prime)
+          java.lang.Math.floorMod(h * As(j) + Bs(j), Prime)
+        }.min
+      }
+      assert(got.toSeq == exp, s"hs=$hs")
+    }
+  }
+
+  test("lshSignatures equals a direct hyperplane-sign reference") {
+    def reference(v: Seq[Float], tables: Int, planes: Int): Seq[Long] =
+      (0 until tables).map { t =>
+        (0 until planes).foldLeft(0L) { (sig, p) =>
+          val base = t * 7919 + p * 104729
+          val dot = v.indices.foldLeft(0.0) { (acc, d) =>
+            acc + v(d).toDouble * (((base + d * 13007) % 2039).toDouble / 2039.0 - 0.5)
+          }
+          if (dot >= 0) sig | (1L << p) else sig
+        }
+      }
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-5.0f, 5.0f))
+    samples(vecGen, 20).foreach { v =>
+      val got = HashKernels.lshSignatures(
+        new GenericArrayData(v.toArray), 4, 12).toLongArray()
+      assert(got.toSeq == reference(v, 4, 12))
+    }
+  }
+
+  test("shingleHashes handles degenerate inputs") {
+    def sh(s: String) =
+      HashKernels.shingleHashes(UTF8String.fromString(s)).numElements()
+    assert(sh("") == 0)
+    assert(sh("one two") == 0)          // < 3 tokens
+    assert(sh("one two three") == 1)
+    assert(sh("  a   b \t c  ") == 1)   // whitespace runs + edges
+    assert(sh("a b c a b c a b c") > 0)
+  }
+}
