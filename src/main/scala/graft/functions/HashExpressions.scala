@@ -154,7 +154,35 @@ case class ShingleHashes(child: Expression)
     copy(child = c)
 }
 
+/** string → sorted distinct winnowing fingerprints (rolling-hash
+  * character k-grams, window minima). See HashKernels.winnow. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.winnow(v.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.HashKernels.winnow($x, $k, $w);")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
 object HashFunctions {
+  val WinnowK = 8
+  val WinnowW = 4
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig",
@@ -165,7 +193,12 @@ object HashFunctions {
       exprs => ShingleHashes(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      exprs => WinnowFingerprints(exprs.head, WinnowK, WinnowW), "built-in")
   }
+
+  def winnowFingerprints(text: Column): Column =
+    call_function("winnow_fingerprints", text)
 
   def simhash64(tokenHashes: Column): Column =
     call_function("simhash64", tokenHashes)

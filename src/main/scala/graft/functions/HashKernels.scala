@@ -101,6 +101,57 @@ object HashKernels {
     sig
   }
 
+  private val WinnowBase = 257L
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD '03):
+    * Rabin–Karp rolling hash over character k-grams, then the minimum
+    * of each w-hash window; the distinct sorted minima are the
+    * fingerprint set. Two documents sharing a run of ≥ k+w-1 chars
+    * share a fingerprint — the guarantee threshold. Arithmetic is
+    * wrap-around 64-bit (deterministic everywhere). */
+  def winnow(v: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = v.toString
+    val len = s.length
+    if (len < k) return new GenericArrayData(Array.emptyLongArray)
+    val m = len - k + 1
+    val hashes = new Array[Long](m)
+    // B^(k-1) with wrap-around
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= WinnowBase; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * WinnowBase + s.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * pow) * WinnowBase + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    if (m < w) {
+      var mn = Long.MaxValue
+      i = 0
+      while (i < m) { if (hashes(i) < mn) mn = hashes(i); i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    val set = new java.util.HashSet[java.lang.Long]()
+    i = 0
+    while (i <= m - w) {
+      var mn = Long.MaxValue
+      var j = i
+      while (j < i + w) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
+      set.add(mn)
+      i += 1
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var c = 0
+    while (it.hasNext) { out(c) = it.next(); c += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
   /** Random-hyperplane LSH signatures (integer-congruential planes). */
   def lshSignatures(x: ArrayData, tables: Int, planes: Int): ArrayData = {
     val n = x.numElements()

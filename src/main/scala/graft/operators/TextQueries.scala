@@ -153,9 +153,23 @@ object TextQueries {
        |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe
        |FROM documents""".stripMargin
 
+  // -- winnowing fingerprints (rolling-hash document fingerprinting) ----
+  // Rows-only: the wrap-around 64-bit rolling hash isn't expressible in
+  // DuckDB SQL (overflow errors); the kernel is pinned to a direct
+  // polynomial reference in KernelSpec instead.
+  private def winnowQ(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.winnowFingerprints(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        element_at(col("fps"), 1).as("fp_min"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q2_wordcount", wordcount, Some(wordcountSql), bench = true),
     QueryDef("t5_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    QueryDef("t6_winnow", winnowQ, None),
     QueryDef("t1_token_count", tokenCountQ, Some(tokenCountSql)),
     QueryDef("t2_langid", langId, Some(langIdSql)),
     QueryDef("t3_quality", quality, Some(qualitySql), bench = true),

@@ -85,6 +85,30 @@ class KernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("winnow: rolling hash equals the direct polynomial; containment holds") {
+    val k = 8; val w = 4
+    def direct(s: String): Seq[Long] = {
+      if (s.length < k) return Seq.empty
+      val hs = (0 to s.length - k).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((h, c) => h * 257L + c)
+      }
+      if (hs.length < w) Seq(hs.min)
+      else hs.sliding(w).map(_.min).toSeq.distinct.sorted
+    }
+    val strGen = Gen.listOfN(40, Gen.alphaChar).map(_.mkString)
+    samples(strGen, 20).foreach { s =>
+      val got = HashKernels.winnow(UTF8String.fromString(s), k, w).toLongArray()
+      assert(got.toSeq == direct(s), s"s=$s")
+    }
+    // a shared 200-char prefix guarantees shared fingerprints
+    val base = samples(Gen.listOfN(200, Gen.alphaChar).map(_.mkString), 1).head
+    val a = HashKernels.winnow(UTF8String.fromString(base + " tail one"), k, w)
+      .toLongArray().toSet
+    val b = HashKernels.winnow(UTF8String.fromString(base + " other end"), k, w)
+      .toLongArray().toSet
+    assert(a.intersect(b).size.toDouble / a.size > 0.5)
+  }
+
   test("shingleHashes handles degenerate inputs") {
     def sh(s: String) =
       HashKernels.shingleHashes(UTF8String.fromString(s)).numElements()
