@@ -116,27 +116,34 @@ object DedupQueries {
 
   // -- dd4: SimHash (64-bit) + Hamming-distance pairs -------------------
   // Per token: xxhash64 → ±1 vote per bit; signature bit = sign of vote
-  // sum. Near-dups = pairs with popcount(xor) <= 3. Candidate generation
-  // here blocks on (lang, length-bucket) like dd2; a 4-piece-split
-  // equi-join variant is the standard 100 TB path (noted in Scaladoc).
+  // sum. Near-dups = pairs with popcount(xor) <= 3. Candidate
+  // generation splits the signature into 4 exact 16-bit pieces: by
+  // pigeonhole, hamming <= 3 implies at least one identical piece, so
+  // an equi-join on (piece_idx, piece_value) finds ALL qualifying
+  // pairs — complete, and O(n·4) shuffled rows at any corpus size.
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     HashFunctions.register(s)
     val docs = Tables.documents(s, dir)
       .select(
-        col("doc_id"), col("lang"), expr("n_chars DIV 100").as("lb"),
+        col("doc_id"),
         transform(array_distinct(split(trim(col("text")), "\\s+")),
           t => xxhash64(t)).as("hs"))
-      .select(col("doc_id"), col("lang"), col("lb"),
-        HashFunctions.simhash64(col("hs")).as("sig"))
-    val a = docs.alias("a")
-    val b = docs.alias("b")
+      .select(col("doc_id"), HashFunctions.simhash64(col("hs")).as("sig"))
+    val pieces = docs.select(
+        col("doc_id"), col("sig"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "piece").withColumnRenamed("col", "pval")
+    val a = pieces.alias("a")
+    val b = pieces.alias("b")
     val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
     a.join(b,
-        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+        col("a.piece") === col("b.piece") && col("a.pval") === col("b.pval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         hamming.as("hamming"))
       .filter(col("hamming") <= 3)
+      .distinct() // a pair may agree on several pieces
   }
 
   // -- dd5: embedding-cosine near-dup -----------------------------------
