@@ -55,32 +55,51 @@ object DedupQueries {
       .localCheckpoint(false)
   }
 
+  /** Overlapped blocking with home/guest roles: each document sits in
+    * its own bucket as "home" and the next bucket as "guest". Any pair
+    * whose lengths differ by < 100 chars then meets exactly once —
+    * same-bucket pairs as home/home, adjacent-bucket pairs as
+    * guest/home — and guest/guest meetings are skipped, so no
+    * boundary-straddling misses, no duplicate comparisons, no DISTINCT. */
+  private def overlapBlocked(s: SparkSession, dir: String): DataFrame = {
+    val s0 = shingled(s, dir)
+    s0.withColumn("lbx", col("lb")).withColumn("guest", lit(0))
+      .unionByName(
+        s0.withColumn("lbx", col("lb") + 1).withColumn("guest", lit(1)))
+  }
+
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val a = shingled(s, dir).alias("a")
-    val b = shingled(s, dir).alias("b")
+    val a = overlapBlocked(s, dir).alias("a")
+    val b = overlapBlocked(s, dir).alias("b")
     val inter = HashFunctions.sortedIntersectCount(col("a.hs"), col("b.hs"))
     val jac = inter.cast("double") / (col("a.nh") + col("b.nh") - inter)
     a.join(b,
-        col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.lang") === col("b.lang") && col("a.lbx") === col("b.lbx") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          !(col("a.guest") === 1 && col("b.guest") === 1))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         jac.as("jac"))
       .filter(col("jac") >= 0.5)
   }
 
   private val ngramJaccardSql =
-    s"""WITH sh AS (
+    s"""WITH sh0 AS (
        |  SELECT doc_id, lang, n_chars // 100 AS lb,
        |    ${TextFunctions.shingles3Sql} AS sh
        |  FROM (SELECT doc_id, lang, n_chars,
        |          string_split_regex(trim(text), '\\s+') AS toks
-       |        FROM documents) t)
+       |        FROM documents) t),
+       |sh AS (
+       |  SELECT doc_id, lang, lb AS lbx, 0 AS guest, sh FROM sh0
+       |  UNION ALL
+       |  SELECT doc_id, lang, lb + 1 AS lbx, 1 AS guest, sh FROM sh0)
        |SELECT doc_a, doc_b, jac FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
        |  FROM sh a JOIN sh b
-       |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id) p
+       |    ON a.lang = b.lang AND a.lbx = b.lbx AND a.doc_id < b.doc_id
+       |   AND NOT (a.guest = 1 AND b.guest = 1)) p
        |WHERE jac >= 0.5""".stripMargin
 
   // -- dd3: MinHash + LSH banding ---------------------------------------
