@@ -371,6 +371,23 @@ object RelationalQueries {
       |               ORDER BY c_acctbal DESC, c_custkey)) t
       |WHERE rnk <= 5""".stripMargin
 
+  /** Exact percentiles (sort-based): Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the R-7 linear-interpolation definition and
+    * produce bit-identical doubles on the same inputs. */
+  private def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("med_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_quantity, 0.25)").as("q1_qty"))
+
+  private val percentilesSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS med_price,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  quantile_cont(l_quantity, 0.25) AS q1_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", pricingSummary, Some(pricingSummarySql), bench = true),
     QueryDef("q3_scan_filter", scanFilter, Some(scanFilterSql), bench = true),
@@ -392,6 +409,7 @@ object RelationalQueries {
     QueryDef("q22_cube", cubeQ, Some(cubeSql)),
     QueryDef("q24_count_distinct", countDistinct_, Some(countDistinctSql)),
     QueryDef("q25_window_fns", windowFns, Some(windowFnsSql)),
+    QueryDef("q26_percentiles", percentiles, Some(percentilesSql)),
     QueryDef("q18_semijoin", semiJoin, Some(semiJoinSql)),
     QueryDef("q19_antijoin", antiJoin, Some(antiJoinSql)),
     QueryDef("q20_broadcast_star", broadcastStar, Some(broadcastStarSql), bench = true),
