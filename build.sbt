@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// suites share one SparkSession and a few tests toggle session confs
+// (AQE, broadcast threshold) — run suites sequentially for determinism
+Test / parallelExecution := false
