@@ -154,6 +154,31 @@ case class ShingleHashes(child: Expression)
     copy(child = c)
 }
 
+/** string → array of lowercased alphanumeric word tokens (the D1
+  * tokenizer as one native pass; see HashKernels.tokenizeWords). */
+case class TokenizeWords(child: Expression) extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tokenize_words expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.tokenizeWords(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.HashKernels.tokenizeWords($x);")
+
+  override protected def withNewChildInternal(c: Expression): TokenizeWords =
+    copy(child = c)
+}
+
 /** string → sorted distinct winnowing fingerprints (rolling-hash
   * character k-grams, window minima). See HashKernels.winnow. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
@@ -195,7 +220,11 @@ object HashFunctions {
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprints",
       exprs => WinnowFingerprints(exprs.head, WinnowK, WinnowW), "built-in")
+    reg.createOrReplaceTempFunction("tokenize_words",
+      exprs => TokenizeWords(exprs.head), "built-in")
   }
+
+  def tokenizeWords(text: Column): Column = call_function("tokenize_words", text)
 
   def winnowFingerprints(text: Column): Column =
     call_function("winnow_fingerprints", text)

@@ -101,6 +101,34 @@ object HashKernels {
     sig
   }
 
+  /** Wordcount tokens: maximal runs of ASCII alphanumerics, lowercased —
+    * provably equivalent to
+    * `split(lower(regexp_replace(s, "[^a-zA-Z0-9\\s]+", " ")), "\\s+")`
+    * minus empty strings (any non-alnum char separates in both forms;
+    * lowercasing only affects A-Z). One pass, no regex. */
+  def tokenizeWords(v: UTF8String): ArrayData = {
+    val s = v.toString
+    val len = s.length
+    val out = new java.util.ArrayList[UTF8String]()
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i <= len) {
+      val alnum = i < len && {
+        val c = s.charAt(i)
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+      }
+      if (alnum) {
+        val c = s.charAt(i)
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      } else if (sb.length > 0) {
+        out.add(UTF8String.fromString(sb.toString))
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private val WinnowBase = 257L
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD '03):

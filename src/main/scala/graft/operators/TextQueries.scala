@@ -14,12 +14,16 @@ import graft.functions.TextFunctions._
 object TextQueries {
 
   // -- D1 + D2: tokenize flat-map + count-by-key ------------------------
-  private def wordcount(s: SparkSession, dir: String): DataFrame =
+  // native one-pass tokenizer (provably equivalent to the regex tower;
+  // pinned in KernelSpec)
+  private def wordcount(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
     Tables.documents(s, dir)
-      .select(explode(tokens(col("text"))).as("word"))
-      .filter(col("word") =!= "")
+      .select(explode(graft.functions.HashFunctions.tokenizeWords(col("text")))
+        .as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   private val wordcountSql =
     """SELECT word, COUNT(*) AS cnt FROM (

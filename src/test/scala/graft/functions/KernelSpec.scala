@@ -109,6 +109,25 @@ class KernelSpec extends AnyFunSuite with SparkSpec {
     assert(a.intersect(b).size.toDouble / a.size > 0.5)
   }
 
+  test("tokenizeWords equals the regex tower on corpus and adversarial strings") {
+    HashFunctions.register(spark)
+    val tower = filter(
+      split(lower(regexp_replace(col("s"), "[^a-zA-Z0-9\\s]+", " ")), "\\s+"),
+      w => w =!= "")
+    val corpus = Tables.documents(spark, sf0001).limit(100)
+      .select(col("text").as("s"))
+    val weird = spark.createDataFrame(Seq(
+      Tuple1(""), Tuple1("  "), Tuple1("a-b_c!d"), Tuple1("ABC 123 m1x3d"),
+      Tuple1("tab\there\nnewline"), Tuple1("ünïcödé wörds"), Tuple1("...!!!"),
+      Tuple1("trailing space "), Tuple1(" leading"))).toDF("s")
+    Seq(corpus, weird.select(col("s"))).foreach { df =>
+      val diff = df.select(
+        HashFunctions.tokenizeWords(col("s")).as("a"), tower.as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0)
+    }
+  }
+
   test("shingleHashes handles degenerate inputs") {
     def sh(s: String) =
       HashKernels.shingleHashes(UTF8String.fromString(s)).numElements()
