@@ -194,6 +194,20 @@ object RelationalQueries {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
       |FROM events""".stripMargin
 
+  /** D13's encode direction: struct → compact JSON value string (the
+    * reference JSON-marshals records into the value, amplab3.go:70-73). */
+  private def jsonEncode(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .select(col("event_id"), to_json(struct(col("k"))).as("rec"))
+
+  private val jsonEncodeSql =
+    """SELECT event_id,
+      |  CAST(json_object('k',
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER)) AS VARCHAR) AS rec
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------------------
   // Freebies (§2.3 — absent from the reference, native in Spark)
   // ---------------------------------------------------------------------
@@ -400,6 +414,7 @@ object RelationalQueries {
     QueryDef("q10_identity", identity, Some(identitySql)),
     QueryDef("q11_try_parse", tryParse, Some(tryParseSql)),
     QueryDef("q12_json_decode", jsonDecode, Some(jsonDecodeSql)),
+    QueryDef("q27_json_encode", jsonEncode, Some(jsonEncodeSql)),
     QueryDef("q13_topk", topK, Some(topKSql)),
     QueryDef("q14_distinct", distinctQ, Some(distinctSql)),
     QueryDef("q15_setops", setOps, Some(setOpsSql)),
