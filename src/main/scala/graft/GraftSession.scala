@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * | reduceBinSize → bin count heuristic (job.go:221-224) | reduceBins | spark.sql.shuffle.partitions; AQE coalescing refines from real stats |
   * | maxConcurrency (500)| maxConcurrency      | local[N] / executor sizing |
   * | cleanup             | (automatic)         | shuffle files managed by ContextCleaner |
-  * | workingLocation     | workingLocation     | staging dir for materialized stages |
+  * | workingLocation     | workingLocation     | default staging dir for MultiStageDriver.runMaterialized |
   */
 object GraftSession {
 

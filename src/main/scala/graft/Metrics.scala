@@ -35,6 +35,7 @@ object Metrics {
     val t0 = System.nanoTime()
     try {
       val a = body
+      val elapsed = (System.nanoTime() - t0) / 1e9 // before the settle wait
       // the listener bus is async (and its drain API is private): wait
       // until the counters settle, bounded at ~1s
       var prev = -1L
@@ -44,8 +45,7 @@ object Metrics {
         if (cur == prev && cur > 0) spins = 20
         else { prev = cur; spins += 1; Thread.sleep(50) }
       }
-      (a, Snapshot(read.get(), written.get(), shuffle.get(),
-        (System.nanoTime() - t0) / 1e9))
+      (a, Snapshot(read.get(), written.get(), shuffle.get(), elapsed))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

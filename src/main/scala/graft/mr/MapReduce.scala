@@ -127,11 +127,18 @@ final case class MultiStageDriver(jobs: Seq[CorralJob]) {
   def run(input: Dataset[KV]): Dataset[KV] =
     jobs.foldLeft(input)((ds, job) => job.run(ds))
 
-  def runMaterialized(input: Dataset[KV], workDir: String): Dataset[KV] = {
+  /** `workDir` defaults to the config cascade's workingLocation
+    * (`GRAFT_WORKING_LOCATION`, reference `/root/reference/config.go:30`),
+    * falling back to a fresh temp dir. */
+  def runMaterialized(input: Dataset[KV], workDir: String = ""): Dataset[KV] = {
     val spark = input.sparkSession
+    val dir =
+      if (workDir.nonEmpty) workDir
+      else graft.GraftSession.fromEnv().workingLocation.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-stages").toString)
     jobs.zipWithIndex.foldLeft(input) { case (ds, (job, i)) =>
       val out = job.run(ds)
-      val stageDir = s"$workDir/job$i"
+      val stageDir = s"$dir/job$i"
       TextKV.writeTsv(out, stageDir)
       TextKV.readTsv(spark, stageDir)
     }

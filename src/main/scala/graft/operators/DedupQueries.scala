@@ -69,8 +69,11 @@ object DedupQueries {
   }
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val a = overlapBlocked(s, dir).alias("a")
-    val b = overlapBlocked(s, dir).alias("b")
+    // one blocked projection, aliased twice: both join sides share the
+    // same checkpointed materialization
+    val ob = overlapBlocked(s, dir)
+    val a = ob.alias("a")
+    val b = ob.alias("b")
     val inter = HashFunctions.sortedIntersectCount(col("a.hs"), col("b.hs"))
     val jac = inter.cast("double") / (col("a.nh") + col("b.nh") - inter)
     a.join(b,

@@ -167,7 +167,9 @@ object TextQueries {
       .select(col("doc_id"),
         graft.functions.HashFunctions.winnowFingerprints(col("text")).as("fps"))
       .select(col("doc_id"), size(col("fps")).as("n_fp"),
-        element_at(col("fps"), 1).as("fp_min"))
+        // guard: docs shorter than WinnowK chars have no fingerprints,
+        // and ANSI-mode element_at throws on an empty array
+        when(size(col("fps")) > 0, element_at(col("fps"), 1)).as("fp_min"))
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -128,6 +128,21 @@ class KernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("winnow fingerprint guard survives short docs under ANSI mode") {
+    HashFunctions.register(spark)
+    val df = spark.createDataFrame(Seq(
+      (1L, "ab"), (2L, ""), (3L, "a document long enough to fingerprint")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        HashFunctions.winnowFingerprints(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        when(size(col("fps")) > 0, element_at(col("fps"), 1)).as("fp_min"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows(0).getInt(1) == 0 && rows(0).isNullAt(2)) // "ab": no crash
+    assert(rows(1).getInt(1) == 0 && rows(1).isNullAt(2)) // "": no crash
+    assert(rows(2).getInt(1) > 0 && !rows(2).isNullAt(2))
+  }
+
   test("shingleHashes handles degenerate inputs") {
     def sh(s: String) =
       HashKernels.shingleHashes(UTF8String.fromString(s)).numElements()
