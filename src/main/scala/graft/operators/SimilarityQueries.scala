@@ -174,19 +174,7 @@ object SimilarityQueries {
 
   private val lshTopKSql = {
     import graft.functions.SimConstants.{NPlanes, NTables}
-    // dot(plane_{t,p}, v) with the exact integer-congruential coefficients
-    def planeDot(t: Int, p: Int) = {
-      val base = t * 7919 + p * 104729
-      s"list_reduce(list_transform(range(1, len(embedding)+1), " +
-        s"i -> CAST(embedding[i] AS DOUBLE) * " +
-        s"((($base + (i-1)*13007) % 2039) / 2039.0 - 0.5)), (x, y) -> x + y)"
-    }
-    def sig(t: Int) = (0 until NPlanes).map { p =>
-      s"(CASE WHEN ${planeDot(t, p)} >= 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
-    val sigBranches = (0 until NTables).map { t =>
-      s"SELECT vec_id, embedding, nrm, $t AS tbl, ${sig(t)} AS sig FROM c"
-    }.mkString("\nUNION ALL\n")
+    val sigBranches = VectorFunctions.lshSigsSql(NTables, NPlanes)
     val cos = s"(${VectorFunctions.dotSql("q.embedding", "p.embedding")} / (q.nrm * p.nrm))"
     s"""WITH c AS (
        |  SELECT vec_id, embedding,
