@@ -46,9 +46,10 @@ case class LongArrayMinHash(child: Expression)
     copy(child = c)
 }
 
-/** array<long> of token hashes → 64-bit SimHash (±1 vote per bit;
-  * signature bit set iff the vote sum is non-negative). */
-case class SimHash64(child: Expression)
+/** array<long> of token hashes → 64-bit SimHash (affine mod-P vote per
+  * bit — see HashKernels.simhashP; signature bit set iff the vote sum
+  * is non-negative). */
+case class SimHashP(child: Expression)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -56,17 +57,43 @@ case class SimHash64(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 expects array<bigint>, got ${other.simpleString}")
+      s"simhash_p expects array<bigint>, got ${other.simpleString}")
   }
 
   override def nullSafeEval(v: Any): Any =
-    java.lang.Long.valueOf(HashKernels.simhash64(v.asInstanceOf[ArrayData]))
+    java.lang.Long.valueOf(HashKernels.simhashP(v.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.functions.HashKernels.simhash64($x);")
+      s"${ev.value} = graft.functions.HashKernels.simhashP($x);")
 
-  override protected def withNewChildInternal(c: Expression): SimHash64 =
+  override protected def withNewChildInternal(c: Expression): SimHashP =
+    copy(child = c)
+}
+
+/** string → deterministic polynomial hash mod P over code points (see
+  * HashKernels.strHashP). The portable replacement for xxhash64 in
+  * every dedup path: the DuckDB oracle computes the identical value
+  * with BIGINT list_reduce arithmetic. */
+case class StrHashP(child: Expression) extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"str_hash_p expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(HashKernels.strHashP(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.HashKernels.strHashP($x);")
+
+  override protected def withNewChildInternal(c: Expression): StrHashP =
     copy(child = c)
 }
 
@@ -216,8 +243,10 @@ object HashFunctions {
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes",
       exprs => ShingleHashes(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash_p",
+      exprs => SimHashP(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("str_hash_p",
+      exprs => StrHashP(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprints",
       exprs => WinnowFingerprints(exprs.head, WinnowK, WinnowW), "built-in")
     reg.createOrReplaceTempFunction("tokenize_words",
@@ -229,8 +258,19 @@ object HashFunctions {
   def winnowFingerprints(text: Column): Column =
     call_function("winnow_fingerprints", text)
 
-  def simhash64(tokenHashes: Column): Column =
-    call_function("simhash64", tokenHashes)
+  def simhashP(tokenHashes: Column): Column =
+    call_function("simhash_p", tokenHashes)
+
+  def strHashP(s: Column): Column = call_function("str_hash_p", s)
+
+  /** DuckDB fragment computing strHashP of the string expression `v`
+    * (a column or any scalar string expression). */
+  def strHashPSql(v: String): String = {
+    import PolyHashConstants.{B, P}
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($v)+1), i -> CAST(unicode($v[i]) AS BIGINT))), " +
+      s"(h, c) -> (h * $B + c) % $P)"
+  }
 
   /** Sorted distinct 3-shingle hash set of a text column (one-pass
     * native expression; see ShingleHashes). */
@@ -241,8 +281,15 @@ object HashFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
 
-  /** Sorted distinct 64-bit hashes of an array of strings — the shared
-    * preprocessing for Jaccard/MinHash (hash once, merge many). */
-  def sortedHashSet(strings: Column): Column =
-    array_sort(array_distinct(transform(strings, s => xxhash64(s))))
+  /** Sorted distinct strHashP of an array of strings, built purely from
+    * Spark built-ins (an aggregate-fold over code points) — the
+    * independent twin KernelSpec pins the native kernels against. */
+  def sortedHashSet(strings: Column): Column = {
+    import PolyHashConstants.{B, P}
+    val hashed = transform(strings, s =>
+      when(length(s) === 0, lit(0L)).otherwise(
+        aggregate(sequence(lit(1), length(s)), lit(0L),
+          (h, i) => (h * lit(B) + ascii(substr(s, i, lit(1)))) % lit(P))))
+    array_sort(array_distinct(hashed))
+  }
 }

@@ -1,8 +1,24 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared constants of the deterministic polynomial hash family. All
+  * dedup/fingerprint hashing is `*`/`+`/`%` arithmetic mod a ~2³¹ prime
+  * over Unicode code points — no bit mixing — precisely so the DuckDB
+  * oracle can reproduce every value with plain BIGINT SQL (products stay
+  * < 2⁶³). Where uniform bits are needed (SimHash votes), they come from
+  * affine functions mod P thresholded at P/2, not from raw hash bits.
+  */
+object PolyHashConstants {
+  val P: Long = 2038074743L     // prime, ~2^31 (shared with MinHashConstants)
+  val B: Long = 1000003L        // polynomial base
+  val Half: Long = P / 2
+  // 64 affine vote functions for SimHash: bit b of a token's contribution
+  // is [((h*SimA(b)+SimB(b)) mod P) >= P/2]
+  val SimA: Array[Long] = (1 to 64).map(b => 1566083941L * b % P).toArray
+  val SimB: Array[Long] = (1 to 64).map(b => 340573321L * b * b % P).toArray
+}
 
 /** Row-level kernels behind the native expressions. Top-level object →
   * scalac emits static forwarders, so whole-stage codegen can call
@@ -11,30 +27,64 @@ import org.apache.spark.unsafe.types.UTF8String
   * walk (CodegenFallback would re-enter the interpreter per row).
   */
 object HashKernels {
+  import PolyHashConstants.{B, Half, P, SimA, SimB}
 
-  /** Sorted distinct xxhash64(seed=42) of the 3-token shingles. */
+  /** Deterministic polynomial string hash mod P over code points:
+    * h = fold(cp)(h*B + cp mod P). DuckDB twin: list_reduce over
+    * unicode(s[i]). Code points (not UTF-16 units) so both engines
+    * iterate the same values on any input. */
+  def strHashP(v: UTF8String): Long = {
+    val s = v.toString
+    var h = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      h = (h * B + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** strHashP over a substring range plus a joining-space fold — used by
+    * shingleHashes to hash "tok1 tok2 tok3" without building the string. */
+  private def hashToken(s: String, from: Int, until: Int, h0: Long): Long = {
+    var h = h0
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      h = (h * B + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Sorted distinct strHashP of the 3-token shingles ("tok1 tok2 tok3"
+    * joined with single spaces — the exact string the DuckDB oracle
+    * hashes). */
   def shingleHashes(v: UTF8String): ArrayData = {
     val s = v.toString
-    val toks = new java.util.ArrayList[String]()
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
     var i = 0
     val len = s.length
     while (i < len) {
       while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
       val start = i
       while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) toks.add(s.substring(start, i))
+      if (i > start) { starts.add(start); ends.add(i) }
     }
-    val n = toks.size()
+    val n = starts.size()
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)
     val set = new java.util.HashSet[java.lang.Long](n * 2)
-    val sb = new java.lang.StringBuilder(64)
     var t = 0
     while (t <= n - 3) {
-      sb.setLength(0)
-      sb.append(toks.get(t)).append(' ')
-        .append(toks.get(t + 1)).append(' ').append(toks.get(t + 2))
-      val u = UTF8String.fromString(sb.toString)
-      set.add(XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L))
+      var h = hashToken(s, starts.get(t), ends.get(t), 0L)
+      h = (h * B + ' ') % P
+      h = hashToken(s, starts.get(t + 1), ends.get(t + 1), h)
+      h = (h * B + ' ') % P
+      h = hashToken(s, starts.get(t + 2), ends.get(t + 2), h)
+      set.add(h)
       t += 1
     }
     val out = new Array[Long](set.size())
@@ -78,16 +128,21 @@ object HashKernels {
     c
   }
 
-  /** 64-bit SimHash over token hashes (±1 vote per bit). */
-  def simhash64(arr: ArrayData): Long = {
+  /** 64-bit SimHash over token hashes: the per-token vote for bit b is
+    * the sign of [((h mod P)*SimA(b)+SimB(b)) mod P >= P/2] — affine
+    * mod-P projections instead of raw hash bits, so a polynomial token
+    * hash (whose high bits are NOT uniform) still yields uniform
+    * signature bits, and the DuckDB oracle reproduces each vote with
+    * BIGINT arithmetic. */
+  def simhashP(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
+      val h = java.lang.Math.floorMod(arr.getLong(i), P)
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if ((h * SimA(b) + SimB(b)) % P >= Half) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
       i += 1
@@ -132,28 +187,40 @@ object HashKernels {
   private val WinnowBase = 257L
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD '03):
-    * Rabin–Karp rolling hash over character k-grams, then the minimum
+    * Rabin–Karp rolling hash over code-point k-grams, then the minimum
     * of each w-hash window; the distinct sorted minima are the
     * fingerprint set. Two documents sharing a run of ≥ k+w-1 chars
     * share a fingerprint — the guarantee threshold. Arithmetic is
-    * wrap-around 64-bit (deterministic everywhere). */
+    * polynomial mod P (the rolling form ≡ the direct k-term polynomial
+    * the DuckDB oracle computes, since both reduce the same polynomial
+    * mod P). */
   def winnow(v: UTF8String, k: Int, w: Int): ArrayData = {
     val s = v.toString
-    val len = s.length
+    // code-point array (matches DuckDB's per-character unicode() walk)
+    val cps = new Array[Int](s.codePointCount(0, s.length))
+    var ci = 0
+    var si = 0
+    while (si < s.length) {
+      val cp = s.codePointAt(si)
+      cps(ci) = cp; ci += 1
+      si += Character.charCount(cp)
+    }
+    val len = cps.length
     if (len < k) return new GenericArrayData(Array.emptyLongArray)
     val m = len - k + 1
     val hashes = new Array[Long](m)
-    // B^(k-1) with wrap-around
+    // B^(k-1) mod P
     var pow = 1L
     var i = 0
-    while (i < k - 1) { pow *= WinnowBase; i += 1 }
+    while (i < k - 1) { pow = pow * WinnowBase % P; i += 1 }
     var h = 0L
     i = 0
-    while (i < k) { h = h * WinnowBase + s.charAt(i); i += 1 }
+    while (i < k) { h = (h * WinnowBase + cps(i)) % P; i += 1 }
     hashes(0) = h
     i = 1
     while (i < m) {
-      h = (h - s.charAt(i - 1) * pow) * WinnowBase + s.charAt(i + k - 1)
+      h = java.lang.Math.floorMod(
+        (h - cps(i - 1) * pow % P) * WinnowBase + cps(i + k - 1), P)
       hashes(i) = h
       i += 1
     }

@@ -1,22 +1,31 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{HashFunctions, MinHashConstants, PolyHashConstants, TextFunctions, VectorFunctions}
 
 /** Deduplication suite for training-data pipelines (north-star extension;
   * SURVEY.md §7.2 step 6): exact, n-gram Jaccard, MinHash+LSH, SimHash,
   * and embedding-cosine near-dup.
   *
   * Scale design: every variant avoids the O(n²) all-pairs join —
-  * exact dedup is a hash groupBy; Jaccard blocks on (lang, length
-  * bucket); MinHash/SimHash reduce candidate generation to an equi-join
-  * on band/bucket keys, which Spark executes as an ordinary shuffled
-  * hash join. At 100 TB the all-pairs form is impossible; the banded
-  * forms shuffle only O(n·bands) rows.
+  * exact dedup is a hash groupBy; both Jaccard operators (dd2, dd3)
+  * source candidate pairs from MinHash band buckets and verify with
+  * exact Jaccard inside buckets; SimHash banding is pigeonhole-complete
+  * 16-bit pieces; the embedding near-dup banding is hyperplane LSH.
+  * Every candidate generator is an equi-join on band/bucket keys, which
+  * Spark executes as an ordinary shuffled hash join: O(n·bands) shuffled
+  * rows at any corpus size, with band width (rows-per-band, planes) as
+  * the selectivity knob that grows ~log(n) at cluster scale.
+  *
+  * All hashing is the deterministic polynomial mod-P family
+  * ([[graft.functions.PolyHashConstants]]) — pure BIGINT arithmetic that
+  * the DuckDB oracle reproduces bit-for-bit, so every variant here has a
+  * full SQL oracle (no rows-only checks).
   */
 object DedupQueries {
+  import MinHashConstants.{As, Bs, K, Prime}
 
   // -- dd1: exact dedup — groupBy content fingerprint -------------------
   private def exact(s: SparkSession, dir: String): DataFrame =
@@ -29,99 +38,62 @@ object DedupQueries {
       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  // -- dd2: exact n-gram Jaccard with blocking --------------------------
-  // Blocking key = (lang, n_chars DIV 100): near-identical docs share it
-  // with high probability; candidate pairs per block are quadratic only
-  // in block size, never in corpus size.
-  /** Shingle sets represented as sorted distinct 64-bit hashes: hashing
+  // -- shared shingle projection ---------------------------------------
+  /** Shingle sets as sorted distinct mod-P polynomial hashes: hashing
     * happens once per document, every pairwise comparison is then a
-    * primitive O(n+m) merge (SortedLongIntersectCount) instead of a
-    * per-element string-set intersection. The DuckDB oracle intersects
-    * the string sets directly — identical cardinalities (64-bit
-    * collisions are ~1e-10 at oracle scale). */
+    * primitive O(n+m) merge (SortedLongIntersectCount). The DuckDB
+    * oracle computes the identical hash values (strHashPSql), so
+    * intersection cardinalities agree exactly. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     HashFunctions.register(s)
-    Tables.documents(s, dir).select(
-      col("doc_id"), col("lang"),
-      expr("n_chars DIV 100").as("lb"),
+    val proj = Tables.documents(s, dir).select(
+      col("doc_id"),
       HashFunctions.shingleHashes(col("text")).as("hs"))
       .withColumn("nh", size(col("hs")))
-      // materialization barrier: both sides of the pair join (and the
-      // null-filter the planner infers from the join keys) read the
-      // computed hs column instead of re-deriving it from text — the
-      // optimizer would otherwise clone the shingle expression into
-      // every consumer. At cluster scale this is a persist-to-disk of
-      // the shingled projection, standard for multi-use intermediates.
-      .localCheckpoint(false)
+    // materialization barrier: both sides of the pair join (and the
+    // null-filter the planner infers from the join keys) read the
+    // computed hs column instead of re-deriving it from text — the
+    // optimizer would otherwise clone the shingle expression into
+    // every consumer. `spark.graft.dedup.barrier` picks the form:
+    // localCheckpoint (fast, executor-local — fine on local[n]) vs
+    // persist-to-disk (fault-tolerant — the cluster setting).
+    s.conf.get("spark.graft.dedup.barrier", "localCheckpoint") match {
+      case "persist" =>
+        proj.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case "none" => proj
+      case _ => proj.localCheckpoint(false)
+    }
   }
 
-  /** Overlapped blocking with home/guest roles: each document sits in
-    * its own bucket as "home" and the next bucket as "guest". Any pair
-    * whose lengths differ by < 100 chars then meets exactly once —
-    * same-bucket pairs as home/home, adjacent-bucket pairs as
-    * guest/home — and guest/guest meetings are skipped, so no
-    * boundary-straddling misses, no duplicate comparisons, no DISTINCT. */
-  private def overlapBlocked(s: SparkSession, dir: String): DataFrame = {
-    val s0 = shingled(s, dir)
-    s0.withColumn("lbx", col("lb")).withColumn("guest", lit(0))
-      .unionByName(
-        s0.withColumn("lbx", col("lb") + 1).withColumn("guest", lit(1)))
-  }
+  // -- MinHash band candidate generation (dd2 + dd3) --------------------
+  // 32 minhashes over the shingle hash set; band key = an arithmetic
+  // fold of the band's sig rows mod P (SQL-expressible, unlike a byte
+  // hash). Banding geometry sets the similarity threshold each operator
+  // targets: s-curve midpoint ≈ (1/bands)^(1/rows), so
+  //   dd2: 16 bands × 2 rows → ~0.25 (high recall at jac ≥ 0.5)
+  //   dd3:  8 bands × 4 rows → ~0.59 (tuned for jac ≥ 0.8)
+  private val DD2Bands = 16
+  private val DD2Rows = K / DD2Bands
+  private val DD3Bands = 8
+  private val DD3Rows = K / DD3Bands
 
-  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // one blocked projection, aliased twice: both join sides share the
-    // same checkpointed materialization
-    val ob = overlapBlocked(s, dir)
-    val a = ob.alias("a")
-    val b = ob.alias("b")
-    val inter = HashFunctions.sortedIntersectCount(col("a.hs"), col("b.hs"))
-    val jac = inter.cast("double") / (col("a.nh") + col("b.nh") - inter)
-    a.join(b,
-        col("a.lang") === col("b.lang") && col("a.lbx") === col("b.lbx") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          !(col("a.guest") === 1 && col("b.guest") === 1))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jac.as("jac"))
-      .filter(col("jac") >= 0.5)
-  }
+  private def bandKey(sig: Column, b: Column, rows: Int): Column =
+    (0 until rows).foldLeft(lit(0L)) { (acc, i) =>
+      (acc * 31 + element_at(sig, (b * rows + i + 1).cast("integer"))) % Prime
+    }
 
-  private val ngramJaccardSql =
-    s"""WITH sh0 AS (
-       |  SELECT doc_id, lang, n_chars // 100 AS lb,
-       |    ${TextFunctions.shingles3Sql} AS sh
-       |  FROM (SELECT doc_id, lang, n_chars,
-       |          string_split_regex(trim(text), '\\s+') AS toks
-       |        FROM documents) t),
-       |sh AS (
-       |  SELECT doc_id, lang, lb AS lbx, 0 AS guest, sh FROM sh0
-       |  UNION ALL
-       |  SELECT doc_id, lang, lb + 1 AS lbx, 1 AS guest, sh FROM sh0)
-       |SELECT doc_a, doc_b, jac FROM (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
-       |  FROM sh a JOIN sh b
-       |    ON a.lang = b.lang AND a.lbx = b.lbx AND a.doc_id < b.doc_id
-       |   AND NOT (a.guest = 1 AND b.guest = 1)) p
-       |WHERE jac >= 0.5""".stripMargin
-
-  // -- dd3: MinHash + LSH banding ---------------------------------------
-  // 32 minhashes over xxhash64'd shingles, 8 bands × 4 rows; candidates
-  // from band-bucket equi-joins, then exact-Jaccard verification at 0.8.
-  // (xxhash64 is Spark-internal → no SQL oracle; recall vs dd2 is
-  // asserted in DedupSpec instead.)
-  private val Bands = 8
-  private val RowsPerBand = graft.functions.MinHashConstants.K / Bands
-
-  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Candidate pairs from band-bucket equi-joins with their exact
+    * Jaccard: each doc emits `bands` (band, bkey) rows; a pair meets
+    * iff it agrees on some full band. */
+  private def bandCandidates(
+      s: SparkSession, dir: String, bands: Int, rows: Int): DataFrame = {
     val docs = shingled(s, dir).filter(col("nh") > 0)
       .select(col("doc_id"), col("hs"), col("nh"),
         HashFunctions.minhashSig(col("hs")).as("sig"))
-    // explode into (band, bandKey) — hash of the band's slice of the sig
     val banded = docs.select(
       col("doc_id"), col("hs"), col("nh"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-        xxhash64(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => bandKey(col("sig"), b, rows))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -132,25 +104,75 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         jac.as("jac"))
-      .distinct() // same pair can collide in several bands
-      .filter(col("jac") >= 0.8)
   }
 
+  /** DuckDB twin of [[bandCandidates]] + threshold filter. */
+  private def bandSql(bands: Int, rows: Int, thr: Double): String = {
+    val sigExprs = (0 until K).map { j =>
+      s"list_min(list_transform(hs, h -> (h * ${As(j)} + ${Bs(j)}) % $Prime)) AS sg$j"
+    }.mkString(",\n    ")
+    def bkey(b: Int) = (0 until rows).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc) * 31 + sg${b * rows + i}) % $Prime"
+    }
+    val branches = (0 until bands).map { b =>
+      s"SELECT doc_id, hs, nh, $b AS band, ${bkey(b)} AS bkey FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toksrc AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    ${TextFunctions.shingles3Sql},
+       |    sh -> ${HashFunctions.strHashPSql("sh")}))) AS hs
+       |  FROM toksrc),
+       |shn AS (SELECT doc_id, hs, len(hs) AS nh FROM sh WHERE len(hs) > 0),
+       |sigs AS (
+       |  SELECT doc_id, hs, nh,
+       |    $sigExprs
+       |  FROM shn),
+       |banded AS (
+       |$branches),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |      (a.nh + b.nh - len(list_intersect(a.hs, b.hs))) AS jac
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jac FROM cand WHERE jac >= $thr""".stripMargin
+  }
+
+  // -- dd2: exact n-gram Jaccard, MinHash-band candidates ---------------
+  // Exact-Jaccard *verification* of LSH-banded candidates at jac ≥ 0.5.
+  // (The round-1 (lang, length-bucket) blocking was quadratic inside
+  // blocks AND missed pairs straddling buckets — band candidates find
+  // 25 qualifying pairs at sf0.01 where blocking found 6.)
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    bandCandidates(s, dir, DD2Bands, DD2Rows)
+      .filter(col("jac") >= 0.5)
+      .distinct() // a pair can agree on several bands
+
+  // -- dd3: MinHash + LSH banding at the classic 0.8 point --------------
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    bandCandidates(s, dir, DD3Bands, DD3Rows)
+      .filter(col("jac") >= 0.8)
+      .distinct()
+
   // -- dd4: SimHash (64-bit) + Hamming-distance pairs -------------------
-  // Per token: xxhash64 → ±1 vote per bit; signature bit = sign of vote
-  // sum. Near-dups = pairs with popcount(xor) <= 3. Candidate
-  // generation splits the signature into 4 exact 16-bit pieces: by
-  // pigeonhole, hamming <= 3 implies at least one identical piece, so
-  // an equi-join on (piece_idx, piece_value) finds ALL qualifying
-  // pairs — complete, and O(n·4) shuffled rows at any corpus size.
+  // Per distinct token: polynomial hash → 64 affine mod-P votes (see
+  // HashKernels.simhashP); signature bit = sign of vote sum. Near-dups =
+  // pairs with popcount(xor) <= 3. Candidate generation splits the
+  // signature into 4 exact 16-bit pieces: by pigeonhole, hamming <= 3
+  // implies at least one identical piece, so an equi-join on
+  // (piece_idx, piece_value) finds ALL qualifying pairs — complete, and
+  // O(n·4) shuffled rows at any corpus size.
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     HashFunctions.register(s)
     val docs = Tables.documents(s, dir)
       .select(
         col("doc_id"),
         transform(array_distinct(split(trim(col("text")), "\\s+")),
-          t => xxhash64(t)).as("hs"))
-      .select(col("doc_id"), HashFunctions.simhash64(col("hs")).as("sig"))
+          t => HashFunctions.strHashP(t)).as("hs"))
+      .select(col("doc_id"), HashFunctions.simhashP(col("hs")).as("sig"))
     val pieces = docs.select(
         col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(i =>
@@ -166,6 +188,44 @@ object DedupQueries {
         hamming.as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct() // a pair may agree on several pieces
+  }
+
+  private val simhashSql: String = {
+    import PolyHashConstants.{Half, P, SimA, SimB}
+    val votes = (0 until 64).map { b =>
+      s"list_sum(list_transform(hs, h -> CASE WHEN (h * ${SimA(b)} + ${SimB(b)}) % $P >= $Half THEN 1 ELSE -1 END)) AS v$b"
+    }.mkString(",\n    ")
+    // bits 0..62 sum non-negatively; the b=63 term is Long.MinValue —
+    // added last so no partial sum overflows BIGINT
+    val sig = (0 until 63).map { b =>
+      s"(CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", s" + (CASE WHEN v63 >= 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END))")
+    def piece(i: Int) = (0 until 16).map { b =>
+      s"(CASE WHEN v${16 * i + b} >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val pieceBranches = (0 until 4).map { i =>
+      s"SELECT doc_id, sig, $i AS piece, p$i AS pval FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_distinct(string_split_regex(trim(text), '\\s+')) AS ts
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_transform(ts, t -> ${HashFunctions.strHashPSql("t")}) AS hs
+       |  FROM toks),
+       |v AS (SELECT doc_id, $votes FROM th),
+       |sigs AS (SELECT doc_id, $sig AS sig,
+       |  ${piece(0)} AS p0, ${piece(1)} AS p1,
+       |  ${piece(2)} AS p2, ${piece(3)} AS p3 FROM v),
+       |pieces AS (
+       |$pieceBranches),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |  FROM pieces a JOIN pieces b
+       |    ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
   }
 
   // -- dd5: embedding-cosine near-dup -----------------------------------
@@ -223,9 +283,11 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("dd1_exact_dedup", exact, Some(exactSql), bench = true),
-    QueryDef("dd2_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true),
-    QueryDef("dd3_minhash_lsh", minhashLsh, None, bench = true),
-    QueryDef("dd4_simhash", simhash, None),
+    QueryDef("dd2_ngram_jaccard", ngramJaccard,
+      Some(bandSql(DD2Bands, DD2Rows, 0.5)), bench = true),
+    QueryDef("dd3_minhash_lsh", minhashLsh,
+      Some(bandSql(DD3Bands, DD3Rows, 0.8)), bench = true),
+    QueryDef("dd4_simhash", simhash, Some(simhashSql)),
     QueryDef("dd5_embed_dup", embedDup, Some(embedDupSql)),
   )
 }

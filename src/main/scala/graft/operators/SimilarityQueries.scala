@@ -133,7 +133,7 @@ object SimilarityQueries {
   // -- oracles for the ANN paths ---------------------------------------
   // Both are pure deterministic arithmetic (hyperplanes are integer
   // congruences, IVF is cosine + row_number), so DuckDB reproduces them
-  // bit-for-bit; only the xxhash64-based MinHash path is rows-only.
+  // bit-for-bit.
 
   private val ivfTopKSql = {
     val assignCos =

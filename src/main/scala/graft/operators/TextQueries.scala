@@ -158,9 +158,10 @@ object TextQueries {
        |FROM documents""".stripMargin
 
   // -- winnowing fingerprints (rolling-hash document fingerprinting) ----
-  // Rows-only: the wrap-around 64-bit rolling hash isn't expressible in
-  // DuckDB SQL (overflow errors); the kernel is pinned to a direct
-  // polynomial reference in KernelSpec instead.
+  // The kernel's rolling hash is polynomial mod P, so the oracle can
+  // compute each k-gram hash directly (the rolling form and the k-term
+  // polynomial are the same value mod P) and reproduce the window
+  // minima with list comprehensions.
   private def winnowQ(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashFunctions.register(s)
     Tables.documents(s, dir)
@@ -172,10 +173,40 @@ object TextQueries {
         when(size(col("fps")) > 0, element_at(col("fps"), 1)).as("fp_min"))
   }
 
+  private val winnowSql: String = {
+    import graft.functions.PolyHashConstants.P
+    val k = graft.functions.HashFunctions.WinnowK
+    val w = graft.functions.HashFunctions.WinnowW
+    // 257^(k-1-j) mod P: coefficients of the direct polynomial form
+    val coef = (0 until k).map { j =>
+      (0 until (k - 1 - j)).foldLeft(1L)((p, _) => p * 257L % P)
+    }
+    val hterm = (0 until k).map(j => s"cs[i+$j] * ${coef(j)}").mkString(" + ")
+    s"""WITH codes AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    list_transform(range(1, length(text)+1),
+       |      i -> CAST(unicode(text[i]) AS BIGINT)) AS cs
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, CASE WHEN n < $k THEN CAST([] AS BIGINT[]) ELSE
+       |    list_transform(range(1, n - $k + 2), i -> ($hterm) % $P) END AS hs
+       |  FROM codes),
+       |mins AS (
+       |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+       |    WHEN len(hs) < $w THEN [list_min(hs)]
+       |    ELSE list_transform(range(1, len(hs) - $w + 2),
+       |           i -> list_min(hs[i:i+${w - 1}])) END AS ms
+       |  FROM h),
+       |fp AS (SELECT doc_id, list_sort(list_distinct(ms)) AS fps FROM mins)
+       |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
+       |  CASE WHEN len(fps) > 0 THEN fps[1] END AS fp_min
+       |FROM fp""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q2_wordcount", wordcount, Some(wordcountSql), bench = true),
     QueryDef("t5_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
-    QueryDef("t6_winnow", winnowQ, None),
+    QueryDef("t6_winnow", winnowQ, Some(winnowSql)),
     QueryDef("t1_token_count", tokenCountQ, Some(tokenCountSql)),
     QueryDef("t2_langid", langId, Some(langIdSql)),
     QueryDef("t3_quality", quality, Some(qualitySql), bench = true),

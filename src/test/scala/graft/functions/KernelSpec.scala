@@ -17,7 +17,7 @@ class KernelSpec extends AnyFunSuite with SparkSpec {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L * i)))
 
-  test("shingleHashes equals the composed split/transform/xxhash64 chain") {
+  test("shingleHashes equals the composed split/transform/poly-hash chain") {
     HashFunctions.register(spark)
     val docs = Tables.documents(spark, sf0001).limit(100)
     val composed = HashFunctions.sortedHashSet(
@@ -39,15 +39,30 @@ class KernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("simhash64 equals a direct per-bit vote reference") {
+  test("simhashP equals a direct affine-vote reference") {
+    import PolyHashConstants.{Half, P, SimA, SimB}
     def reference(hs: Seq[Long]): Long =
       (0 until 64).foldLeft(0L) { (sig, b) =>
-        val votes = hs.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+        val votes = hs.map { raw =>
+          val h = java.lang.Math.floorMod(raw, P)
+          if ((h * SimA(b) + SimB(b)) % P >= Half) 1 else -1
+        }.sum
         if (votes >= 0) sig | (1L << b) else sig
       }
     samples(Gen.listOf(Gen.long), 30).foreach { hs =>
-      val got = HashKernels.simhash64(new GenericArrayData(hs.toArray))
+      val got = HashKernels.simhashP(new GenericArrayData(hs.toArray))
       assert(got == reference(hs), s"hs=$hs")
+    }
+  }
+
+  test("strHashP equals a direct code-point fold, incl. non-BMP input") {
+    import PolyHashConstants.{B, P}
+    def reference(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, cp) => (h * B + cp) % P)
+    val cases = Seq("", "a", "hello world", "ünïcödé", "的是了",
+      "emoji 😀 tail", "mixed 的 ascii")
+    (cases ++ samples(Gen.asciiPrintableStr, 20)).foreach { s =>
+      assert(HashKernels.strHashP(UTF8String.fromString(s)) == reference(s), s"s=$s")
     }
   }
 
@@ -86,11 +101,13 @@ class KernelSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("winnow: rolling hash equals the direct polynomial; containment holds") {
+    import PolyHashConstants.P
     val k = 8; val w = 4
     def direct(s: String): Seq[Long] = {
-      if (s.length < k) return Seq.empty
-      val hs = (0 to s.length - k).map { i =>
-        s.substring(i, i + k).foldLeft(0L)((h, c) => h * 257L + c)
+      val cps = s.codePoints().toArray
+      if (cps.length < k) return Seq.empty
+      val hs = (0 to cps.length - k).map { i =>
+        cps.slice(i, i + k).foldLeft(0L)((h, c) => (h * 257L + c) % P)
       }
       if (hs.length < w) Seq(hs.min)
       else hs.sliding(w).map(_.min).toSeq.distinct.sorted
