@@ -1,5 +1,6 @@
 package graft.mr
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,10 +25,13 @@ object TextKV {
     if (parts.length == 2) (parts(0), parts(1)) else ("", line)
   }
 
-  /** Read text files (glob/dir/file) as KV records. */
-  def read(spark: SparkSession, path: String): Dataset[KV] = {
+  /** Read text files (globs/dirs/files, any Hadoop FS scheme) as KV
+    * records. Paths are URIs: the filesystem is resolved per path from
+    * its scheme, exactly as the reference infers local-vs-S3 backends
+    * (`/root/reference/internal/pkg/corfs/filesys.go:51-65`). */
+  def read(spark: SparkSession, paths: String*): Dataset[KV] = {
     import MapReduce.kvEncoder
-    spark.read.textFile(path).map(splitInputRecord(_))(kvEncoder)
+    spark.read.textFile(paths: _*).map(splitInputRecord(_))(kvEncoder)
   }
 
   /** Read a TSV stage output back as KV (same decode — round-trips). */
@@ -38,4 +42,28 @@ object TextKV {
   def writeTsv(ds: Dataset[KV], path: String): Unit =
     ds.select(concat_ws("\t", col("_1"), col("_2")).as("value"))
       .write.mode("overwrite").text(path)
+
+  /** Write KV as the reference's user-facing output layout:
+    * `output-part-<i>` files directly in `outDir`
+    * (`/root/reference/job.go:110-117`'s per-bin naming). Spark writes
+    * its own part files to a staging subdir; the rename to the
+    * reference naming goes through the path's Hadoop FileSystem, so any
+    * scheme (file:, s3a:, hdfs:) works unmodified. Returns the final
+    * file paths. */
+  def writeTsvNumbered(ds: Dataset[KV], outDir: String): Seq[String] = {
+    val spark = ds.sparkSession
+    val out = new Path(outDir)
+    val staging = new Path(out, "_graft_staging")
+    writeTsv(ds, staging.toString)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.globStatus(new Path(staging, "part-*")).sortBy(_.getPath.getName)
+    val named = parts.zipWithIndex.map { case (st, i) =>
+      val dst = new Path(out, s"output-part-$i")
+      if (fs.exists(dst)) fs.delete(dst, false)
+      fs.rename(st.getPath, dst)
+      dst.toString
+    }.toSeq
+    fs.delete(staging, true)
+    named
+  }
 }

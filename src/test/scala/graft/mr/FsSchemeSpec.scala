@@ -1,0 +1,68 @@
+package graft.mr
+
+import java.net.URI
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.hadoop.fs.RawLocalFileSystem
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A Hadoop FileSystem registered under a non-`file:` scheme. Backed by
+  * local disk, but from the engine's point of view it is a foreign
+  * object store: every open/list/rename/delete goes through the Hadoop
+  * FileSystem API resolved from the URI scheme — the same resolution
+  * seam the reference switches on for S3 vs local
+  * (`/root/reference/internal/pkg/corfs/filesys.go:51-65`). s3a:// in
+  * production differs only by which impl class the scheme maps to
+  * (`fs.s3a.impl`); no engine code changes.
+  */
+class GraftObjectFs extends RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: URI = URI.create("graftfs:///")
+}
+
+/** F15: scheme-parameterized I/O. The reference ships a full S3 backend
+  * (`corfs/s3.go`); the sandbox has no S3 endpoint or hadoop-aws jar,
+  * so this pins the next-best property: the whole TextKV/Main path
+  * (read → MR job → staged write → rename to `output-part-*`) works
+  * unmodified through a non-`file:` FileSystem URI. */
+class FsSchemeSpec extends AnyFunSuite with SparkSpec {
+
+  private def withGraftFs[A](body: => A): A = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftfs.impl", classOf[GraftObjectFs].getName)
+    // don't let FileSystem.get cache a stale instance across suites
+    hc.set("fs.graftfs.impl.disable.cache", "true")
+    body
+  }
+
+  test("TextKV round-trips KV data through a graftfs:// URI") {
+    withGraftFs {
+      val tmp = Files.createTempDirectory("graftfs-io")
+      val uri = s"graftfs://${tmp.toString}/kv"
+      import MapReduce._
+      val ds = spark.createDataset(Seq("k1" -> "v1", "k2" -> "v2", "" -> "bare"))
+      TextKV.writeTsv(ds, uri)
+      val back = TextKV.readTsv(spark, uri).collect().toSet
+      // "\tbare" decodes back to ("", "bare") — wire-format round-trip
+      assert(back == Set("k1" -> "v1", "k2" -> "v2", "" -> "bare"))
+    }
+  }
+
+  test("Main wordcount runs end-to-end with graftfs:// input and output URIs") {
+    withGraftFs {
+      val tmp = Files.createTempDirectory("graftfs-main")
+      Files.writeString(tmp.resolve("in.txt"), "x y x\ny x y z")
+      val conf = graft.Main.CliConf(
+        inputs = Seq(s"graftfs://${tmp.toString}/in.txt"),
+        out = s"graftfs://${tmp.toString}/out")
+      val files = graft.Main.run(spark, conf)
+      // Hadoop Path renders scheme + absolute path as `graftfs:/...`
+      assert(files.nonEmpty && files.forall(_.startsWith("graftfs:/")))
+      val kvs = Files.list(tmp.resolve("out")).toArray.map(_.toString)
+        .filter(_.contains("output-part-"))
+        .flatMap(p => scala.io.Source.fromFile(p).getLines().toList)
+        .map { l => val s = l.split("\t"); (s(0), s(1)) }.toSet
+      assert(kvs == Set("x" -> "3", "y" -> "3", "z" -> "1"))
+    }
+  }
+}
