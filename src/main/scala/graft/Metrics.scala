@@ -13,7 +13,24 @@ import org.apache.spark.sql.SparkSession
 object Metrics {
 
   final case class Snapshot(bytesRead: Long, bytesWritten: Long,
-      shuffleBytesWritten: Long, wallClockSec: Double)
+      shuffleBytesWritten: Long, wallClockSec: Double,
+      fsBytesRead: Long = 0L)
+
+  /** Sum of `bytesRead` across all Hadoop FileSystem statistics — the
+    * filesystem-layer truth. Task-level `inputMetrics.bytesRead`
+    * undercounts parquet scans whose data pages go through Hadoop
+    * vectored IO (the vectored path bypasses stream statistics too, so
+    * measurement harnesses that care should set
+    * `parquet.hadoop.vectored.io.enabled=false`, as Bench does). */
+  def globalFsBytesRead(): Long = {
+    var total = 0L
+    val it = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.iterator()
+    while (it.hasNext) {
+      val v = it.next().getLong("bytesRead")
+      if (v != null) total += v.longValue()
+    }
+    total
+  }
 
   /** Run `body`, returning its result plus the bytes moved by all Spark
     * tasks that completed during it. */
@@ -32,20 +49,24 @@ object Metrics {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    val fs0 = globalFsBytesRead()
     val t0 = System.nanoTime()
     try {
       val a = body
       val elapsed = (System.nanoTime() - t0) / 1e9 // before the settle wait
       // the listener bus is async (and its drain API is private): wait
-      // until the counters settle, bounded at ~1s
+      // until the counters settle (two equal consecutive reads), bounded
+      // at ~1s. Zero is a valid settled value — a body that moves no
+      // bytes settles in ~100ms rather than eating the full bound.
       var prev = -1L
       var spins = 0
       while (spins < 20) {
         val cur = read.get + written.get + shuffle.get
-        if (cur == prev && cur > 0) spins = 20
+        if (cur == prev) spins = 20
         else { prev = cur; spins += 1; Thread.sleep(50) }
       }
-      (a, Snapshot(read.get(), written.get(), shuffle.get(), elapsed))
+      (a, Snapshot(read.get(), written.get(), shuffle.get(), elapsed,
+        globalFsBytesRead() - fs0))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

@@ -125,15 +125,21 @@ object MRQueries {
     }
   }
 
-  private def mrJoinAvg(s: SparkSession, dir: String): DataFrame = {
-    import MapReduce._
+  /** The two heterogeneous CSV streams, as the reference jobs read them. */
+  private def csvLines(s: SparkSession, dir: String) = {
+    import MapReduce.stringEncoder
     val oLines = Tables.orders(s, dir).select(concat_ws(",",
       col("o_orderkey"), col("o_custkey"),
       date_format(col("o_orderdate"), "yyyy-MM-dd")).as("value"))
     val lLines = Tables.lineitem(s, dir).select(concat_ws(",",
       col("l_orderkey"), col("l_linenumber"),
       col("l_quantity"), col("l_extendedprice")).as("value"))
-    val lines = oLines.union(lLines).as[String](stringEncoder)
+    oLines.union(lLines).as[String](stringEncoder)
+  }
+
+  private def mrJoinAvg(s: SparkSession, dir: String): DataFrame = {
+    import MapReduce._
+    val lines = csvLines(s, dir)
     val driver = MultiStageDriver(Seq(
       CorralJob(new TagJoinMapper, new JoinReducer),
       CorralJob(IdentityMapper, new AvgReducer)))
@@ -149,6 +155,75 @@ object MRQueries {
       Iterator(key -> value)
   }
 
+  // -------------------------------------------------------------------
+  // mr2 (typed): the same two-stage reduce-side join through the typed
+  // facade — identical hooks and algorithm (tag streams, buffer until
+  // the unique order record arrives, hand-rolled averages over exact
+  // integer cents), but intermediate records are Encoder-backed case
+  // classes, so the shuffle carries compact Tungsten rows instead of
+  // JSON-in-string KV. The string-KV twin below (mr2s) measures
+  // corral's actual wire cost; this is the same job at scale-friendly
+  // serialization.
+  // -------------------------------------------------------------------
+
+  /** Tagged stage-1 record: t=0 → order (a=custkey); t=1 → lineitem
+    * (a=quantity-cents, b=price-cents). */
+  final case class Tagged(t: Byte, a: Long, b: Long)
+  final case class Joined(custkey: Long, qc: Long, pc: Long)
+
+  final class TypedTagJoinMapper extends TypedMapper[String, Long, Tagged] {
+    override def map(value: String): IterableOnce[(Long, Tagged)] = {
+      val f = value.split(",", -1)
+      if (f.length == 3) {
+        if (f(2) < "1998-01-01") // ISO date: string order = date order
+          Iterator(f(0).toLong -> Tagged(0, f(1).toLong, 0L))
+        else Iterator.empty
+      } else if (f.length == 4) {
+        Iterator(f(0).toLong -> Tagged(1,
+          Math.round(f(2).toDouble * 100), Math.round(f(3).toDouble * 100)))
+      } else Iterator.empty
+    }
+  }
+
+  final class TypedJoinReducer extends TypedReducer[Long, Tagged, Joined] {
+    override def reduce(key: Long, values: Iterator[Tagged]): IterableOnce[Joined] = {
+      var custkey = -1L
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Tagged]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Joined]
+      values.foreach { v =>
+        if (v.t == 0) {
+          custkey = v.a
+          pending.foreach(p => out += Joined(custkey, p.a, p.b)); pending.clear()
+        } else if (custkey >= 0) out += Joined(custkey, v.a, v.b)
+        else pending += v
+      }
+      out
+    }
+  }
+
+  final class ReKeyByCustMapper extends TypedMapper[Joined, Long, Joined] {
+    override def map(r: Joined): IterableOnce[(Long, Joined)] =
+      Iterator(r.custkey -> r)
+  }
+
+  final class TypedAvgReducer extends TypedReducer[Long, Joined, (Long, Double, Double)] {
+    override def reduce(key: Long, values: Iterator[Joined]): IterableOnce[(Long, Double, Double)] = {
+      var qc = 0L; var pc = 0L; var n = 0L
+      values.foreach { r => qc += r.qc; pc += r.pc; n += 1 }
+      Iterator((key, (pc.toDouble / 100.0) / n, (qc.toDouble / 100.0) / n))
+    }
+  }
+
+  private def mrJoinAvgTyped(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val lines = csvLines(s, dir)
+    val stage1 = TypedJob(new TypedTagJoinMapper, new TypedJoinReducer)
+    val stage2 = TypedJob(new ReKeyByCustMapper, new TypedAvgReducer)
+    stage2.run(stage1.run(lines))
+      .toDF("o_custkey", "avg_rev", "avg_qty")
+  }
+
   // same oracle as the declarative two-stage pipeline (q8_two_stage)
   private val mrJoinAvgSql =
     """SELECT o_custkey,
@@ -160,6 +235,9 @@ object MRQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("mr1_wordcount", mrWordcount, Some(mrWordcountSql)),
-    QueryDef("mr2_join_avg", mrJoinAvg, Some(mrJoinAvgSql), bench = true),
+    // typed facade is the benched form; the string-KV twin stays oracled
+    // (not benched) as the measured corral-fidelity wire format
+    QueryDef("mr2_join_avg", mrJoinAvgTyped, Some(mrJoinAvgSql), bench = true),
+    QueryDef("mr2s_join_avg_kv", mrJoinAvg, Some(mrJoinAvgSql)),
   )
 }

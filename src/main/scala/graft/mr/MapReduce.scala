@@ -115,6 +115,37 @@ final case class CorralJob(
     run(lines.map(l => TextKV.splitInputRecord(l)))
 }
 
+/** Typed MR hooks: the same contract as [[Mapper]]/[[Reducer]] but over
+  * Encoder-backed record types, so intermediate records cross the
+  * shuffle as compact Tungsten binary rows instead of TSV/JSON strings.
+  * This is the "what corral would look like with a serialization layer"
+  * path — the string-KV facade measures the reference's actual wire
+  * cost; this one is the scale-friendly form (same hooks, same
+  * guarantees: arbitrary value order, one reduce call per key).
+  */
+trait TypedMapper[V, K, U] extends Serializable {
+  def map(value: V): IterableOnce[(K, U)]
+}
+
+trait TypedReducer[K, U, O] extends Serializable {
+  def reduce(key: K, values: Iterator[U]): IterableOnce[O]
+}
+
+final case class TypedJob[V, K, U, O](
+    mapper: TypedMapper[V, K, U],
+    reducer: TypedReducer[K, U, O])(
+    implicit kuEnc: Encoder[(K, U)], kEnc: Encoder[K], oEnc: Encoder[O]) {
+
+  def run(input: Dataset[V]): Dataset[O] =
+    input.flatMap((v: V) => mapper.map(v))(kuEnc)
+      // group on the native tuple column — unlike groupByKey(_._1),
+      // this adds no AppendColumns node (no per-row deserialization
+      // just to re-derive the key the row already carries)
+      .groupBy(org.apache.spark.sql.functions.col("_1")).as[K, (K, U)](kEnc, kuEnc)
+      .flatMapGroups((k: K, it: Iterator[(K, U)]) =>
+        reducer.reduce(k, it.map(_._2)).iterator)(oEnc)
+}
+
 /** Multi-stage driver (reference `NewMultiStageDriver`,
   * `/root/reference/driver.go:88-93,195-216`). Stages compose lazily —
   * Catalyst optimizes across stage boundaries, where corral forces a
