@@ -20,12 +20,19 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Reading TIMESTAMP(NANOS) parquet (the events fixture) requires
+    * this session conf; every events reader (batch + streaming) funnels
+    * through here so the requirement is explicit and idempotent rather
+    * than a scattered side effect. */
+  def ensureNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read it as raw nanos and convert to microsecond
     * TimestampType with exact integer division (values ~1.7e18 exceed
     * double precision, so no float math here). */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))

@@ -82,24 +82,34 @@ object StreamingOps {
           closed.result().iterator
         })
 
-  /** Wire a parquet directory as a bounded stream (used by tests; in
-    * production the source would be kafka/files with the same schema). */
-  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+  private def rawEventSchema = {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Seq(
+    StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    // the file-stream source requires a directory; stage the single
-    // parquet file into one (a real deployment points at a landing dir)
-    val dir = java.nio.file.Files.createTempDirectory("graft-events")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(sfDir, "events.parquet"),
-      dir.resolve("events.parquet"))
+  }
+
+  /** Watch a landing directory (or glob) of event parquet files as a
+    * stream — the production file-source shape: upstream drops files
+    * into the dir, the query picks them up per trigger (incl.
+    * `Trigger.AvailableNow` for drain-and-stop runs). Reading the
+    * TIMESTAMP(NANOS) fixture requires the same session conf
+    * `Tables.events` uses; that requirement is owned by
+    * [[graft.Tables.ensureNanosAsLong]] (explicit + idempotent), not
+    * mutated here as a hidden side effect. */
+  def eventLanding(spark: SparkSession, dirOrGlob: String): DataFrame = {
+    graft.Tables.ensureNanosAsLong(spark)
     spark.readStream
-      .schema(raw)
-      .parquet(dir.toString)
+      .schema(rawEventSchema)
+      .parquet(dirOrGlob)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+
+  /** The sf events table as a bounded stream: the file-stream source
+    * accepts globs (a bare file path fails basePath validation; a glob
+    * resolves basePath to the parent dir), so this selects the table
+    * file directly — no copy into a temp dir, nothing to clean up. */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame =
+    eventLanding(spark, s"$sfDir/events.*")
 }

@@ -25,6 +25,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("Trigger.AvailableNow drains a landing dir end-to-end, then stops") {
+    import java.nio.file.{Files, Path}
+    val landing = Files.createTempDirectory("graft-landing")
+    try {
+      Files.copy(Path.of(sf0001, "events.parquet"),
+        landing.resolve("events.parquet"))
+      val stream = StreamingOps.eventLanding(spark, landing.toString)
+      val q = StreamingOps.windowedCounts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("an_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // AvailableNow terminates on its own once the dir is drained
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+      val streamed = spark.table("an_out")
+        .select(col("wstart"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = StreamingOps.windowedCounts(Tables.events(spark, sf0001))
+        .select(col("wstart"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally {
+      Files.list(landing).forEach(p => Files.deleteIfExists(p))
+      Files.deleteIfExists(landing)
+    }
+  }
+
   test("watermark finalizes windows and drops late data (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
