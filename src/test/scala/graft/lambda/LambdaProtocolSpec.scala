@@ -1,0 +1,70 @@
+package graft.lambda
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class LambdaProtocolSpec extends AnyFunSuite {
+  import Protocol._
+
+  private val task = TaskSpec(
+    jobNumber = 1,
+    phase = Phase.Map,
+    binId = 7,
+    intermediateBins = 64,
+    splits = Seq(
+      InputSplit("s3://bucket/input/part-0", 0L, 104857599L),
+      InputSplit("s3://bucket/input/part-0", 104857600L, 128000000L)),
+    fileSystemType = FsS3,
+    workingLocation = "s3://bucket/work",
+    cleanup = true)
+
+  test("task spec round-trips through the wire format") {
+    val back = taskFromJson(toJson(task))
+    assert(back == task)
+    assert(back.splits.head.size == 104857600L)
+  }
+
+  test("wire format uses corral's exact field names (task.go:16-33)") {
+    val json = toJson(task)
+    for (f <- Seq("JobNumber", "Phase", "BinID", "IntermediateBins",
+        "Splits", "Filename", "StartOffset", "EndOffset",
+        "FileSystemType", "WorkingLocation", "Cleanup"))
+      assert(json.contains("\"" + f + "\""), s"missing field $f in $json")
+  }
+
+  test("decodes a Go-marshaled payload (golden)") {
+    // exactly what Go's json.Marshal(task{...}) emits for a reduce task
+    val golden =
+      """{"JobNumber":0,"Phase":1,"BinID":3,"IntermediateBins":0,""" +
+        """"Splits":null,"FileSystemType":1,"WorkingLocation":"s3://b/w","Cleanup":false}"""
+    val t = taskFromJson(golden)
+    assert(t.phase == Phase.Reduce && t.binId == 3 && t.splits.isEmpty &&
+      t.fileSystemType == FsS3 && !t.cleanup)
+  }
+
+  test("task result round-trips and matches lambda.go:38-46's shape") {
+    val r = TaskResult(bytesRead = 123456789L, bytesWritten = 987654321L)
+    assert(resultFromJson(toJson(r)) == r)
+    assert(toJson(r) == """{"BytesRead":123456789,"BytesWritten":987654321}""")
+  }
+
+  test("cluster manager is discovered via the SPI and dispatches on lambda://") {
+    import scala.jdk.CollectionConverters._
+    // the SPI trait is private[spark] to Scala sources; load reflectively
+    // (exactly what Spark's own getClusterManager does via ServiceLoader)
+    val spi = Class.forName("org.apache.spark.scheduler.ExternalClusterManager")
+    val loader = java.util.ServiceLoader.load(spi).asScala
+    val cm = loader.collectFirst { case m: LambdaClusterManager => m }
+    assert(cm.isDefined, "LambdaClusterManager not registered in META-INF/services")
+    assert(cm.get.canCreate("lambda://wordcount-fn"))
+    assert(!cm.get.canCreate("local[4]"))
+    assert(!cm.get.canCreate("spark://host:7077"))
+    assert(LambdaClusterManager.functionName("lambda://wordcount-fn") == "wordcount-fn")
+  }
+
+  test("scheduler backend fails fast without a FaaS endpoint") {
+    val cm = new LambdaClusterManager
+    val e = intercept[UnsupportedOperationException](
+      cm.createSchedulerBackend(null, "lambda://fn", null))
+    assert(e.getMessage.contains("LAMBDA.md"))
+  }
+}
