@@ -287,7 +287,7 @@ object DedupQueries {
       Some(bandSql(DD2Bands, DD2Rows, 0.5)), bench = true),
     QueryDef("dd3_minhash_lsh", minhashLsh,
       Some(bandSql(DD3Bands, DD3Rows, 0.8)), bench = true),
-    QueryDef("dd4_simhash", simhash, Some(simhashSql)),
-    QueryDef("dd5_embed_dup", embedDup, Some(embedDupSql)),
+    QueryDef("dd4_simhash", simhash, Some(simhashSql), bench = true),
+    QueryDef("dd5_embed_dup", embedDup, Some(embedDupSql), bench = true),
   )
 }
