@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media carried as opaque `binary` columns
   * with typed metadata extracted by a batched per-partition decode.
   *
-  * The decode itself is a STUB (no image/audio libs in this container —
-  * `decodeBatch` derives deterministic fake dimensions from the bytes),
-  * but everything Spark-side is real and load-bearing: the binary
-  * column, the typed Dataset boundary, the `mapPartitions` batch shape
-  * (decoders amortize per-call setup over a batch, exactly like an
-  * Arrow-batched UDF), and the resulting metadata schema.
+  * Two tiers:
+  *  - mm1–mm3: the pipeline-shape queries. Their decode is a STUB (the
+  *    container ships no compressed-image/audio codecs), but the
+  *    Spark-side structure is real and load-bearing: binary columns,
+  *    typed Dataset boundaries, `mapPartitions` batching (a real
+  *    vectorized decoder amortizes setup over a batch the same way).
+  *  - mm4–mm6: REAL byte-level decoding via [[MediaCodec]] for the
+  *    uncompressed containers (BMP 24bpp incl. pixel resampling, WAV
+  *    PCM16 via a RIFF chunk walk) — no stub in the decode path.
   */
 object Multimodal {
 
@@ -120,9 +123,103 @@ object Multimodal {
       |  64 AS width, 48 AS height
       |FROM documents""".stripMargin
 
+  // -- mm4–mm6: REAL decode of uncompressed containers ------------------
+  // No image/audio libraries exist in this container, so payloads are
+  // synthesized (deterministic arithmetic of doc_id) — but the decode
+  // under test is real: byte-level BMP header/pixel parsing with
+  // bottom-up rows + padding, nearest-neighbor pixel resampling, and a
+  // RIFF chunk walk for WAV. Because the synthesized content is
+  // arithmetic, the DuckDB oracle predicts the DECODED values (incl.
+  // resampled pixels and PCM statistics) in closed form — decoding
+  // errors anywhere in the byte path break the hash match.
+
+  private implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+  private implicit val mm4Enc: Encoder[(Long, Int, Int, Int, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt,
+      Encoders.scalaInt, Encoders.scalaLong)
+  private implicit val mm5Enc: Encoder[(Long, Int, Int, Int)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt,
+      Encoders.scalaInt)
+  private implicit val mm6Enc: Encoder[(Long, Int, Int, Int, Double)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt,
+      Encoders.scalaInt, Encoders.scalaDouble)
+
+  private def docIds(s: SparkSession, dir: String): Dataset[Long] =
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+
+  private def synthBmp(id: Long): MediaRecord = MediaRecord(id,
+    MediaCodec.encodeBmp((id % 16 + 8).toInt, (id % 12 + 8).toInt, id * 31 + 7))
+
+  private def bmpDecodeQ(s: SparkSession, dir: String): DataFrame =
+    docIds(s, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { id =>
+        val r = synthBmp(id)
+        val info = MediaCodec.decodeBmpHeader(r.payload).get
+        (r.doc_id, info.width, info.height, info.bpp, r.payload.length.toLong)
+      }))
+      .toDF("doc_id", "width", "height", "bpp", "byte_len")
+
+  private val bmpDecodeSql =
+    """SELECT doc_id,
+      |  CAST(doc_id % 16 + 8 AS INTEGER) AS width,
+      |  CAST(doc_id % 12 + 8 AS INTEGER) AS height,
+      |  24 AS bpp,
+      |  CAST(54 + ((doc_id % 16 + 8) * 3 + 3) // 4 * 4 * (doc_id % 12 + 8)
+      |    AS BIGINT) AS byte_len
+      |FROM documents""".stripMargin
+
+  private val RW = 12
+  private val RH = 9
+
+  private def bmpResizeQ(s: SparkSession, dir: String): DataFrame =
+    docIds(s, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { id =>
+        val resized = MediaCodec.resizeBmpNearest(synthBmp(id).payload, RW, RH)
+        val info = MediaCodec.decodeBmpHeader(resized).get
+        val (b, g, r) = MediaCodec.bmpPixel(resized, RW - 1, RH - 1)
+        (id, info.width, info.height, b + g + r)
+      }))
+      .toDF("doc_id", "width", "height", "corner")
+
+  private val bmpResizeSql =
+    s"""SELECT doc_id, $RW AS width, $RH AS height,
+       |  CAST(((seed + sx*7 + sy*13) % 256) + ((seed + sx*11 + sy*3) % 256)
+       |    + ((seed + sx*5 + sy*17) % 256) AS INTEGER) AS corner
+       |FROM (
+       |  SELECT doc_id, doc_id*31+7 AS seed,
+       |    (${RW - 1} * (doc_id % 16 + 8)) // $RW AS sx,
+       |    (${RH - 1} * (doc_id % 12 + 8)) // $RH AS sy
+       |  FROM documents) t""".stripMargin
+
+  private def wavDecodeQ(s: SparkSession, dir: String): DataFrame =
+    docIds(s, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { id =>
+        val wav = MediaCodec.encodeWavPcm16((id % 100 + 10).toInt, 16000, id * 17 + 3)
+        val info = MediaCodec.decodeWavHeader(wav).get
+        var sumAbs = 0L
+        var i = 0
+        while (i < info.nFrames) {
+          sumAbs += math.abs(MediaCodec.wavSample(wav, info, i)); i += 1
+        }
+        (id, info.channels, info.sampleRate, info.nFrames,
+          sumAbs.toDouble / info.nFrames)
+      }))
+      .toDF("doc_id", "channels", "sample_rate", "n_frames", "mean_abs")
+
+  private val wavDecodeSql =
+    """SELECT doc_id, 1 AS channels, 16000 AS sample_rate,
+      |  CAST(doc_id % 100 + 10 AS INTEGER) AS n_frames,
+      |  CAST(list_sum(list_transform(range(0, doc_id % 100 + 10),
+      |    i -> abs((doc_id*17+3 + i*2654435761) % 65536 - 32768)))
+      |    AS DOUBLE) / (doc_id % 100 + 10) AS mean_abs
+      |FROM documents""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("mm1_media_meta", mediaMeta, Some(mediaMetaSql)),
     QueryDef("mm2_frame_sample", frameSampleQ, Some(frameSampleSql)),
     QueryDef("mm3_resize_meta", resizeMetaQ, Some(resizeMetaSql)),
+    QueryDef("mm4_bmp_decode", bmpDecodeQ, Some(bmpDecodeSql)),
+    QueryDef("mm5_bmp_resize", bmpResizeQ, Some(bmpResizeSql)),
+    QueryDef("mm6_wav_decode", wavDecodeQ, Some(wavDecodeSql)),
   )
 }
