@@ -9,6 +9,7 @@ object Registry {
       operators.DedupQueries.all ++
       operators.SimilarityQueries.all ++
       operators.SessionQueries.all ++
+      operators.TemporalQueries.all ++
       operators.TypedQueries.all ++
       multimodal.Multimodal.all ++
       mr.MRQueries.all
