@@ -64,8 +64,82 @@ object TypedQueries {
        |FROM est""".stripMargin
   }
 
+  // -- qs2: count-min sketch heavy hitters ------------------------------
+  // A linear sketch is just a group-by in disguise: the d×w counter
+  // table is sum(1) grouped by (row, hash_row(key) mod w) — Spark plans
+  // it as an ordinary partial+final HashAggregate, and DuckDB replays
+  // it exactly (deterministic affine+quadratic column hashes, exact
+  // integer counts). The query materializes the sketch from the
+  // wordcount stream, then reports the CMS estimate (min over rows)
+  // next to the exact count for the top-10 exact words — estimate ≥
+  // exact always, equality when no collision.
+  private val CmsD = 4
+  private val CmsW = 1024
+  private val CmsP = graft.functions.PolyHashConstants.P
+  private val CmsA = Seq(1103515245L, 214013L, 69069L, 1664525L)
+  private val CmsB = Seq(12345L, 2531011L, 362437L, 1013904223L)
+
+  private def cmsCol(word: org.apache.spark.sql.Column, j: Int) = {
+    val h = (graft.functions.HashFunctions.strHashP(word) * CmsA(j) + CmsB(j)) % CmsP
+    ((h * h + CmsB((j + 1) % CmsD)) % CmsP) % CmsW
+  }
+
+  private def cmsTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    val words = Tables.documents(s, dir)
+      .select(explode(graft.functions.HashFunctions.tokenizeWords(col("text")))
+        .as("word"))
+    // the sketch: d×w counters as one grouped aggregation
+    val sketch = words
+      .select(posexplode(array((0 until CmsD).map(j => cmsCol(col("word"), j)): _*)))
+      .groupBy(col("pos").as("row"), col("col").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    // exact top-10 words (deterministic tie-break on word)
+    val top = words.groupBy(col("word")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("word")).limit(10)
+    // CMS estimate: min over the word's d cells
+    val probes = top.select(col("word"), col("exact"),
+      posexplode(array((0 until CmsD).map(j => cmsCol(col("word"), j)): _*)))
+      .withColumnRenamed("pos", "row").withColumnRenamed("col", "cell")
+    probes.join(sketch, Seq("row", "cell"))
+      .groupBy(col("word"), col("exact"))
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+
+  private val cmsTopKSql: String = {
+    val hashCols = (0 until CmsD).map { j =>
+      s"(((h0 * ${CmsA(j)} + ${CmsB(j)}) % $CmsP) * ((h0 * ${CmsA(j)} + ${CmsB(j)}) % $CmsP) + ${CmsB((j + 1) % CmsD)}) % $CmsP % $CmsW AS c$j"
+    }.mkString(",\n    ")
+    val cellBranches = (0 until CmsD).map { j =>
+      s"SELECT word, $j AS row, c$j AS cell FROM hashed"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT unnest(string_split_regex(
+       |    lower(regexp_replace(text, '[^a-zA-Z0-9\\s]+', ' ', 'g')),
+       |    '\\s+')) AS word
+       |  FROM documents),
+       |w AS (SELECT word FROM words WHERE word <> ''),
+       |hashed AS (
+       |  SELECT word, $hashCols
+       |  FROM (SELECT word, ${graft.functions.HashFunctions.strHashPSql("word")} AS h0 FROM w) t),
+       |cells AS (
+       |$cellBranches),
+       |sketch AS (
+       |  SELECT row, cell, COUNT(*) AS cnt FROM cells GROUP BY row, cell),
+       |top AS (
+       |  SELECT word, COUNT(*) AS exact FROM w GROUP BY word
+       |  ORDER BY exact DESC, word LIMIT 10),
+       |probes AS (
+       |  SELECT t.word, t.exact, c.row, c.cell
+       |  FROM top t JOIN (SELECT DISTINCT * FROM cells) c ON t.word = c.word)
+       |SELECT p.word, p.exact, MIN(s.cnt) AS cms_est
+       |FROM probes p JOIN sketch s ON p.row = s.row AND p.cell = s.cell
+       |GROUP BY p.word, p.exact""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a1_typed_agg", typedAgg, Some(typedAggSql)),
     QueryDef("qs1_hll_distinct", hllDistinct, Some(hllDistinctSql)),
+    QueryDef("qs2_cms_topk", cmsTopK, Some(cmsTopKSql)),
   )
 }
