@@ -59,6 +59,33 @@ object MapReduce {
       b
     }
   }
+
+  /** Lazily walks a key-sorted record iterator as (key, value-run)
+    * groups — O(1) memory regardless of group size. If a reducer
+    * doesn't fully consume a run, the leftover records are skipped
+    * before the next group starts. */
+  private[mr] final class GroupedRuns(it: BufferedIterator[KV])
+      extends Iterator[(String, Iterator[String])] {
+    private var lastKey: String = _
+    private var started = false
+
+    private def skipLeftovers(): Unit =
+      if (started) while (it.hasNext && it.head._1 == lastKey) it.next()
+
+    override def hasNext: Boolean = { skipLeftovers(); it.hasNext }
+
+    override def next(): (String, Iterator[String]) = {
+      skipLeftovers()
+      val k = it.head._1
+      lastKey = k
+      started = true
+      val run = new Iterator[String] {
+        override def hasNext: Boolean = it.hasNext && it.head._1 == k
+        override def next(): String = it.next()._2
+      }
+      (k, run)
+    }
+  }
 }
 
 /** One MapReduce job (reference `Job`, `/root/reference/job.go:230-236`).
@@ -84,17 +111,20 @@ final case class CorralJob(
     (partitionFunc, reducer) match {
       case (Some(pf), r) =>
         // Custom routing must be honored exactly: drop to the RDD layer
-        // with a real Partitioner, then reduce per partition. Grouping
-        // here buffers a partition's pairs in memory — the same bound
-        // corral's reducer has (job.go:120-153); the default (no custom
-        // partitioner) path below is fully spillable.
+        // with a real Partitioner. Records are sorted within each bin
+        // during the shuffle (ExternalSorter → spills to disk), so the
+        // per-key groups are contiguous runs walked lazily — nothing
+        // buffers a partition in memory, unlike corral's reducer which
+        // holds every value of a bin (job.go:120-153). Keys still meet
+        // the facade contract: all values of a key in ONE reduce call,
+        // value order unspecified.
         val n = numBins.getOrElse(spark.sessionState.conf.numShufflePartitions)
         val partitioned = mapped.rdd
           .map(kv => (kv._1, kv._2))
-          .partitionBy(new FuncPartitioner(n, pf))
+          .repartitionAndSortWithinPartitions(new FuncPartitioner(n, pf))
         val reduced = partitioned.mapPartitions { it =>
-          it.to(LazyList).groupBy(_._1).iterator.flatMap { case (k, kvs) =>
-            r.reduce(k, kvs.iterator.map(_._2))
+          new GroupedRuns(it.buffered).flatMap { case (k, vs) =>
+            r.reduce(k, vs)
           }
         }
         spark.createDataset(reduced)

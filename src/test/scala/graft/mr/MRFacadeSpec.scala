@@ -125,4 +125,29 @@ class MRFacadeSpec extends AnyFunSuite with SparkSpec {
     val out = CorralJob(new TokenMapper, new CountReducer).runOnLines(in)
     assert(out.count() == 0)
   }
+
+  test("custom-partitioner path streams runs; partial consumers can't corrupt groups") {
+    // a reducer that reads only the FIRST value — leftovers of the run
+    // must be skipped, not bleed into the next key's group
+    object FirstOnly extends Reducer {
+      override def reduce(key: String, values: Iterator[String]): IterableOnce[(String, String)] =
+        Iterator(key -> values.next())
+    }
+    val in = lines("a a a bb bb ccc a bb ccc ccc ccc")
+    val out = CorralJob(new TokenMapper, FirstOnly,
+      partitionFunc = Some(lenPartition), numBins = Some(3))
+      .runOnLines(in).collect().toMap
+    assert(out == Map("a" -> "1", "bb" -> "1", "ccc" -> "1"))
+  }
+
+  test("GroupedRuns walks sorted runs lazily and completely") {
+    val recs = Seq("a" -> "1", "a" -> "2", "b" -> "3", "c" -> "4", "c" -> "5")
+    val groups = new MapReduce.GroupedRuns(recs.iterator.buffered)
+      .map { case (k, vs) => k -> vs.toList }.toList
+    assert(groups == List("a" -> List("1", "2"), "b" -> List("3"), "c" -> List("4", "5")))
+    // partial consumption: take nothing from each run
+    val keysOnly = new MapReduce.GroupedRuns(recs.iterator.buffered)
+      .map(_._1).toList
+    assert(keysOnly == List("a", "b", "c"))
+  }
 }
