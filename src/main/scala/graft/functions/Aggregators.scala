@@ -82,17 +82,97 @@ object Aggregators {
     }
   }
 
+  /** Bounded top-K per key: keeps the K best (price, id) pairs under
+    * the total order (price DESC, id ASC) in a fixed 1+16K-byte buffer
+    * — O(K) state per key however large the group, and partial
+    * aggregation shrinks each map task's output to ≤K rows per key
+    * BEFORE the shuffle. The window-function formulation (q16) must
+    * instead shuffle every row and sort whole partitions; this is the
+    * operator you want when K ≪ group size at 100 TB. Deterministic
+    * (total order, no float accumulation) → exact SQL oracle. */
+  object TopK {
+    val K = 3
+    private val Slot = 16
+
+    def zero: Array[Byte] = new Array[Byte](1 + K * Slot) // [count][price,id]*K
+
+    private def price(b: Array[Byte], i: Int): Double =
+      java.lang.Double.longBitsToDouble(readLong(b, 1 + i * Slot))
+    private def id(b: Array[Byte], i: Int): Long = readLong(b, 1 + i * Slot + 8)
+    private def readLong(b: Array[Byte], o: Int): Long = {
+      var v = 0L; var j = 0
+      while (j < 8) { v = (v << 8) | (b(o + j) & 0xFFL); j += 1 }
+      v
+    }
+    private def writeSlot(b: Array[Byte], i: Int, p: Double, x: Long): Unit = {
+      var v = java.lang.Double.doubleToLongBits(p); var o = 1 + i * Slot
+      var j = 7
+      while (j >= 0) { b(o + j) = v.toByte; v >>>= 8; j -= 1 }
+      v = x; o += 8; j = 7
+      while (j >= 0) { b(o + j) = v.toByte; v >>>= 8; j -= 1 }
+    }
+
+    private def better(p1: Double, x1: Long, p2: Double, x2: Long): Boolean =
+      p1 > p2 || (p1 == p2 && x1 < x2)
+
+    /** Insertion into the sorted fixed buffer (shifts ≤ K slots). */
+    def insert(b: Array[Byte], p: Double, x: Long): Array[Byte] = {
+      val n = b(0) & 0xFF
+      if (n == K && !better(p, x, price(b, K - 1), id(b, K - 1))) return b
+      var pos = if (n == K) K - 1 else n
+      while (pos > 0 && better(p, x, price(b, pos - 1), id(b, pos - 1))) {
+        writeSlot(b, pos, price(b, pos - 1), id(b, pos - 1))
+        pos -= 1
+      }
+      writeSlot(b, pos, p, x)
+      if (n < K) b(0) = (n + 1).toByte
+      b
+    }
+
+    def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var out = a; var i = 0
+      val n = b(0) & 0xFF
+      while (i < n) { out = insert(out, price(b, i), id(b, i)); i += 1 }
+      out
+    }
+
+    def entries(b: Array[Byte]): Seq[(Double, Long)] =
+      (0 until (b(0) & 0xFF)).map(i => (price(b, i), id(b, i)))
+  }
+
+  final case class Priced(key: Long, price: Double, id: Long)
+
+  object TopKAgg extends Aggregator[Priced, Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = TopK.zero
+    // NEVER mutate the incoming buffer: Spark may hand the same zero
+    // instance (or a shared backing array) to several groups — in-place
+    // insertion cross-contaminated groups in testing. 49-byte clone per
+    // row is noise next to the shuffle it saves.
+    override def reduce(b: Array[Byte], r: Priced): Array[Byte] =
+      TopK.insert(b.clone(), r.price, r.id)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      TopK.mergeInto(a.clone(), b)
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   /** Buffer = 64 byte-sized max ranks (rank ≤ 25), encoded BINARY. */
   object HllDistinct extends Aggregator[Long, Array[Byte], Double] {
     import Hll._
     override def zero: Array[Byte] = new Array[Byte](M)
-    override def reduce(b: Array[Byte], x: Long): Array[Byte] = {
+    // clone before mutating — Spark may share buffer instances across
+    // groups (see TopKAgg); harmless for this global aggregate today,
+    // load-bearing the day it's used per-key
+    override def reduce(b0: Array[Byte], x: Long): Array[Byte] = {
+      val b = b0.clone()
       val j = bucket(x)
       val r = rank(x).toByte
       if (r > b(j)) b(j) = r
       b
     }
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    override def merge(a0: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val a = a0.clone()
       var j = 0
       while (j < M) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
       a

@@ -137,9 +137,41 @@ object TypedQueries {
        |GROUP BY p.word, p.exact""".stripMargin
   }
 
+  // -- q30: bounded top-K per key via aggregation -----------------------
+  // Same result set as the window formulation (q16's shape) but as a
+  // partial+final aggregate with O(K) state per key: each map task
+  // pre-reduces to ≤K rows per key BEFORE the shuffle, where the
+  // window form shuffles every row and sorts whole partitions. At
+  // K ≪ group size this is the 100 TB-safe top-k.
+  private def topKAgg(s: SparkSession, dir: String): DataFrame = {
+    implicit val pe = Encoders.product[Priced]
+    implicit val oe = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaDouble, Encoders.scalaInt)
+    Tables.orders(s, dir)
+      .select(col("o_custkey").as("key"), col("o_totalprice").as("price"),
+        col("o_orderkey").as("id")).as[Priced]
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .agg(TopKAgg.toColumn.name("top"))
+      .flatMap { case (cust, top) =>
+        TopK.entries(top).zipWithIndex.map { case ((price, okey), i) =>
+          (cust, okey, price, i + 1)
+        }
+      }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rank")
+  }
+
+  private val topKAggSql =
+    s"""SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+       |  SELECT o_custkey, o_orderkey, o_totalprice,
+       |    CAST(row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+       |  FROM orders) t
+       |WHERE rank <= ${TopK.K}""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a1_typed_agg", typedAgg, Some(typedAggSql)),
     QueryDef("qs1_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     QueryDef("qs2_cms_topk", cmsTopK, Some(cmsTopKSql)),
+    QueryDef("q30_topk_agg", topKAgg, Some(topKAggSql), bench = true),
   )
 }
