@@ -71,6 +71,30 @@ case class SimHashP(child: Expression)
     copy(child = c)
 }
 
+/** string → fused document SimHash (tokenize + distinct + strHashP +
+  * affine votes in one pass; see HashKernels.simhashText). */
+case class SimHashText(child: Expression) extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_text expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(HashKernels.simhashText(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.HashKernels.simhashText($x);")
+
+  override protected def withNewChildInternal(c: Expression): SimHashText =
+    copy(child = c)
+}
+
 /** string → deterministic polynomial hash mod P over code points (see
   * HashKernels.strHashP). The portable replacement for xxhash64 in
   * every dedup path: the DuckDB oracle computes the identical value
@@ -247,6 +271,8 @@ object HashFunctions {
       exprs => SimHashP(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("str_hash_p",
       exprs => StrHashP(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash_text",
+      exprs => SimHashText(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprints",
       exprs => WinnowFingerprints(exprs.head, WinnowK, WinnowW), "built-in")
     reg.createOrReplaceTempFunction("tokenize_words",
@@ -262,6 +288,8 @@ object HashFunctions {
     call_function("simhash_p", tokenHashes)
 
   def strHashP(s: Column): Column = call_function("str_hash_p", s)
+
+  def simhashText(text: Column): Column = call_function("simhash_text", text)
 
   /** DuckDB fragment computing strHashP of the string expression `v`
     * (a column or any scalar string expression). */

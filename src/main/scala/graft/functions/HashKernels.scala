@@ -156,6 +156,63 @@ object HashKernels {
     sig
   }
 
+  /** regex-\s character class (what split("\\s+") and DuckDB's
+    * string_split_regex('\s+') separate on — narrower than
+    * Character.isWhitespace). */
+  @inline private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Fused SimHash of a document, replaying exactly
+    * `simhashP(list_transform(list_distinct(string_split_regex(
+    * trim(text), '\s+')), strHashP))`: space-trim (SQL trim removes
+    * only ' '), \s+-tokenize, distinct BY TOKEN (dedupe happens before
+    * hashing, so a hash collision between distinct tokens still casts
+    * two votes, as the oracle's does), strHashP each token, affine
+    * mod-P votes. One pass, no intermediate array — replaces an
+    * interpreted `transform` HOF in the dd4 path. */
+  def simhashText(v: UTF8String): Long = {
+    val s0 = v.toString
+    var lo = 0
+    var hi = s0.length
+    while (lo < hi && s0.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s0.charAt(hi - 1) == ' ') hi -= 1
+    val s = s0.substring(lo, hi)
+    val votes = new Array[Int](64)
+    def vote(h: Long): Unit = {
+      var b = 0
+      while (b < 64) {
+        if ((h * SimA(b) + SimB(b)) % P >= Half) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    if (s.isEmpty) vote(0L) // split('') == [''] in both engines; hash("") = 0
+    else {
+      val seen = new java.util.HashSet[String]()
+      // Spark SQL's split(str, re) uses limit -1: a (space-trimmed)
+      // string that starts OR ends with regex whitespace (e.g. a tab)
+      // yields an "" token there — matching string_split_regex, unlike
+      // java.lang.String.split which drops trailing empties
+      if ((isRegexWs(s.charAt(0)) || isRegexWs(s.charAt(s.length - 1))) &&
+        seen.add("")) vote(0L)
+      val len = s.length
+      var i = 0
+      while (i < len) {
+        while (i < len && isRegexWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isRegexWs(s.charAt(i))) i += 1
+        if (i > start && seen.add(s.substring(start, i)))
+          vote(hashToken(s, start, i, 0L))
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** Wordcount tokens: maximal runs of ASCII alphanumerics, lowercased —
     * provably equivalent to
     * `split(lower(regexp_replace(s, "[^a-zA-Z0-9\\s]+", " ")), "\\s+")`

@@ -167,12 +167,11 @@ object DedupQueries {
   // O(n·4) shuffled rows at any corpus size.
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     HashFunctions.register(s)
+    // fused native expression: tokenize+distinct+hash+vote in one pass
+    // (the composed transform/array_distinct/split form evaluates an
+    // interpreted lambda per token; pinned equivalent in KernelSpec)
     val docs = Tables.documents(s, dir)
-      .select(
-        col("doc_id"),
-        transform(array_distinct(split(trim(col("text")), "\\s+")),
-          t => HashFunctions.strHashP(t)).as("hs"))
-      .select(col("doc_id"), HashFunctions.simhashP(col("hs")).as("sig"))
+      .select(col("doc_id"), HashFunctions.simhashText(col("text")).as("sig"))
     val pieces = docs.select(
         col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(i =>

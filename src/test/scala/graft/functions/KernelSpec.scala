@@ -55,6 +55,24 @@ class KernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("simhashText equals the composed split/distinct/hash/vote chain") {
+    HashFunctions.register(spark)
+    val composed = call_function("simhash_p",
+      transform(array_distinct(split(trim(col("s")), "\\s+")),
+        t => HashFunctions.strHashP(t)))
+    val corpus = Tables.documents(spark, sf0001).limit(100)
+      .select(col("text").as("s"))
+    val weird = spark.createDataFrame(Seq(
+      Tuple1(""), Tuple1("   "), Tuple1("one"), Tuple1("a a a b"),
+      Tuple1("\ttab lead"), Tuple1("trail tab\t"), Tuple1("ab"),
+      Tuple1(" spaced out "))).toDF("s")
+    Seq(corpus, weird).foreach { df =>
+      val diff = df.select(HashFunctions.simhashText(col("s")).as("a"), composed.as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0)
+    }
+  }
+
   test("strHashP equals a direct code-point fold, incl. non-BMP input") {
     import PolyHashConstants.{B, P}
     def reference(s: String): Long =
