@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("simhash_p", classOf[SimHashP],
       "simhash_p(hashes) - 64-bit SimHash via affine mod-P votes")(
       e => SimHashP(e.head)))
+    ext.injectFunction(fn("simhash_text", classOf[SimHashText],
+      "simhash_text(text) - fused document SimHash (tokenize+hash+vote)")(
+      e => SimHashText(e.head)))
     ext.injectFunction(fn("str_hash_p", classOf[StrHashP],
       "str_hash_p(s) - deterministic polynomial hash mod P")(
       e => StrHashP(e.head)))
