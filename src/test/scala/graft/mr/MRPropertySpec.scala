@@ -40,4 +40,33 @@ class MRPropertySpec extends AnyFunSuite with SparkSpec {
       assert(bin >= 0 && bin < n)
     }
   }
+
+  test("typed facade equals the string facade on random docs") {
+    // same hooks, different serialization layer — results must agree
+    final class TypedTokenMapper extends TypedMapper[String, String, Int] {
+      def map(line: String): IterableOnce[(String, Int)] =
+        line.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, 1))
+    }
+    final class TypedCountReducer extends TypedReducer[String, Int, (String, Long)] {
+      def reduce(key: String, vs: Iterator[Int]): IterableOnce[(String, Long)] =
+        Iterator(key -> vs.map(_.toLong).sum)
+    }
+    val s = spark
+    implicit val kiEnc: org.apache.spark.sql.Encoder[(String, Int)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaInt)
+    implicit val slEnc: org.apache.spark.sql.Encoder[(String, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong)
+    samples(docGen, 5).foreach { docs =>
+      val stringForm = CorralJob(new TokenMapper, new CountReducer)
+        .runOnLines(s.createDataset(docs)(stringEncoder))
+        .collect().map { case (w, c) => (w, c.toLong) }.toMap
+      val typedForm = TypedJob(new TypedTokenMapper, new TypedCountReducer)(
+          kiEnc, stringEncoder, slEnc)
+        .run(s.createDataset(docs)(stringEncoder))
+        .collect().toMap
+      assert(typedForm == stringForm)
+    }
+  }
 }
