@@ -41,6 +41,8 @@ object GraftSession {
     // corral clamps splitSize to mapBinSize (driver.go:80-86)
     val split = math.min(conf.splitSize, conf.mapBinSize)
     val b = SparkSession.builder()
+      // engine sessions carry the native function library (SQL-visible)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.files.maxPartitionBytes", split)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
