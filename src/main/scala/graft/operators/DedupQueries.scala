@@ -56,12 +56,15 @@ object DedupQueries {
     // optimizer would otherwise clone the shingle expression into
     // every consumer. `spark.graft.dedup.barrier` picks the form:
     // localCheckpoint (fast, executor-local — fine on local[n]) vs
-    // persist-to-disk (fault-tolerant — the cluster setting).
+    // persist-to-disk (fault-tolerant — the cluster setting). The
+    // checkpoint is EAGER: with a lazy barrier the join's two stages
+    // race to materialize the same uncached partitions and duplicate
+    // the scan + shingle work (observed 5× file reads under load).
     s.conf.get("spark.graft.dedup.barrier", "localCheckpoint") match {
       case "persist" =>
         proj.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       case "none" => proj
-      case _ => proj.localCheckpoint(false)
+      case _ => proj.localCheckpoint(true)
     }
   }
 
