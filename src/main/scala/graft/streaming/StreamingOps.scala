@@ -82,6 +82,28 @@ object StreamingOps {
           closed.result().iterator
         })
 
+  /** Streaming exact dedup — the dd1 twin for continuous ingestion:
+    * per-key first-wins within the watermark horizon
+    * (dropDuplicatesWithinWatermark: dedup state is keyed by the key
+    * columns alone and AGES OUT with the watermark). Bounded state is
+    * what makes this viable on an unbounded stream at 100 TB/day — a
+    * plain dropDuplicates(keys) would grow state forever, and
+    * including the timestamp in the key misses re-sends with a new
+    * timestamp. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Idempotent micro-batch sink: foreachBatch + deterministic
+    * per-batch output paths, the standard exactly-once-to-storage
+    * recipe (a replayed batch overwrites the same path instead of
+    * appending duplicates). */
+  def toIdempotentParquetSink(df: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+    }
+
   private def rawEventSchema = {
     import org.apache.spark.sql.types._
     StructType(Seq(

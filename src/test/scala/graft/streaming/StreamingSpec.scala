@@ -78,6 +78,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicates, keeps distinct keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ms = MemoryStream[(Long, Long)] // (epochSec, event_id)
+    val events = ms.toDF()
+      .select(col("_1").cast("timestamp").as("ts"), col("_2").as("event_id"))
+    val q = StreamingOps.dedupStream(events, Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dd_out").start()
+    try {
+      ms.addData((10L, 1L), (11L, 2L), (10L, 1L)) // dup within batch
+      q.processAllAvailable()
+      ms.addData((12L, 1L), (13L, 3L)) // dup across batches + new key
+      q.processAllAvailable()
+      val ids = s.table("dd_out").select(col("event_id"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch idempotent sink writes deterministic per-batch paths") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ms = MemoryStream[Long]
+    val q = StreamingOps.toIdempotentParquetSink(
+      ms.toDF().select(col("value")), out).start()
+    try {
+      ms.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      ms.addData(4L)
+      q.processAllAvailable()
+      val back = s.read.parquet(out + "/batch=*").collect().map(_.getLong(0)).sorted
+      assert(back.toSeq == Seq(1L, 2L, 3L, 4L))
+      assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("batch=")))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits only closed sessions") {
     import StreamingOps._
     val s = spark
