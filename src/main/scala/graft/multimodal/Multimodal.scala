@@ -214,6 +214,42 @@ object Multimodal {
       |    AS DOUBLE) / (doc_id % 100 + 10) AS mean_abs
       |FROM documents""".stripMargin
 
+  // mm7: windowed audio feature extraction — RMS energy per 16-frame
+  // window over REAL decoded PCM (the 1-to-n feature shape an audio
+  // pipeline emits). Sum of squares is exact in Long (16 · 2^30 < 2^63),
+  // so the only float ops are one divide + sqrt — identical IEEE
+  // sequence in the oracle.
+  private val EnergyWin = 16
+
+  private def wavEnergyQ(s: SparkSession, dir: String): DataFrame =
+    docIds(s, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.flatMap { id =>
+        val wav = MediaCodec.encodeWavPcm16((id % 100 + 10).toInt, 16000, id * 17 + 3)
+        val info = MediaCodec.decodeWavHeader(wav).get
+        (0 until info.nFrames / EnergyWin).map { j =>
+          var sumSq = 0L
+          var i = j * EnergyWin
+          while (i < (j + 1) * EnergyWin) {
+            val v = MediaCodec.wavSample(wav, info, i).toLong
+            sumSq += v * v; i += 1
+          }
+          (id, j, math.sqrt(sumSq.toDouble / EnergyWin))
+        }
+      }))(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaDouble))
+      .toDF("doc_id", "win_idx", "rms")
+
+  private val wavEnergySql = {
+    val sample = "((doc_id*17+3 + i*2654435761) % 65536 - 32768)"
+    s"""SELECT doc_id, CAST(j AS INTEGER) AS win_idx,
+       |  sqrt(CAST(list_sum(list_transform(
+       |    range(j*$EnergyWin, (j+1)*$EnergyWin),
+       |    i -> $sample * $sample)) AS DOUBLE) / $EnergyWin) AS rms
+       |FROM (
+       |  SELECT doc_id,
+       |    unnest(range(0, (doc_id % 100 + 10) // $EnergyWin)) AS j
+       |  FROM documents) t""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("mm1_media_meta", mediaMeta, Some(mediaMetaSql)),
     QueryDef("mm2_frame_sample", frameSampleQ, Some(frameSampleSql)),
@@ -221,5 +257,6 @@ object Multimodal {
     QueryDef("mm4_bmp_decode", bmpDecodeQ, Some(bmpDecodeSql)),
     QueryDef("mm5_bmp_resize", bmpResizeQ, Some(bmpResizeSql)),
     QueryDef("mm6_wav_decode", wavDecodeQ, Some(wavDecodeSql)),
+    QueryDef("mm7_wav_energy", wavEnergyQ, Some(wavEnergySql)),
   )
 }
