@@ -1,0 +1,127 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, MinHashConstants, VectorFunctions}
+
+/** Library-facing deduplication operators: DataFrame in, DataFrame out,
+  * caller's column names. The oracled fixture queries
+  * ([[graft.operators.DedupQueries]]) are thin bindings of these — the
+  * operators themselves are reusable on any input.
+  *
+  * All candidate generation is banded equi-joins (O(n·bands) shuffled
+  * rows); band geometry is the caller's selectivity knob and should
+  * grow ~log(n) at cluster scale.
+  */
+object Dedup {
+  import MinHashConstants.Prime
+
+  /** Exact dedup groups: one row per distinct normalized content, with
+    * the minimum id as the keeper and the copy count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Shingle-hash projection behind a materialization barrier (see
+    * `spark.graft.dedup.barrier`): (id, hs sorted distinct mod-P
+    * 3-shingle hashes, nh). */
+  def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    HashFunctions.register(df.sparkSession)
+    val proj = df.select(
+      col(idCol).as("doc_id"),
+      HashFunctions.shingleHashes(col(textCol)).as("hs"))
+      .withColumn("nh", size(col("hs")))
+    df.sparkSession.conf.get("spark.graft.dedup.barrier", "localCheckpoint") match {
+      case "persist" =>
+        proj.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case "none" => proj
+      case _ => proj.localCheckpoint(true)
+    }
+  }
+
+  private def bandKey(sig: Column, b: Column, rows: Int): Column =
+    (0 until rows).foldLeft(lit(0L)) { (acc, i) =>
+      (acc * 31 + element_at(sig, (b * rows + i + 1).cast("integer"))) % Prime
+    }
+
+  /** Near-duplicate pairs by n-gram Jaccard: MinHash band candidates
+    * (bands × rows must equal [[MinHashConstants.K]]=32 signatures),
+    * exact-Jaccard verification at `threshold`. Output: (doc_a, doc_b,
+    * jac), doc_a < doc_b, each pair once. Banding s-curve midpoint ≈
+    * (1/bands)^(1/rows) — pick it below your threshold. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rows: Int, threshold: Double): DataFrame = {
+    require(bands * rows == MinHashConstants.K,
+      s"bands*rows must equal ${MinHashConstants.K}")
+    val docs = shingled(df, idCol, textCol).filter(col("nh") > 0)
+      .select(col("doc_id"), col("hs"), col("nh"),
+        HashFunctions.minhashSig(col("hs")).as("sig"))
+    val banded = docs.select(
+      col("doc_id"), col("hs"), col("nh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => bandKey(col("sig"), b, rows))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val inter = HashFunctions.sortedIntersectCount(col("a.hs"), col("b.hs"))
+    val jac = inter.cast("double") / (col("a.nh") + col("b.nh") - inter)
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jac.as("jac"))
+      .filter(col("jac") >= threshold)
+      .distinct()
+  }
+
+  /** SimHash near-dup pairs: fused 64-bit signature, pigeonhole-complete
+    * 16-bit piece banding — finds ALL pairs with hamming ≤ maxHamming
+    * for maxHamming ≤ 3. Output: (doc_a, doc_b, hamming). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "16-bit piece banding is complete only for hamming <= 3")
+    HashFunctions.register(df.sparkSession)
+    val docs = df.select(col(idCol).as("doc_id"),
+      HashFunctions.simhashText(col(textCol)).as("sig"))
+    val pieces = docs.select(
+        col("doc_id"), col("sig"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "piece").withColumnRenamed("col", "pval")
+    val a = pieces.alias("a")
+    val b = pieces.alias("b")
+    val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+    a.join(b,
+        col("a.piece") === col("b.piece") && col("a.pval") === col("b.pval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Embedding near-dup pairs: hyperplane-LSH band candidates, exact
+    * cosine verification. Output: (vec_a, vec_b, cos). */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, planes: Int, threshold: Double): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+      VectorFunctions.norm(col(vecCol)).as("nrm"))
+    val tagged = e.select(
+        col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(VectorFunctions.lshSignatures(col("embedding"), tables, planes)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+    val a = tagged.alias("a")
+    val b = tagged.alias("b")
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("a.embedding"), col("b.embedding")),
+      col("a.nrm"), col("b.nrm"))
+    a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cos.as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+}

@@ -29,44 +29,12 @@ object DedupQueries {
 
   // -- dd1: exact dedup — groupBy content fingerprint -------------------
   private def exact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    graft.api.Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
 
   private val exactSql =
     """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
-
-  // -- shared shingle projection ---------------------------------------
-  /** Shingle sets as sorted distinct mod-P polynomial hashes: hashing
-    * happens once per document, every pairwise comparison is then a
-    * primitive O(n+m) merge (SortedLongIntersectCount). The DuckDB
-    * oracle computes the identical hash values (strHashPSql), so
-    * intersection cardinalities agree exactly. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
-    HashFunctions.register(s)
-    val proj = Tables.documents(s, dir).select(
-      col("doc_id"),
-      HashFunctions.shingleHashes(col("text")).as("hs"))
-      .withColumn("nh", size(col("hs")))
-    // materialization barrier: both sides of the pair join (and the
-    // null-filter the planner infers from the join keys) read the
-    // computed hs column instead of re-deriving it from text — the
-    // optimizer would otherwise clone the shingle expression into
-    // every consumer. `spark.graft.dedup.barrier` picks the form:
-    // localCheckpoint (fast, executor-local — fine on local[n]) vs
-    // persist-to-disk (fault-tolerant — the cluster setting). The
-    // checkpoint is EAGER: with a lazy barrier the join's two stages
-    // race to materialize the same uncached partitions and duplicate
-    // the scan + shingle work (observed 5× file reads under load).
-    s.conf.get("spark.graft.dedup.barrier", "localCheckpoint") match {
-      case "persist" =>
-        proj.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      case "none" => proj
-      case _ => proj.localCheckpoint(true)
-    }
-  }
 
   // -- MinHash band candidate generation (dd2 + dd3) --------------------
   // 32 minhashes over the shingle hash set; band key = an arithmetic
@@ -79,35 +47,6 @@ object DedupQueries {
   private val DD2Rows = K / DD2Bands
   private val DD3Bands = 8
   private val DD3Rows = K / DD3Bands
-
-  private def bandKey(sig: Column, b: Column, rows: Int): Column =
-    (0 until rows).foldLeft(lit(0L)) { (acc, i) =>
-      (acc * 31 + element_at(sig, (b * rows + i + 1).cast("integer"))) % Prime
-    }
-
-  /** Candidate pairs from band-bucket equi-joins with their exact
-    * Jaccard: each doc emits `bands` (band, bkey) rows; a pair meets
-    * iff it agrees on some full band. */
-  private def bandCandidates(
-      s: SparkSession, dir: String, bands: Int, rows: Int): DataFrame = {
-    val docs = shingled(s, dir).filter(col("nh") > 0)
-      .select(col("doc_id"), col("hs"), col("nh"),
-        HashFunctions.minhashSig(col("hs")).as("sig"))
-    val banded = docs.select(
-      col("doc_id"), col("hs"), col("nh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => bandKey(col("sig"), b, rows))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val inter = HashFunctions.sortedIntersectCount(col("a.hs"), col("b.hs"))
-    val jac = inter.cast("double") / (col("a.nh") + col("b.nh") - inter)
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jac.as("jac"))
-  }
 
   /** DuckDB twin of [[bandCandidates]] + threshold filter. */
   private def bandSql(bands: Int, rows: Int, thr: Double): String = {
@@ -150,15 +89,13 @@ object DedupQueries {
   // blocks AND missed pairs straddling buckets — band candidates find
   // 25 qualifying pairs at sf0.01 where blocking found 6.)
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    bandCandidates(s, dir, DD2Bands, DD2Rows)
-      .filter(col("jac") >= 0.5)
-      .distinct() // a pair can agree on several bands
+    graft.api.Dedup.jaccardPairs(Tables.documents(s, dir),
+      "doc_id", "text", DD2Bands, DD2Rows, 0.5)
 
   // -- dd3: MinHash + LSH banding at the classic 0.8 point --------------
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
-    bandCandidates(s, dir, DD3Bands, DD3Rows)
-      .filter(col("jac") >= 0.8)
-      .distinct()
+    graft.api.Dedup.jaccardPairs(Tables.documents(s, dir),
+      "doc_id", "text", DD3Bands, DD3Rows, 0.8)
 
   // -- dd4: SimHash (64-bit) + Hamming-distance pairs -------------------
   // Per distinct token: polynomial hash → 64 affine mod-P votes (see
@@ -168,29 +105,8 @@ object DedupQueries {
   // implies at least one identical piece, so an equi-join on
   // (piece_idx, piece_value) finds ALL qualifying pairs — complete, and
   // O(n·4) shuffled rows at any corpus size.
-  private def simhash(s: SparkSession, dir: String): DataFrame = {
-    HashFunctions.register(s)
-    // fused native expression: tokenize+distinct+hash+vote in one pass
-    // (the composed transform/array_distinct/split form evaluates an
-    // interpreted lambda per token; pinned equivalent in KernelSpec)
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), HashFunctions.simhashText(col("text")).as("sig"))
-    val pieces = docs.select(
-        col("doc_id"), col("sig"),
-        posexplode(array((0 until 4).map(i =>
-          shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL)): _*)))
-      .withColumnRenamed("pos", "piece").withColumnRenamed("col", "pval")
-    val a = pieces.alias("a")
-    val b = pieces.alias("b")
-    val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
-    a.join(b,
-        col("a.piece") === col("b.piece") && col("a.pval") === col("b.pval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming.as("hamming"))
-      .filter(col("hamming") <= 3)
-      .distinct() // a pair may agree on several pieces
-  }
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 3)
 
   private val simhashSql: String = {
     import PolyHashConstants.{Half, P, SimA, SimB}
@@ -244,29 +160,9 @@ object DedupQueries {
   private val DupTables = 8
   private val DupPlanes = 6
 
-  private def embedDup(s: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.register(s)
-    val e = Tables.embeddings(s, dir).select(
-      col("vec_id"), col("embedding"),
-      VectorFunctions.norm(col("embedding")).as("nrm"))
-    val tagged = e.select(
-        col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(VectorFunctions.lshSignatures(
-          col("embedding"), DupTables, DupPlanes)))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
-    val a = tagged.alias("a")
-    val b = tagged.alias("b")
-    val cos = VectorFunctions.cosinePre(
-      VectorFunctions.dot(col("a.embedding"), col("b.embedding")),
-      col("a.nrm"), col("b.nrm"))
-    a.join(b,
-        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cos.as("cos"))
-      .filter(col("cos") >= 0.4)
-      .distinct() // a pair may share buckets in several tables
-  }
+  private def embedDup(s: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.embeddingPairs(Tables.embeddings(s, dir),
+      "vec_id", "embedding", DupTables, DupPlanes, 0.4)
 
   private val embedDupSql = {
     val cos = s"(${VectorFunctions.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm))"

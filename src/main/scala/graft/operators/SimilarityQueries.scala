@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
@@ -30,28 +29,11 @@ object SimilarityQueries {
   private val NCells = 16    // IVF cells (seeded by vec_id < 16)
   private val NProbe = 2     // IVF cells probed per query
 
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.register(s)
-    Tables.embeddings(s, dir).select(
-      col("vec_id"), col("embedding"),
-      VectorFunctions.norm(col("embedding")).as("nrm"))
-  }
-
   // -- s1: brute-force cosine top-k ------------------------------------
   private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    val q = c.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-    val cos = VectorFunctions.cosinePre(
-      VectorFunctions.dot(col("q_emb"), col("embedding")),
-      col("q_nrm"), col("nrm"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    c.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    val e = Tables.embeddings(s, dir)
+    graft.api.Similarity.cosineTopK(
+      e, e.filter(col("vec_id") < NQueries), "vec_id", "embedding", K)
   }
 
   private val bruteTopKSql = {
@@ -67,67 +49,20 @@ object SimilarityQueries {
 
   // -- s2: LSH-bucketed ANN --------------------------------------------
   private def lshTopK(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    // each vector lands in NTables buckets: (table, signature)
-    val tagged = c.select(
-        col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(VectorFunctions.lshSignatures(col("embedding"))))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
-    val q = tagged.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("tbl").as("q_tbl"), col("sig").as("q_sig"))
-    val cos = VectorFunctions.cosinePre(
-      VectorFunctions.dot(col("q_emb"), col("embedding")),
-      col("q_nrm"), col("nrm"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    tagged.join(broadcast(q),
-        col("q_tbl") === col("tbl") && col("q_sig") === col("sig") &&
-          col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
-      .distinct() // a pair may share buckets in several tables
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    import graft.functions.SimConstants.{NPlanes, NTables}
+    val e = Tables.embeddings(s, dir)
+    graft.api.Similarity.lshTopK(
+      e, e.filter(col("vec_id") < NQueries), "vec_id", "embedding", K,
+      NTables, NPlanes)
   }
 
   // -- s3: IVF ANN ------------------------------------------------------
-  /** Assign each row of `df` to its `n` highest-cosine centroids. */
-  private def assignCells(df: DataFrame, cents: DataFrame, n: Int): DataFrame = {
-    val cos = VectorFunctions.cosinePre(
-      VectorFunctions.dot(col("c_emb"), col("embedding")),
-      col("c_nrm"), col("nrm"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_cos").desc, col("cent_id"))
-    df.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cent_id"), cos.as("cell_cos"))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= n)
-      .drop("r", "cell_cos")
-  }
-
+  // deterministic "training": seed centroids are the first NCells vectors
   private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    // deterministic "training": seed centroids are the first NCells vectors
-    val cents = c.filter(col("vec_id") < NCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm"))
-    val corpusCells = assignCells(c, cents, 1)
-    val queryCells = assignCells(c.filter(col("vec_id") < NQueries), cents, NProbe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cent_id"))
-    val cos = VectorFunctions.cosinePre(
-      VectorFunctions.dot(col("q_emb"), col("embedding")),
-      col("q_nrm"), col("nrm"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    corpusCells.join(broadcast(queryCells),
-        queryCells("cent_id") === corpusCells("cent_id") &&
-          col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
-      .distinct() // NProbe cells may repeat a candidate
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    val e = Tables.embeddings(s, dir)
+    graft.api.Similarity.ivfTopK(
+      e, e.filter(col("vec_id") < NQueries), e.filter(col("vec_id") < NCells),
+      "vec_id", "embedding", K, NProbe)
   }
 
   // -- oracles for the ANN paths ---------------------------------------

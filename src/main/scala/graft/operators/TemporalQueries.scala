@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal joins over the `events` stream — the point-in-time
@@ -26,23 +25,15 @@ object TemporalQueries {
   // -- q28: as-of join (latest view at-or-before each purchase) ---------
   private def asofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-      .filter(col("event_type").isin("view", "purchase"))
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("us"),
-        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), col("tag"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // both IGNORE-NULLS carries pick from the same row: the CASEs are
-    // null on exactly the same rows and the ordering is total. One
-    // select → one Window node (sequential withColumn left two).
-    ev.select(col("*"),
-        last(when(col("tag") === 0, col("us")), ignoreNulls = true).over(w).as("lv_us"),
-        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w).as("lv_id"))
-      .filter(col("tag") === 1 && col("lv_us").isNotNull)
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("us").as("p_us"), col("lv_id").as("view_id"),
-        (col("us") - col("lv_us")).as("gap_us"))
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    graft.api.Temporal.asofJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "us", "event_id")
+      .select(col("key").as("user_id"), col("probe_id").as("purchase_id"),
+        col("probe_time").as("p_us"), col("quote_id").as("view_id"),
+        col("gap").as("gap_us"))
   }
 
   private val asofJoinSql =
@@ -64,26 +55,15 @@ object TemporalQueries {
   private val WindowUs = 3600L * 1000 * 1000 // 1 hour, == bucket width
 
   private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
-      unix_micros(col("ts")).as("us"), col("event_type"))
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"), col("us").as("v_us"),
-        (col("us") / WindowUs).cast("long").as("bucket"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("us").as("p_us"))
-      // probe own bucket and the previous one: a 1-bucket-wide window
-      // can only span those two
-      .withColumn("bucket",
-        explode(array((col("p_us") / WindowUs).cast("long"),
-          (col("p_us") / WindowUs).cast("long") - 1)))
-    purchases.join(views,
-        purchases("p_user") === views("user_id") &&
-          purchases("bucket") === views("bucket") &&
-          views("v_us") < col("p_us") &&
-          views("v_us") >= col("p_us") - WindowUs)
-      .select(col("user_id"), col("purchase_id"), col("view_id"),
-        (col("p_us") - col("v_us")).as("gap_us"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    graft.api.Temporal.rangeJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "us", "event_id", WindowUs)
+      .select(col("key").as("user_id"), col("probe_id").as("purchase_id"),
+        col("quote_id").as("view_id"), col("gap").as("gap_us"))
   }
 
   private val rangeJoinSql =

@@ -1,0 +1,99 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The library API on AD-HOC DataFrames (not the fixture tables) — what
+  * an actual user does. The fixture queries pin exact values via the
+  * oracle; this pins that the operators are genuinely reusable:
+  * caller's column names, caller's data, sensible outputs. */
+class ApiSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = spark.createDataFrame(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "completely different content about spark engines and shuffling"),
+    (6L, "short"))).toDF("my_id", "body")
+
+  test("Dedup.exactGroups groups exact duplicates under caller's columns") {
+    val g = Dedup.exactGroups(docs, "my_id", "body").collect()
+    assert(g.map(_.getLong(2)).sum == 6) // every doc accounted for
+    val dup = g.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keeper is min id
+  }
+
+  test("Dedup.jaccardPairs finds the near-dup, not the unrelated pair") {
+    val pairs = Dedup.jaccardPairs(docs, "my_id", "body",
+        bands = 16, rows = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 1 &&
+      Set(a, b).intersect(Set(1L, 2L, 3L)).size == 1 })
+    intercept[IllegalArgumentException](
+      Dedup.jaccardPairs(docs, "my_id", "body", 5, 5, 0.5))
+  }
+
+  test("Dedup.simhashPairs flags the exact dup pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "my_id", "body")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+  }
+
+  test("Dedup.embeddingPairs verifies exact cosine inside LSH buckets") {
+    val vecs = spark.createDataFrame(Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(1.0f, 0.01f, 0.0f)),  // near-dup of 10
+      (12L, Array(0.0f, 1.0f, 0.0f)))).toDF("vid", "v")
+    val pairs = Dedup.embeddingPairs(vecs, "vid", "v",
+        tables = 8, planes = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L)))
+  }
+
+  test("Similarity.cosineTopK ranks the closest vector first") {
+    val corpus = spark.createDataFrame(Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)))).toDF("id", "emb")
+    val queries = corpus.filter(col("id") === 1L)
+    val top = Similarity.cosineTopK(corpus, queries, "id", "emb", 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(2L, 3L)) // nearest first
+  }
+
+  test("Temporal.asofJoin picks the latest quote at-or-before each probe") {
+    val quotes = spark.createDataFrame(Seq(
+      (1L, 100L, 501L), (1L, 200L, 502L), (2L, 150L, 503L)))
+      .toDF("k", "t", "qid")
+    val probes = spark.createDataFrame(Seq(
+      (1L, 150L, 901L), (1L, 250L, 902L), (2L, 100L, 903L), (3L, 100L, 904L)))
+      .toDF("k", "t", "qid")
+    val out = Temporal.asofJoin(probes, quotes, "k", "t", "qid")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(901L) == ((501L, 50L)))  // latest quote <= 150 is t=100
+    assert(out(902L) == ((502L, 50L)))  // latest quote <= 250 is t=200
+    assert(!out.contains(903L))         // user 2's quote is later than probe
+    assert(!out.contains(904L))         // user 3 has no quotes
+  }
+
+  test("Temporal.rangeJoin emits every in-window pair exactly once") {
+    val quotes = spark.createDataFrame(Seq(
+      (1L, 95L, 501L), (1L, 60L, 502L), (1L, 10L, 503L)))
+      .toDF("k", "t", "qid")
+    val probes = spark.createDataFrame(Seq((1L, 100L, 901L)))
+      .toDF("k", "t", "qid")
+    val out = Temporal.rangeJoin(probes, quotes, "k", "t", "qid", window = 50L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((501L, 5L), (502L, 40L))) // 503 (gap 90) is outside
+  }
+
+  test("Sketches.hllDistinct estimates within tolerance on ad-hoc data") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 5000L).map(_ * 13L).toDF("uid")
+    val est = Sketches.hllDistinct(df, "uid").head().getDouble(0)
+    assert(math.abs(est - 5000) / 5000 < 0.39, s"est=$est")
+  }
+}
