@@ -91,10 +91,11 @@ object Aggregators {
     * operator you want when K ≪ group size at 100 TB. Deterministic
     * (total order, no float accumulation) → exact SQL oracle. */
   object TopK {
-    val K = 3
+    val K = 3 // the fixture queries' k
     private val Slot = 16
 
-    def zero: Array[Byte] = new Array[Byte](1 + K * Slot) // [count][price,id]*K
+    def zero(k: Int): Array[Byte] = new Array[Byte](1 + k * Slot) // [count][price,id]*k
+    def zero: Array[Byte] = zero(K)
 
     private def price(b: Array[Byte], i: Int): Double =
       java.lang.Double.longBitsToDouble(readLong(b, 1 + i * Slot))
@@ -115,17 +116,19 @@ object Aggregators {
     private def better(p1: Double, x1: Long, p2: Double, x2: Long): Boolean =
       p1 > p2 || (p1 == p2 && x1 < x2)
 
-    /** Insertion into the sorted fixed buffer (shifts ≤ K slots). */
+    /** Insertion into the sorted fixed buffer (shifts ≤ k slots); k is
+      * implied by the buffer's size. */
     def insert(b: Array[Byte], p: Double, x: Long): Array[Byte] = {
+      val k = (b.length - 1) / Slot
       val n = b(0) & 0xFF
-      if (n == K && !better(p, x, price(b, K - 1), id(b, K - 1))) return b
-      var pos = if (n == K) K - 1 else n
+      if (n == k && !better(p, x, price(b, k - 1), id(b, k - 1))) return b
+      var pos = if (n == k) k - 1 else n
       while (pos > 0 && better(p, x, price(b, pos - 1), id(b, pos - 1))) {
         writeSlot(b, pos, price(b, pos - 1), id(b, pos - 1))
         pos -= 1
       }
       writeSlot(b, pos, p, x)
-      if (n < K) b(0) = (n + 1).toByte
+      if (n < k) b(0) = (n + 1).toByte
       b
     }
 
@@ -142,8 +145,10 @@ object Aggregators {
 
   final case class Priced(key: Long, price: Double, id: Long)
 
-  object TopKAgg extends Aggregator[Priced, Array[Byte], Array[Byte]] {
-    override def zero: Array[Byte] = TopK.zero
+  /** Bounded top-K aggregator; one instance per k (the buffer length
+    * encodes k, so insert/merge need no extra state). */
+  final case class TopKAgg(k: Int) extends Aggregator[Priced, Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = TopK.zero(k)
     // NEVER mutate the incoming buffer: Spark may hand the same zero
     // instance (or a shared backing array) to several groups — in-place
     // insertion cross-contaminated groups in testing. 49-byte clone per

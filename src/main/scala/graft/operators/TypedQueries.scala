@@ -143,22 +143,9 @@ object TypedQueries {
   // pre-reduces to ≤K rows per key BEFORE the shuffle, where the
   // window form shuffles every row and sorts whole partitions. At
   // K ≪ group size this is the 100 TB-safe top-k.
-  private def topKAgg(s: SparkSession, dir: String): DataFrame = {
-    implicit val pe = Encoders.product[Priced]
-    implicit val oe = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
-      Encoders.scalaDouble, Encoders.scalaInt)
-    Tables.orders(s, dir)
-      .select(col("o_custkey").as("key"), col("o_totalprice").as("price"),
-        col("o_orderkey").as("id")).as[Priced]
-      .groupByKey(_.key)(Encoders.scalaLong)
-      .agg(TopKAgg.toColumn.name("top"))
-      .flatMap { case (cust, top) =>
-        TopK.entries(top).zipWithIndex.map { case ((price, okey), i) =>
-          (cust, okey, price, i + 1)
-        }
-      }
-      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rank")
-  }
+  private def topKAgg(s: SparkSession, dir: String): DataFrame =
+    graft.api.TopKPerKey(Tables.orders(s, dir),
+      "o_custkey", "o_totalprice", "o_orderkey", TopK.K)
 
   private val topKAggSql =
     s"""SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (

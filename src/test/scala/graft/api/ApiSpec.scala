@@ -89,6 +89,16 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
     assert(out == Set((501L, 5L), (502L, 40L))) // 503 (gap 90) is outside
   }
 
+  test("TopKPerKey returns the k best per key with deterministic ties") {
+    val df = spark.createDataFrame(Seq(
+      (1L, 10.0, 100L), (1L, 30.0, 101L), (1L, 20.0, 102L), (1L, 30.0, 103L),
+      (2L, 5.0, 200L))).toDF("grp", "score", "rid")
+    val top = TopKPerKey(df, "grp", "score", "rid", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // grp 1: two scores of 30.0 — tie breaks on rid asc (101 before 103)
+    assert(top == Set((1L, 101L, 1), (1L, 103L, 2), (2L, 200L, 1)))
+  }
+
   test("Sketches.hllDistinct estimates within tolerance on ad-hoc data") {
     val s = spark
     import s.implicits._
