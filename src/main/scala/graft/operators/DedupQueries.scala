@@ -48,7 +48,7 @@ object DedupQueries {
   private val DD3Bands = 8
   private val DD3Rows = K / DD3Bands
 
-  /** DuckDB twin of [[bandCandidates]] + threshold filter. */
+  /** DuckDB twin of [[graft.api.Dedup.jaccardPairs]]. */
   private def bandSql(bands: Int, rows: Int, thr: Double): String = {
     val sigExprs = (0 until K).map { j =>
       s"list_min(list_transform(hs, h -> (h * ${As(j)} + ${Bs(j)}) % $Prime)) AS sg$j"
