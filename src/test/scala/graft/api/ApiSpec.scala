@@ -99,6 +99,22 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
     assert(top == Set((1L, 101L, 1), (1L, 103L, 2), (2L, 200L, 1)))
   }
 
+  test("dedup operators survive null text / null vectors under ANSI mode") {
+    val withNulls = spark.createDataFrame(Seq(
+      (1L, "some real content here for the shingles to chew on"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""))).toDF("my_id", "body")
+    // null/empty rows contribute no pairs, and nothing throws
+    assert(Dedup.jaccardPairs(withNulls, "my_id", "body", 16, 2, 0.5).count() == 0)
+    assert(Dedup.simhashPairs(withNulls, "my_id", "body")
+      .collect().forall(r => r.getLong(0) != 2L && r.getLong(1) != 2L))
+    assert(Dedup.exactGroups(withNulls, "my_id", "body").count() == 3) // null, "", text
+    val vecNulls = spark.createDataFrame(Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, null.asInstanceOf[Array[Float]])))
+      .toDF("vid", "v")
+    assert(Dedup.embeddingPairs(vecNulls, "vid", "v", 4, 2, 0.5).count() == 0)
+  }
+
   test("Sketches.hllDistinct estimates within tolerance on ad-hoc data") {
     val s = spark
     import s.implicits._
