@@ -10,6 +10,7 @@ object Registry {
       operators.SimilarityQueries.all ++
       operators.SessionQueries.all ++
       operators.TemporalQueries.all ++
+      operators.PipelineQueries.all ++
       operators.TypedQueries.all ++
       multimodal.Multimodal.all ++
       mr.MRQueries.all
