@@ -15,6 +15,41 @@ object Sketches {
     df.select(col(longCol)).as[Long]
       .select(HllDistinct.toColumn.name("n_hll")).toDF()
   }
+
+  private val CmsP = graft.functions.PolyHashConstants.P
+  private val CmsA = Seq(1103515245L, 214013L, 69069L, 1664525L)
+  private val CmsB = Seq(12345L, 2531011L, 362437L, 1013904223L)
+
+  private def cmsCell(key: org.apache.spark.sql.Column, j: Int, d: Int, w: Int) = {
+    val h = (graft.functions.HashFunctions.strHashP(key) * CmsA(j) + CmsB(j)) % CmsP
+    ((h * h + CmsB((j + 1) % d)) % CmsP) % w
+  }
+
+  /** Count-min sketch counter table of a string column: (row, cell,
+    * cnt) — d·w grouped counters, one partial+final HashAggregate.
+    * d ≤ 4 (the shipped hash family). */
+  def cmsSketch(df: DataFrame, keyCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && d <= CmsA.length, s"d must be in [1, ${CmsA.length}]")
+    graft.functions.HashFunctions.register(df.sparkSession)
+    df.select(posexplode(array((0 until d).map(j =>
+        cmsCell(col(keyCol), j, d, w)): _*)))
+      .groupBy(col("pos").as("row"), col("col").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS frequency estimates (min over each key's d cells) for the
+    * given probe keys. Output: (keyCol, cms_est). Estimate ≥ true
+    * count always; equality when no collision. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    graft.functions.HashFunctions.register(probes.sparkSession)
+    val cells = probes.select(col(keyCol),
+        posexplode(array((0 until d).map(j => cmsCell(col(keyCol), j, d, w)): _*)))
+      .withColumnRenamed("pos", "row").withColumnRenamed("col", "cell")
+    cells.join(sketch, Seq("row", "cell"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("cms_est"))
+  }
 }
 
 /** Bounded top-K rows per key as a partial+final aggregate with O(k)

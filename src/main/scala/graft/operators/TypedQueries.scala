@@ -79,31 +79,17 @@ object TypedQueries {
   private val CmsA = Seq(1103515245L, 214013L, 69069L, 1664525L)
   private val CmsB = Seq(12345L, 2531011L, 362437L, 1013904223L)
 
-  private def cmsCol(word: org.apache.spark.sql.Column, j: Int) = {
-    val h = (graft.functions.HashFunctions.strHashP(word) * CmsA(j) + CmsB(j)) % CmsP
-    ((h * h + CmsB((j + 1) % CmsD)) % CmsP) % CmsW
-  }
-
   private def cmsTopK(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashFunctions.register(s)
     val words = Tables.documents(s, dir)
       .select(explode(graft.functions.HashFunctions.tokenizeWords(col("text")))
         .as("word"))
-    // the sketch: d×w counters as one grouped aggregation
-    val sketch = words
-      .select(posexplode(array((0 until CmsD).map(j => cmsCol(col("word"), j)): _*)))
-      .groupBy(col("pos").as("row"), col("col").as("cell"))
-      .agg(count(lit(1)).as("cnt"))
+    val sketch = graft.api.Sketches.cmsSketch(words, "word", CmsD, CmsW)
     // exact top-10 words (deterministic tie-break on word)
     val top = words.groupBy(col("word")).agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("word")).limit(10)
-    // CMS estimate: min over the word's d cells
-    val probes = top.select(col("word"), col("exact"),
-      posexplode(array((0 until CmsD).map(j => cmsCol(col("word"), j)): _*)))
-      .withColumnRenamed("pos", "row").withColumnRenamed("col", "cell")
-    probes.join(sketch, Seq("row", "cell"))
-      .groupBy(col("word"), col("exact"))
-      .agg(min(col("cnt")).as("cms_est"))
+    top.join(
+      graft.api.Sketches.cmsEstimate(sketch, top, "word", CmsD, CmsW), "word")
   }
 
   private val cmsTopKSql: String = {

@@ -115,6 +115,21 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.embeddingPairs(vecNulls, "vid", "v", 4, 2, 0.5).count() == 0)
   }
 
+  test("Sketches CMS estimates dominate true counts and match sans collision") {
+    val s = spark
+    import s.implicits._
+    val words = (Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++
+      Seq.fill(3)("gamma") ++ (1 to 200).map(i => s"noise$i")).toDF("w")
+    val sketch = Sketches.cmsSketch(words, "w")
+    val probes = Seq("alpha", "beta", "gamma").toDF("w")
+    val est = Sketches.cmsEstimate(sketch, probes, "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 50 && est("beta") >= 20 && est("gamma") >= 3)
+    // 273 keys in 1024 cells x 4 rows: min-over-rows collisions are
+    // unlikely to inflate ALL three estimates
+    assert(est("alpha") < 60)
+  }
+
   test("Sketches.hllDistinct estimates within tolerance on ad-hoc data") {
     val s = spark
     import s.implicits._
