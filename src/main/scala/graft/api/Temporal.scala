@@ -47,14 +47,15 @@ object Temporal {
   def rangeJoin(probes: DataFrame, quotes: DataFrame,
       keyCol: String, timeCol: String, idCol: String,
       window: Long, inclusive: Boolean = false): DataFrame = {
+    // integral DIV, not `/` + cast: float division loses exactness for
+    // times beyond 2^53. Times are assumed non-negative (epochs).
     val q = quotes.select(col(keyCol).as("key"),
-      col(timeCol).cast("long").as("q_t"), col(idCol).as("quote_id"),
-      (col(timeCol).cast("long") / window).cast("long").as("bucket"))
+        col(timeCol).cast("long").as("q_t"), col(idCol).as("quote_id"))
+      .withColumn("bucket", expr(s"q_t DIV $window"))
     val p = probes.select(col(keyCol).as("p_key"),
         col(timeCol).cast("long").as("p_t"), col(idCol).as("probe_id"))
       .withColumn("bucket",
-        explode(array((col("p_t") / window).cast("long"),
-          (col("p_t") / window).cast("long") - 1)))
+        explode(array(expr(s"p_t DIV $window"), expr(s"p_t DIV $window") - 1)))
     val upper: Column =
       if (inclusive) col("q_t") <= col("p_t") else col("q_t") < col("p_t")
     p.join(q,
