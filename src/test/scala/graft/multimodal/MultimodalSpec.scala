@@ -6,20 +6,58 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
   import Multimodal._
 
-  test("binary payloads flow through the batched decode unchanged in count") {
+  test("extractMeta really decodes mixed containers and batching drops nothing") {
     val s = spark
-    val recs = (0 until 130).map(i =>
-      MediaRecord(i.toLong, Array.fill[Byte](i + 1)(7)))
+    val recs = (0 until 130).map { i =>
+      val payload = (i % 4: @unchecked) match {
+        case 0 => ImageCodec.encodePng(10 + i % 5, 8, i.toLong)
+        case 1 => ImageCodec.encodeJpeg(9, 7 + i % 3, i.toLong)
+        case 2 => MediaCodec.encodeWavPcm16(20 + i, 8000, i.toLong)
+        case 3 => s"not media $i".getBytes("UTF-8")
+      }
+      MediaRecord(i.toLong, payload)
+    }
     val ds = s.createDataset(recs)(recEnc).repartition(2)
     val metas = extractMeta(ds).collect()
     assert(metas.length == 130) // batching (64) must not drop the tail
-    val m5 = metas.find(_.doc_id == 5L).get
-    assert(m5.byte_len == 6 && m5.width == 7 && m5.height == 7 && m5.format == "png")
+    val byId = metas.map(m => m.doc_id -> m).toMap
+    assert(byId(0L).format == "png" && byId(0L).width == 10 && byId(0L).height == 8)
+    assert(byId(1L).format == "jpeg" && byId(1L).width == 9 && byId(1L).height == 8)
+    assert(byId(2L).format == "wav" && byId(2L).width == 22) // nFrames
+    assert(byId(3L).format == "unknown" && byId(3L).width == 0)
+  }
+
+  test("resize decodes, resamples, and re-encodes lossless PNG") {
+    val s = spark
+    val recs = Seq(
+      MediaRecord(1L, ImageCodec.encodePng(16, 12, 5L)),
+      MediaRecord(2L, "junk".getBytes)) // non-image rows are dropped
+    val out = resize(s.createDataset(recs)(recEnc), 8, 6).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+    val img = ImageCodec.decode(out.head.payload)
+    assert(img.getWidth == 8 && img.getHeight == 6)
+    // re-decoded pixel must equal the nearest-neighbor source pixel
+    val rgb = img.getRGB(7, 5) // source (14, 10)
+    assert(((rgb >> 16) & 0xFF) == ImageCodec.pxR(5L, 14, 10))
+    assert((rgb & 0xFF) == ImageCodec.pxB(5L, 14, 10))
+  }
+
+  test("sampleFrames walks a real multi-page TIFF with a stride") {
+    val s = spark
+    val payload = ImageCodec.encodeTiffFrames(8, 6, nFrames = 7, seed = 3L)
+    val ds = s.createDataset(Seq(MediaRecord(9L, payload)))(recEnc)
+    val frames = sampleFrames(ds, stride = 2).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6))
+    // frame 4 carries seed 3 + 4*97; verify a decoded pixel survives the
+    // TIFF page read + PNG re-encode round trip
+    val f4 = ImageCodec.decode(frames(2).payload)
+    val seed4 = 3L + 4 * ImageCodec.FrameSeedStep
+    assert(((f4.getRGB(5, 2) >> 16) & 0xFF) == ImageCodec.pxR(seed4, 5, 2))
   }
 
   test("decode is deterministic across runs") {
     val s = spark
-    val recs = (0 until 10).map(i => MediaRecord(i.toLong, Array.fill[Byte](100 + i)(1)))
+    val recs = (0 until 10).map(i => MediaRecord(i.toLong, ImageCodec.encodePng(8, 8, i.toLong)))
     val a = extractMeta(s.createDataset(recs)(recEnc)).collect().sortBy(_.doc_id).toSeq
     val b = extractMeta(s.createDataset(recs)(recEnc)).collect().sortBy(_.doc_id).toSeq
     assert(a == b)
