@@ -28,10 +28,14 @@ object Main {
       values.map(v => (key, v))
   }
 
-  /** Built-in jobs (the reference's examples directory, as a registry). */
-  val jobRegistry: Map[String, () => CorralJob] = Map(
-    "wordcount" -> (() => CorralJob(new MRQueries.WordCountMapper, new MRQueries.SumReducer)),
-    "identity" -> (() => CorralJob(MRQueries.IdentityMapper, IdentityReducer)))
+  /** Built-in jobs (the reference's examples directory, as a registry).
+    * A name maps to a stage LIST so multi-stage examples (amplab3's
+    * two-job pipeline) run under one name, like the reference's
+    * NewMultiStageDriver binaries. */
+  val jobRegistry: Map[String, () => Seq[CorralJob]] = Map(
+    "wordcount" -> (() => Seq(CorralJob(new MRQueries.WordCountMapper, new MRQueries.SumReducer))),
+    "identity" -> (() => Seq(CorralJob(MRQueries.IdentityMapper, IdentityReducer)))
+  ) ++ graft.mr.AmplabJobs.registry
 
   final case class CliConf(
       inputs: Seq[String] = Nil,
@@ -67,7 +71,7 @@ object Main {
     * (`/root/reference/driver.go:195-216`: "inputs of next job =
     * outputs of current"). Returns the final output file paths. */
   def run(spark: SparkSession, conf: CliConf): Seq[String] = {
-    val jobs = conf.jobs.map(name => jobRegistry(name)().copy(numBins = conf.bins))
+    val jobs = conf.jobs.flatMap(name => jobRegistry(name)().map(_.copy(numBins = conf.bins)))
     var ds = TextKV.read(spark, conf.inputs: _*)
     jobs.zipWithIndex.foreach { case (job, i) =>
       if (i < jobs.length - 1) {

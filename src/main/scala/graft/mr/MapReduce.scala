@@ -190,18 +190,46 @@ final case class MultiStageDriver(jobs: Seq[CorralJob]) {
 
   /** `workDir` defaults to the config cascade's workingLocation
     * (`GRAFT_WORKING_LOCATION`, reference `/root/reference/config.go:30`),
-    * falling back to a fresh temp dir. */
+    * falling back to a fresh temp dir.
+    *
+    * Intermediate cleanup (F12, reference `/root/reference/job.go:146-152`):
+    * all stage dirs except the last are deleted as soon as the final
+    * stage's TSV is written; the last one must outlive this call (the
+    * returned Dataset reads it lazily), so a fallback temp workDir is
+    * removed by a session-end hook instead. */
   def runMaterialized(input: Dataset[KV], workDir: String = ""): Dataset[KV] = {
     val spark = input.sparkSession
+    val usedFallback = workDir.isEmpty &&
+      graft.GraftSession.fromEnv().workingLocation.isEmpty
     val dir =
       if (workDir.nonEmpty) workDir
       else graft.GraftSession.fromEnv().workingLocation.getOrElse(
         java.nio.file.Files.createTempDirectory("graft-stages").toString)
-    jobs.zipWithIndex.foldLeft(input) { case (ds, (job, i)) =>
+    val result = jobs.zipWithIndex.foldLeft(input) { case (ds, (job, i)) =>
       val out = job.run(ds)
       val stageDir = s"$dir/job$i"
       TextKV.writeTsv(out, stageDir)
       TextKV.readTsv(spark, stageDir)
     }
+    val conf = spark.sparkContext.hadoopConfiguration
+    (0 until jobs.length - 1).foreach(i => deleteDir(s"$dir/job$i", conf))
+    if (usedFallback) deleteOnSessionEnd(spark, dir)
+    result
+  }
+
+  /** Scheme-aware recursive delete (workDirs may be non-local URIs). */
+  private def deleteDir(path: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, true): Unit
+  }
+
+  private def deleteOnSessionEnd(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          deleteDir(dir, conf)
+      })
   }
 }

@@ -60,7 +60,12 @@ object TextKV {
     val named = parts.zipWithIndex.map { case (st, i) =>
       val dst = new Path(out, s"output-part-$i")
       if (fs.exists(dst)) fs.delete(dst, false)
-      fs.rename(st.getPath, dst)
+      // rename signals failure by returning false (e.g. cross-device or
+      // object stores without atomic rename) — an output part must
+      // never silently vanish
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(
+          s"failed to rename ${st.getPath} to $dst")
       dst.toString
     }.toSeq
     fs.delete(staging, true)

@@ -89,6 +89,19 @@ class MRFacadeSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map("x" -> "2", "y" -> "2", "z" -> "1"))
   }
 
+  test("materialized intermediates are cleaned up once the last stage lands (F12, job.go:146-152)") {
+    val wc = CorralJob(new TokenMapper, new CountReducer)
+    val prefixJob = CorralJob(new PrefixFilterMapper("f"), new IdentityReducer)
+    val in = lines("foo bar foo", "baz fizz foo").map(l => ("", l))(kvEncoder)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mr-clean").toString
+    val out = MultiStageDriver(Seq(wc, prefixJob)).runMaterialized(in, tmp)
+    // job0 (intermediate) is deleted eagerly; job1 must survive — the
+    // returned Dataset still reads from it lazily
+    assert(!new java.io.File(s"$tmp/job0").exists())
+    assert(new java.io.File(s"$tmp/job1").exists())
+    assert(out.collect().toMap == Map("foo" -> "3", "fizz" -> "1"))
+  }
+
   test("custom partition function routes every key to its bin (emitter_test.go:129-155)") {
     val job = CorralJob(new TokenMapper, new CountReducer,
       partitionFunc = Some(lenPartition), numBins = Some(4))
