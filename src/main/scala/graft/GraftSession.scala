@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Session bootstrap with corral's tuning surface (reference F21, the
   * config cascade `/root/reference/driver.go:44-128`,
   * `/root/reference/config.go:7-45`): explicit options > `GRAFT_*` env >
-  * defaults. Each knob maps to the Spark conf that plays the same role:
+  * `graftrc` file > defaults (viper's corralrc, config.go:8-17, as a
+  * java-properties file searched in `.` then `$HOME/.graft/`). Each
+  * knob maps to the Spark conf that plays the same role:
   *
   * | corral setting      | here                | Spark conf |
   * |---------------------|---------------------|------------|
