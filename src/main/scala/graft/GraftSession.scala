@@ -27,16 +27,41 @@ object GraftSession {
       maxConcurrency: Int = Runtime.getRuntime.availableProcessors(),
       workingLocation: Option[String] = None)
 
-  /** Env layer of the cascade (`CORRAL_*` analog, config.go:36-44). */
-  def fromEnv(env: Map[String, String] = sys.env): Conf = {
+  /** Default `graftrc` search order: `.` then `$HOME/.graft/` (viper's
+    * corralrc search path, config.go:8-10). First file found wins. */
+  private def rcSearchPaths: Seq[java.nio.file.Path] = Seq(
+    java.nio.file.Paths.get("graftrc"),
+    java.nio.file.Paths.get(sys.props.getOrElse("user.home", "."), ".graft", "graftrc"))
+
+  /** File layer of the cascade: a java-properties `graftrc` with the
+    * reference's key names (splitSize, mapBinSize, reduceBins,
+    * maxConcurrency, workingLocation — config.go:21-33). */
+  private[graft] def loadRc(
+      paths: Seq[java.nio.file.Path] = rcSearchPaths): Map[String, String] =
+    paths.find(java.nio.file.Files.isRegularFile(_)).map { p =>
+      val props = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }.getOrElse(Map.empty)
+
+  /** Env + file layers of the cascade (`CORRAL_*` analog, config.go:36-44;
+    * env overrides file, file overrides defaults). Explicit options sit
+    * on top via `Conf(...)` / `.copy(...)` on the returned value. */
+  def fromEnv(
+      env: Map[String, String] = sys.env,
+      rc: Map[String, String] = loadRc()): Conf = {
     val d = Conf()
+    def layer(envKey: String, rcKey: String): Option[String] =
+      env.get(envKey).orElse(rc.get(rcKey))
     Conf(
-      splitSize = env.get("GRAFT_SPLIT_SIZE").map(_.toLong).getOrElse(d.splitSize),
-      mapBinSize = env.get("GRAFT_MAP_BIN_SIZE").map(_.toLong).getOrElse(d.mapBinSize),
-      reduceBins = env.get("GRAFT_REDUCE_BINS").map(_.toInt),
-      maxConcurrency = env.get("GRAFT_MAX_CONCURRENCY").map(_.toInt)
+      splitSize = layer("GRAFT_SPLIT_SIZE", "splitSize").map(_.toLong).getOrElse(d.splitSize),
+      mapBinSize = layer("GRAFT_MAP_BIN_SIZE", "mapBinSize").map(_.toLong).getOrElse(d.mapBinSize),
+      reduceBins = layer("GRAFT_REDUCE_BINS", "reduceBins").map(_.toInt),
+      maxConcurrency = layer("GRAFT_MAX_CONCURRENCY", "maxConcurrency").map(_.toInt)
         .getOrElse(d.maxConcurrency),
-      workingLocation = env.get("GRAFT_WORKING_LOCATION"))
+      workingLocation = layer("GRAFT_WORKING_LOCATION", "workingLocation"))
   }
 
   def builder(conf: Conf = fromEnv(), local: Boolean = true): SparkSession.Builder = {

@@ -60,9 +60,12 @@ object AmplabJobs {
 
   // -- amplab3: two-stage join + aggregate ------------------------------
 
-  private val CutoffDate = "2000-01-01" // amplab3.go:18 (ISO order = string order)
+  private val CutoffDate = java.time.LocalDate.of(2000, 1, 1) // amplab3.go:18
 
-  private val numField = java.util.regex.Pattern.compile("\"(\\w+)\":(-?[0-9.eE+]+)")
+  // Full float syntax: Double.toString switches to scientific notation
+  // below 1e-3 (e.g. 2.5E-4), so the pattern must accept signed exponents.
+  private val numField =
+    java.util.regex.Pattern.compile("\"(\\w+)\":(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)")
 
   private def parseFields(s: String): Map[String, String] = {
     val m = numField.matcher(s)
@@ -82,7 +85,13 @@ object AmplabJobs {
         val rank = f(1).trim.toIntOption.getOrElse(0)
         Iterator(f(0) -> s"""{"t":0,"rank":$rank}""")
       } else if (f.length == 9) {
-        if (f(2) < CutoffDate) {
+        // amplab3.go:54-57 ignores the time.Parse error, so a malformed
+        // date yields Go's zero time (0001-01-01) which is before the
+        // cutoff — malformed-date visits are still emitted. Mirror that.
+        val beforeCutoff =
+          try java.time.LocalDate.parse(f(2)).isBefore(CutoffDate)
+          catch { case _: java.time.format.DateTimeParseException => true }
+        if (beforeCutoff) {
           val rev = f(3).toDoubleOption.getOrElse(0.0)
           Iterator(f(1) -> s"""{"t":1,"rev":$rev,"ip":"${f(0)}"}""")
         } else Iterator.empty

@@ -223,13 +223,39 @@ final case class MultiStageDriver(jobs: Seq[CorralJob]) {
     p.getFileSystem(conf).delete(p, true): Unit
   }
 
-  private def deleteOnSessionEnd(spark: SparkSession, dir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          deleteDir(dir, conf)
-      })
+  private def deleteOnSessionEnd(spark: SparkSession, dir: String): Unit =
+    MultiStageDriver.SessionEndCleanup.register(spark, dir)
+}
+
+object MultiStageDriver {
+  /** One listener per SparkContext holding every fallback temp dir to
+    * delete at application end. Registering a fresh listener per
+    * `runMaterialized` call would accumulate listeners (and retained
+    * dir strings) without bound in long-lived sessions. */
+  private[mr] object SessionEndCleanup {
+    private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    private[mr] def pendingCount: Int = dirs.size()
+
+    def register(spark: SparkSession, dir: String): Unit = {
+      dirs.add(dir)
+      if (registered.compareAndSet(false, true)) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              dirs.forEach { d =>
+                val p = new org.apache.hadoop.fs.Path(d)
+                p.getFileSystem(conf).delete(p, true): Unit
+              }
+              dirs.clear()
+              // A later SparkContext in the same JVM gets its own listener.
+              registered.set(false)
+            }
+          })
+      }
+    }
   }
 }

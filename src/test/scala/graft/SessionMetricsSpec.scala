@@ -16,6 +16,36 @@ class SessionMetricsSpec extends AnyFunSuite with SparkSpec {
     assert(math.min(conf.splitSize, conf.mapBinSize) == (512L << 20))
   }
 
+  test("config cascade: options > env > graftrc file > defaults (F21)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftrc-test")
+    val rcPath = dir.resolve("graftrc")
+    java.nio.file.Files.write(rcPath,
+      java.util.Arrays.asList(
+        "splitSize=111",
+        "maxConcurrency=9",
+        "workingLocation=/tmp/from-file"))
+    try {
+      val rc = GraftSession.loadRc(Seq(rcPath))
+      // file > defaults
+      val fileOnly = GraftSession.fromEnv(Map.empty, rc)
+      assert(fileOnly.splitSize == 111L)
+      assert(fileOnly.maxConcurrency == 9)
+      assert(fileOnly.workingLocation.contains("/tmp/from-file"))
+      // env > file (per-key: splitSize overridden, workingLocation still file's)
+      val envOver = GraftSession.fromEnv(Map("GRAFT_SPLIT_SIZE" -> "222"), rc)
+      assert(envOver.splitSize == 222L)
+      assert(envOver.workingLocation.contains("/tmp/from-file"))
+      // options > env (explicit copy on top of the resolved cascade)
+      assert(envOver.copy(splitSize = 333L).splitSize == 333L)
+      // missing file → defaults untouched
+      val missing = GraftSession.loadRc(Seq(dir.resolve("nope")))
+      assert(GraftSession.fromEnv(Map.empty, missing) == GraftSession.Conf())
+    } finally {
+      java.nio.file.Files.deleteIfExists(rcPath)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("defaults match the reference's (config.go:7-45)") {
     val d = GraftSession.Conf()
     assert(d.splitSize == 100L * 1024 * 1024)
