@@ -35,22 +35,30 @@ object Aggregators {
     * with an exact correctness gate (HllAggregatorSpec additionally
     * pins the estimate's relative error).
     *
-    * Buffer = 64 per-bucket max ranks; merge is element-wise max (a
+    * Buffer = M per-bucket max ranks; merge is element-wise max (a
     * commutative idempotent monoid → partial aggregation is safe).
     * The finish sum is order-independent IN IEEE DOUBLES, not just
     * mathematically: each term 2^-M[j] is an exact power of two ≥ 2^-25
-    * and ≤ 1, so every partial sum of ≤64 terms fits a 53-bit mantissa
-    * exactly — merge order can't perturb the oracle hash. Raw estimate
-    * only (no small/large-range correction; rel-err ~1.04/√64 ≈ 13%).
+    * and ≤ 1, so every partial sum of ≤M terms fits a 53-bit mantissa
+    * exactly (M ≤ 2^19), so merge order can't perturb the oracle hash.
+    * Small-range (linear-counting) correction applies below 2.5·M:
+    * `M·ln(M/zeros)` — still oracle-replayable, because the correction
+    * is a pure function of the integer `zeros ∈ [1, M]`, so the SQL
+    * side is a CASE over literals generated from this JVM's own
+    * `Math.log` (shortest-round-trip repr → identical bits in DuckDB).
     */
-  object Hll {
-    val M = 64 // buckets (b = 6)
+  class HllParams(val M: Int) extends Serializable {
+    require(M >= 16 && M <= (1 << 19) && (M & (M - 1)) == 0,
+      s"M must be a power of two in [16, 2^19], got $M")
     val RankCap = 25
     val P = graft.functions.PolyHashConstants.P
     // affine + quadratic-scramble constants
     val A1 = 1103515245L; val B1 = 12345L
     val B2 = 2531011L
-    // shortest-round-trip Double literal — DuckDB parses back the same bits
+    // Kept as the m-generic 0.7213/(1+1.079/m) for every M (the classic
+    // small-m constants 0.673/0.697/0.709 differ <2% and the oracle pins
+    // this exact formula). Shortest-round-trip Double literal — DuckDB
+    // parses back the same bits.
     val Alpha: Double = 0.7213 / (1.0 + 1.079 / M)
 
     /** Affine + quadratic scramble mod P: g = ((x·A1+B1 mod P)² + B2)
@@ -74,13 +82,34 @@ object Aggregators {
       math.min(java.lang.Long.numberOfTrailingZeros(v) + 1, RankCap)
     }
 
-    def estimate(maxRanks: Array[Byte]): Double = {
+    /** Raw harmonic-mean estimate (no correction). */
+    def rawEstimate(maxRanks: Array[Byte]): Double = {
       var sum = 0.0
       var j = 0
       while (j < M) { sum += 1.0 / (1L << maxRanks(j)).toDouble; j += 1 }
       Alpha * M * M / sum
     }
+
+    /** Linear-counting value for a given empty-bucket count. Public so
+      * the oracle-SQL generator embeds these exact doubles as literals. */
+    def linearCount(zeros: Int): Double = M * Math.log(M.toDouble / zeros)
+
+    /** Estimate with the standard small-range correction: below 2.5·M
+      * with empty buckets present, linear counting is both lower-bias
+      * and lower-variance than the harmonic mean. */
+    def estimate(maxRanks: Array[Byte]): Double = {
+      val raw = rawEstimate(maxRanks)
+      if (raw <= 2.5 * M) {
+        var zeros = 0
+        var j = 0
+        while (j < M) { if (maxRanks(j) == 0) zeros += 1; j += 1 }
+        if (zeros > 0) linearCount(zeros) else raw
+      } else raw
+    }
   }
+
+  /** The oracle-pinned default instance (M=64, b=6). */
+  object Hll extends HllParams(64)
 
   /** Bounded top-K per key: keeps the K best (price, id) pairs under
     * the total order (price DESC, id ASC) in a fixed 1+16K-byte buffer
@@ -162,9 +191,11 @@ object Aggregators {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Buffer = 64 byte-sized max ranks (rank ≤ 25), encoded BINARY. */
-  object HllDistinct extends Aggregator[Long, Array[Byte], Double] {
-    import Hll._
+  /** Buffer = M byte-sized max ranks (rank ≤ 25), encoded BINARY.
+    * Parameterized by [[HllParams]]: pick M for the accuracy target
+    * (rel-err ~1.04/√M — M=1024 gives ~3.3% for 1 KB of state/group). */
+  class HllDistinctAgg(val params: HllParams) extends Aggregator[Long, Array[Byte], Double] {
+    import params._
     override def zero: Array[Byte] = new Array[Byte](M)
     // clone before mutating — Spark may share buffer instances across
     // groups (see TopKAgg); harmless for this global aggregate today,
@@ -186,4 +217,7 @@ object Aggregators {
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** The default M=64 instance (the qs1 oracle's sketch). */
+  object HllDistinct extends HllDistinctAgg(Hll)
 }

@@ -58,10 +58,23 @@ object TypedQueries {
        |  -- e0 suffix: parse as DOUBLE (a bare decimal literal is DECIMAL
        |  -- and overflows); shortest-round-trip repr → identical bits
        |  SELECT ${Alpha}e0 * ${M * M} /
-       |    (SUM(1.0 / (CAST(1 AS BIGINT) << m)) + ($M - COUNT(*)) * 1.0) AS n_hll
+       |    (SUM(1.0 / (CAST(1 AS BIGINT) << m)) + ($M - COUNT(*)) * 1.0) AS raw,
+       |         $M - COUNT(*) AS zeros
        |  FROM mx)
-       |SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact, n_hll
+       |SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact,
+       |  -- small-range linear counting M*ln(M/zeros): a pure function of
+       |  -- the integer zeros, replayed as literals from the JVM's own
+       |  -- Math.log so DuckDB's ln() can't introduce a last-bit mismatch
+       |  CASE WHEN raw <= ${2.5 * M}e0 AND zeros > 0
+       |    THEN CASE zeros $linearCase END
+       |    ELSE raw END AS n_hll
        |FROM est""".stripMargin
+  }
+
+  private def linearCase: String = {
+    import Hll._
+    (1 to M).map(z => s"WHEN $z THEN ${linearCount(z)}e0")
+      .mkString(" ") + " ELSE raw"
   }
 
   // -- qs2: count-min sketch heavy hitters ------------------------------

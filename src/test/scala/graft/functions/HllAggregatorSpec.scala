@@ -19,6 +19,28 @@ class HllAggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("M=1024 keeps relative error under 5% on a 100k-distinct fixture") {
+    val agg = new Aggregators.HllDistinctAgg(new Aggregators.HllParams(1024))
+    val est = agg.finish(
+      (1L to 100000L).map(_ * 6364136223846793005L).foldLeft(agg.zero)(agg.reduce))
+    val rel = math.abs(est - 100000) / 100000.0
+    assert(rel <= 0.05, s"est=$est rel=$rel")
+  }
+
+  test("small-range linear counting corrects low-cardinality estimates") {
+    for (n <- Seq(5, 20, 60)) {
+      val xs = (1L to n.toLong).map(_ * 7919L)
+      val buf = xs.foldLeft(HllDistinct.zero)(HllDistinct.reduce)
+      // the raw harmonic estimate is in the correction regime here
+      assert(Hll.rawEstimate(buf) <= 2.5 * Hll.M)
+      val est = HllDistinct.finish(buf)
+      assert(math.abs(est - n) / n < 0.25, s"n=$n est=$est")
+      // finish took the linear-counting branch (pure function of zeros)
+      val zeros = buf.count(_ == 0)
+      assert(est == Hll.linearCount(zeros))
+    }
+  }
+
   test("duplicates do not move the estimate") {
     val xs = (1L to 500L).map(_ * 31L)
     val once = HllDistinct.finish(sketch(xs))
