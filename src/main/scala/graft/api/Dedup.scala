@@ -54,24 +54,30 @@ object Dedup {
     require(bands * rows == MinHashConstants.K,
       s"bands*rows must equal ${MinHashConstants.K}")
     val docs = shingled(df, idCol, textCol).filter(col("nh") > 0)
-      .select(col("doc_id"), col("hs"), col("nh"),
-        HashFunctions.minhashSig(col("hs")).as("sig"))
-    val banded = docs.select(
-      col("doc_id"), col("hs"), col("nh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => bandKey(col("sig"), b, rows))))
+    // Slim band join: only (doc_id, band, bkey) shuffles during candidate
+    // generation — the hs arrays would otherwise be copied bands× through
+    // the exchange. Candidates dedupe BEFORE verification, so the exact
+    // intersect runs once per pair, not once per colliding band.
+    val banded = docs
+      .select(col("doc_id"), HashFunctions.minhashSig(col("hs")).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => bandKey(col("sig"), b, rows))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val inter = HashFunctions.sortedIntersectCount(col("a.hs"), col("b.hs"))
-    val jac = inter.cast("double") / (col("a.nh") + col("b.nh") - inter)
-    a.join(b,
+    val cands = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jac.as("jac"))
-      .filter(col("jac") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Re-attach the shingle sets once per surviving candidate side.
+    val da = docs.select(col("doc_id"), col("hs").as("hs_a"), col("nh").as("nh_a"))
+    val db = docs.select(col("doc_id"), col("hs").as("hs_b"), col("nh").as("nh_b"))
+    val inter = HashFunctions.sortedIntersectCount(col("hs_a"), col("hs_b"))
+    val jac = inter.cast("double") / (col("nh_a") + col("nh_b") - inter)
+    cands.join(da, cands("doc_a") === da("doc_id")).drop("doc_id")
+      .join(db, col("doc_b") === db("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      .filter(col("jac") >= threshold)
   }
 
   /** SimHash near-dup pairs: fused 64-bit signature, pigeonhole-complete
@@ -101,27 +107,45 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: hyperplane-LSH band candidates, exact
-    * cosine verification. Output: (vec_a, vec_b, cos). */
+    * cosine verification. Output: (vec_a, vec_b, cos).
+    *
+    * `probes` enables multi-probe LSH: the probe side of the band join
+    * also visits that many Hamming-1 neighbor buckets per table (bit p
+    * flipped, p < probes), finding every pair whose table signatures
+    * differ in ≤1 of the probed bits. Hamming-1 adjacency is symmetric,
+    * so expanding ONE side of the self-join is complete. Candidates stay
+    * O(n·tables·(1+probes)) — recall at the low-similarity end grows
+    * ~linearly in probes without adding hash tables (each of which
+    * would re-shuffle the corpus). */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-      tables: Int, planes: Int, threshold: Double): DataFrame = {
+      tables: Int, planes: Int, threshold: Double, probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= planes,
+      s"probes must be in [0, planes=$planes], got $probes")
     VectorFunctions.register(df.sparkSession)
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       VectorFunctions.norm(col(vecCol)).as("nrm"))
-    val tagged = e.select(
-        col("vec_id"), col("embedding"), col("nrm"),
+    // Same slim-candidate shape as jaccardPairs: only (vec_id, tbl, sig)
+    // shuffles through the band join; embeddings attach once per pair.
+    val tagged = e.select(col("vec_id"),
         posexplode(VectorFunctions.lshSignatures(col("embedding"), tables, planes)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
-    val a = tagged.alias("a")
-    val b = tagged.alias("b")
-    val cos = VectorFunctions.cosinePre(
-      VectorFunctions.dot(col("a.embedding"), col("b.embedding")),
-      col("a.nrm"), col("b.nrm"))
-    a.join(b,
+    val probed =
+      if (probes == 0) tagged
+      else tagged.select(col("vec_id"), col("tbl"),
+        explode(array(col("sig") +:
+          (0 until probes).map(p => col("sig").bitwiseXOR(lit(1L << p))): _*)).as("sig"))
+    val cands = probed.alias("a").join(tagged.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cos.as("cos"))
-      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+    val ea = e.select(col("vec_id"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val eb = e.select(col("vec_id"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("emb_a"), col("emb_b")), col("nrm_a"), col("nrm_b"))
+    cands.join(ea, cands("vec_a") === ea("vec_id")).drop("vec_id")
+      .join(eb, col("vec_b") === eb("vec_id")).drop("vec_id")
+      .select(col("vec_a"), col("vec_b"), cos.as("cos"))
+      .filter(col("cos") >= threshold)
   }
 }

@@ -304,7 +304,38 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
-  /** Random-hyperplane LSH signatures (integer-congruential planes). */
+  /** Plane coefficient for hyperplane LSH: the (t, p, d) lattice point
+    * pushed through two quadratic-scramble rounds mod P (the affine and
+    * quadratic constants shared with the HLL scramble). The raw lattice
+    * `(base + d·13007) mod smallPrime` that round 1 used produces planes
+    * with pairwise |cos| up to 1.0 (literally duplicated hyperplanes
+    * across tables), which capped multi-table recall; after scrambling,
+    * measured pairwise plane |cos| stays < 0.45 at d=64 and planted-pair
+    * recall matches fresh-gaussian planes. All arithmetic is exact
+    * BIGINT congruences (h < P ~ 2^31, so h*h < 2^62 never overflows)
+    * + one IEEE division — bit-reproducible in DuckDB. */
+  def planeCoef(t: Int, p: Int, d: Int): Double = {
+    import PolyHashConstants.P
+    var h = (t.toLong * 7919L + p.toLong * 104729L + d.toLong * 13007L) % P
+    h = (h * h + 2531011L) % P
+    h = (h * 1103515245L + 12345L) % P
+    h = (h * h + 2531011L) % P
+    h.toDouble / P - 0.5
+  }
+
+  // Memoized plane rows: the scramble is 4 multiply-mods per
+  // coefficient, so computing it inside the per-vector loop would cost
+  // tables*planes*dim*4 mults per row. Planes depend only on (t, p, n);
+  // a session processes a handful of geometries, so the cache stays
+  // tiny (one double[] per plane per seen dimension).
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]
+  private def planeRow(t: Int, p: Int, n: Int): Array[Double] =
+    planeCache.computeIfAbsent((t, p, n), { key =>
+      Array.tabulate(key._3)(d => planeCoef(key._1, key._2, d))
+    })
+
+  /** Random-hyperplane LSH signatures (scrambled-congruence planes). */
   def lshSignatures(x: ArrayData, tables: Int, planes: Int): ArrayData = {
     val n = x.numElements()
     val out = new Array[Long](tables)
@@ -313,12 +344,11 @@ object HashKernels {
       var sig = 0L
       var p = 0
       while (p < planes) {
+        val row = planeRow(t, p, n)
         var dot = 0.0
         var d = 0
-        val base = t * 7919 + p * 104729
         while (d < n) {
-          val c = ((base + d * 13007) % 2039).toDouble / 2039.0 - 0.5
-          dot += x.getFloat(d).toDouble * c
+          dot += x.getFloat(d).toDouble * row(d)
           d += 1
         }
         if (dot >= 0) sig |= (1L << p)

@@ -73,8 +73,10 @@ object SimConstants {
 
 /** Random-hyperplane LSH signatures, one per hash table, in a single
   * native pass. Coefficients are exact integer congruences (no RNG, no
-  * libm) so signatures are deterministic on any engine/platform:
-  * coef(t,p,d) = ((t*7919 + p*104729 + d*13007) mod 2039)/2039 - 0.5.
+  * libm) so signatures are deterministic on any engine/platform: the
+  * (t,p,d) lattice point double-quadratic-scrambled mod P — see
+  * [[HashKernels.planeCoef]] for the formula and why the scramble
+  * matters (the raw lattice duplicated planes across tables).
   * Output: array<long> of `tables` signatures, bit p of signature t set
   * iff dot(plane_{t,p}, v) >= 0.
   */
@@ -138,10 +140,17 @@ object VectorFunctions {
     * [[LshSignatures]] (same integer-congruential plane coefficients). */
   def lshSigsSql(tables: Int, planes: Int): String = {
     def planeDot(t: Int, p: Int) = {
-      val base = t * 7919 + p * 104729
+      val P = PolyHashConstants.P
+      val base = t.toLong * 7919L + p.toLong * 104729L
+      // HashKernels.planeCoef inlined (h0 duplicated through the nested
+      // scrambles — generated text, DuckDB folds it per element)
+      val h0 = s"(($base + (i-1)*13007) % $P)"
+      val h1 = s"(($h0 * $h0 + 2531011) % $P)"
+      val h2 = s"(($h1 * 1103515245 + 12345) % $P)"
+      val h3 = s"(($h2 * $h2 + 2531011) % $P)"
       s"list_reduce(list_transform(range(1, len(embedding)+1), " +
         s"i -> CAST(embedding[i] AS DOUBLE) * " +
-        s"((($base + (i-1)*13007) % 2039) / 2039.0 - 0.5)), (x, y) -> x + y)"
+        s"($h3 / $P.0 - 0.5)), (x, y) -> x + y)"
     }
     def sig(t: Int) = (0 until planes).map { p =>
       s"(CASE WHEN ${planeDot(t, p)} >= 0 THEN ${1L << p} ELSE 0 END)"

@@ -150,31 +150,40 @@ object DedupQueries {
   // Candidates from hyperplane-LSH band buckets (the s2 machinery with a
   // dedup-tuned geometry), exact-cosine verification inside buckets via
   // the native FloatVecDot expression. The join is an equi-join on
-  // (tbl, sig) — O(n·tables) shuffled rows, never an all-pairs
-  // BroadcastNestedLoopJoin. Selectivity knob: planes ~ log(corpus) keeps
-  // expected bucket size bounded as n grows; 6 planes × 8 tables is the
-  // fixture's point (recall ≥ 0.98 for true near-dups at cos ≥ 0.9; the
-  // fixture's max pair cos is 0.51, so the 0.4 threshold deliberately
-  // probes the low-similarity regime where one-shot LSH recall is ~0.5 —
-  // more tables or multi-probe buys recall linearly at that end).
+  // (tbl, sig) — O(n·tables·(1+probes)) shuffled rows, never an
+  // all-pairs BroadcastNestedLoopJoin. Selectivity knob: planes ~
+  // log(corpus) keeps expected bucket size bounded as n grows; 6 planes
+  // × 8 tables is the fixture's point (the fixture's max pair cos is
+  // 0.51, so the 0.4 threshold deliberately probes the low-similarity
+  // regime). Full Hamming-1 multi-probe (probes = planes) lifts recall
+  // there from ~0.5 one-shot to ≥0.9 (DedupSpec planted-pair property)
+  // without adding tables — probing neighbor buckets costs slim
+  // (id, tbl, sig) candidate rows, not another corpus re-shuffle.
   private val DupTables = 8
   private val DupPlanes = 6
 
   private def embedDup(s: SparkSession, dir: String): DataFrame =
     graft.api.Dedup.embeddingPairs(Tables.embeddings(s, dir),
-      "vec_id", "embedding", DupTables, DupPlanes, 0.4)
+      "vec_id", "embedding", DupTables, DupPlanes, 0.4, probes = DupPlanes)
 
   private val embedDupSql = {
     val cos = s"(${VectorFunctions.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm))"
+    // probe expansion: sig itself plus each single-bit flip (Hamming-1)
+    val probeBranches = ("SELECT vec_id, embedding, nrm, tbl, sig FROM sigs" +:
+      (0 until DupPlanes).map(p =>
+        s"SELECT vec_id, embedding, nrm, tbl, xor(sig, ${1L << p}) AS sig FROM sigs"))
+      .mkString("\nUNION ALL\n")
     s"""WITH c AS (
        |  SELECT vec_id, embedding,
        |    sqrt(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
        |sigs AS (
-       |${VectorFunctions.lshSigsSql(DupTables, DupPlanes)})
+       |${VectorFunctions.lshSigsSql(DupTables, DupPlanes)}),
+       |probes AS (
+       |$probeBranches)
        |SELECT DISTINCT vec_a, vec_b, cos FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos
-       |  FROM sigs a JOIN sigs b
+       |  FROM probes a JOIN sigs b
        |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id) p
        |WHERE cos >= 0.4""".stripMargin
   }

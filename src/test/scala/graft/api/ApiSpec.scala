@@ -53,6 +53,48 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((10L, 11L)))
   }
 
+  test("multi-probe LSH recall >= 0.9 on planted pairs in the cos~0.4-0.5 regime") {
+    // Planted-pair fixture: 60 random unit vectors (fixed seed —
+    // deterministic), each with a partner at a known cosine in
+    // [0.42, 0.50], i.e. exactly the low-similarity regime where
+    // one-shot 8x6 hyperplane LSH has recall ~0.5.
+    val rnd = new scala.util.Random(42)
+    val d = 64
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val base = (0 until 60).map(_ => unit(Array.fill(d)(rnd.nextGaussian())))
+    val rows = base.zipWithIndex.flatMap { case (u, i) =>
+      val c = 0.42 + 0.08 * (i / 59.0)
+      val w0 = Array.fill(d)(rnd.nextGaussian())
+      val proj = (0 until d).map(k => u(k) * w0(k)).sum
+      val w = unit((0 until d).map(k => w0(k) - proj * u(k)).toArray)
+      val partner = (0 until d).map(k => c * u(k) + math.sqrt(1 - c * c) * w(k)).toArray
+      Seq((i.toLong, u.map(_.toFloat)), (1000L + i, partner.map(_.toFloat)))
+    }
+    val vecs = spark.createDataFrame(rows).toDF("vid", "v")
+    // ground truth by brute force on the float-rounded vectors
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        (0 until d).map(k => x(k).toDouble * y(k).toDouble).sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val truth = (for {
+      x <- rows; y <- rows if x._1 < y._1 && cos(x._2, y._2) >= 0.4
+    } yield (x._1, y._1)).toSet
+    assert(truth.size >= 60) // the 60 planted pairs, plus any incidental ones
+    def found(probes: Int): Set[(Long, Long)] =
+      Dedup.embeddingPairs(vecs, "vid", "v", tables = 8, planes = 6,
+          threshold = 0.4, probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = found(6)
+    assert(multi.subsetOf(truth)) // exact verification: no false positives
+    val recall = multi.size.toDouble / truth.size
+    assert(recall >= 0.9, s"multi-probe recall $recall (${multi.size}/${truth.size})")
+    assert(found(0).size < multi.size) // one-shot LSH misses pairs multi-probe finds
+  }
+
   test("Similarity.cosineTopK ranks the closest vector first") {
     val corpus = spark.createDataFrame(Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),

@@ -100,16 +100,24 @@ class KernelSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("lshSignatures equals a direct hyperplane-sign reference") {
-    def reference(v: Seq[Float], tables: Int, planes: Int): Seq[Long] =
+    def reference(v: Seq[Float], tables: Int, planes: Int): Seq[Long] = {
+      val P = PolyHashConstants.P
+      def coef(t: Int, p: Int, d: Int): Double = {
+        val h0 = (t.toLong * 7919L + p.toLong * 104729L + d.toLong * 13007L) % P
+        val h1 = (h0 * h0 + 2531011L) % P
+        val h2 = (h1 * 1103515245L + 12345L) % P
+        val h3 = (h2 * h2 + 2531011L) % P
+        h3.toDouble / P - 0.5
+      }
       (0 until tables).map { t =>
         (0 until planes).foldLeft(0L) { (sig, p) =>
-          val base = t * 7919 + p * 104729
           val dot = v.indices.foldLeft(0.0) { (acc, d) =>
-            acc + v(d).toDouble * (((base + d * 13007) % 2039).toDouble / 2039.0 - 0.5)
+            acc + v(d).toDouble * coef(t, p, d)
           }
           if (dot >= 0) sig | (1L << p) else sig
         }
       }
+    }
     val vecGen = Gen.listOfN(64, Gen.chooseNum(-5.0f, 5.0f))
     samples(vecGen, 20).foreach { v =>
       val got = HashKernels.lshSignatures(
