@@ -31,3 +31,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // suites share one SparkSession and a few tests toggle session confs
 // (AQE, broadcast threshold) — run suites sequentially for determinism
 Test / parallelExecution := false
+// LambdaSimSpec builds its own SparkContext on --master lambda://local-sim
+// (one context per JVM), so it runs in a separate forked test JVM;
+// sbt's default ForkedTestGroup limit of 1 keeps groups sequential
+Test / testGrouping := {
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (sim, rest) = (Test / definedTests).value
+    .partition(_.name.contains("LambdaSim"))
+  Seq(
+    Tests.Group("lambda-sim", sim, Tests.SubProcess(forkOpts)),
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts)))
+}

@@ -14,15 +14,17 @@ import org.apache.spark.scheduler.TaskSchedulerImpl;
  *
  * What is real here: master-URL dispatch, task scheduling (Spark's own
  * TaskSchedulerImpl — the component corral hand-rolls as its driver
- * loop, /root/reference/driver.go:129-193), and the task wire protocol
- * ({@link Protocol}). What is intentionally absent in this sandbox: the
- * SchedulerBackend that invokes a FaaS endpoint to launch executors —
- * it requires an AWS/FaaS control plane this environment doesn't have,
- * so it fails fast with a pointer to the design doc rather than
- * pretending. LAMBDA.md 4 specifies its contract (invoke function ->
- * executor dials back -> 15-minute lease decommission -> object-store
- * shuffle), and the protocol payloads it would exchange are the tested
- * types in {@link Protocol}.
+ * loop, /root/reference/driver.go:129-193), the task wire protocol
+ * ({@link Protocol}), and the scheduler backend
+ * (org.apache.spark.scheduler.cluster.lambda.LambdaSchedulerBackend)
+ * that leases executors from a FaaS endpoint through the
+ * {@link FaasClient} seam. {@code lambda://local-sim} runs against the
+ * in-sandbox simulator ({@link LocalProcessFaasClient}: one fresh JVM
+ * process per invocation, hosting an executor that dials back to the
+ * driver — LAMBDA.md 4's lease contract end to end). Any other function
+ * name requires a real AWS/FaaS control plane, which this environment
+ * doesn't have, so it fails fast with a pointer to the design doc
+ * rather than pretending.
  *
  * (Java rather than Scala: the SPI is private[spark] at the Scala
  * level but public in bytecode; implementing it from Java keeps this
@@ -31,6 +33,10 @@ import org.apache.spark.scheduler.TaskSchedulerImpl;
 public final class LambdaClusterManager implements ExternalClusterManager {
 
   public static final String SCHEME = "lambda://";
+
+  /** Function name running the local FaaS simulator (one JVM process
+   * per invocation) instead of a remote endpoint. */
+  public static final String LOCAL_SIM = "local-sim";
 
   @Override
   public boolean canCreate(String masterURL) {
@@ -45,9 +51,14 @@ public final class LambdaClusterManager implements ExternalClusterManager {
   @Override
   public SchedulerBackend createSchedulerBackend(
       SparkContext sc, String masterURL, TaskScheduler scheduler) {
+    String function = functionName(masterURL);
+    if (LOCAL_SIM.equals(function)) {
+      return new org.apache.spark.scheduler.cluster.lambda.LambdaSchedulerBackend(
+          (TaskSchedulerImpl) scheduler, sc, function, new LocalProcessFaasClient());
+    }
     throw new UnsupportedOperationException(
-        "lambda:// scheduler backend requires a FaaS endpoint; see LAMBDA.md 4 "
-            + "(function name: " + functionName(masterURL) + ")");
+        "lambda://" + function + " requires a real FaaS endpoint; see LAMBDA.md 4 "
+            + "(use lambda://" + LOCAL_SIM + " for the in-sandbox simulator)");
   }
 
   @Override

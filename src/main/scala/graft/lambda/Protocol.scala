@@ -48,6 +48,20 @@ object Protocol {
     * (`/root/reference/task.go:30-33`). */
   final case class TaskResult(bytesRead: Long, bytesWritten: Long)
 
+  /** Launch payload for one executor lease — the graft extension to the
+    * wire protocol (LAMBDA.md §2's inversion: Spark leases *executors*
+    * from the FaaS, where corral ships one *task* per invoke). Field
+    * names follow the same Go `json.Marshal` convention as [[TaskSpec]]
+    * so a shared function entrypoint can dispatch on payload shape
+    * during a corral→graft cutover. */
+  final case class ExecutorLease(
+      appId: String,
+      executorId: String,
+      driverUrl: String,
+      cores: Int,
+      memoryMb: Int,
+      leaseSeconds: Int)
+
   // -- wire encode/decode (Go json.Marshal field names) -----------------
 
   def toJson(t: TaskSpec): String = JsonMethods.compact(JsonMethods.render(
@@ -100,5 +114,25 @@ object Protocol {
   def resultFromJson(json: String): TaskResult = {
     val v = JsonMethods.parse(json)
     TaskResult(long(v, "BytesRead"), long(v, "BytesWritten"))
+  }
+
+  def toJson(l: ExecutorLease): String = JsonMethods.compact(JsonMethods.render(
+    JObject(
+      "AppID" -> JString(l.appId),
+      "ExecutorID" -> JString(l.executorId),
+      "DriverURL" -> JString(l.driverUrl),
+      "Cores" -> JInt(l.cores),
+      "MemoryMB" -> JInt(l.memoryMb),
+      "LeaseSeconds" -> JInt(l.leaseSeconds))))
+
+  def leaseFromJson(json: String): ExecutorLease = {
+    val v = JsonMethods.parse(json)
+    ExecutorLease(
+      appId = str(v, "AppID"),
+      executorId = str(v, "ExecutorID"),
+      driverUrl = str(v, "DriverURL"),
+      cores = long(v, "Cores").toInt,
+      memoryMb = long(v, "MemoryMB").toInt,
+      leaseSeconds = long(v, "LeaseSeconds").toInt)
   }
 }

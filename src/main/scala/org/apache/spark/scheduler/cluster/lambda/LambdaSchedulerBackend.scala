@@ -1,0 +1,156 @@
+package org.apache.spark.scheduler.cluster.lambda
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.concurrent.Future
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.SparkContext
+import org.apache.spark.resource.ResourceProfile
+import org.apache.spark.rpc.RpcEndpointAddress
+import org.apache.spark.scheduler.TaskSchedulerImpl
+import org.apache.spark.scheduler.cluster.CoarseGrainedSchedulerBackend
+
+import graft.lambda.{FaasClient, FaasInvocation, Protocol}
+
+/** Scheduler backend that leases executors from a FaaS endpoint
+  * (LAMBDA.md §3.2/§4). Lives under `org.apache.spark.scheduler.cluster`
+  * because `CoarseGrainedSchedulerBackend` is `private[spark]` — the
+  * same placement Spark's own standalone/YARN/k8s backends use; all
+  * graft-owned logic (wire protocol, invoke client, retry policy) stays
+  * in `graft.lambda` behind the [[graft.lambda.FaasClient]] seam.
+  *
+  * Contract (LAMBDA.md §4):
+  *  - one function invocation == one short-lived executor lease; the
+  *    invocation bootstraps a `CoarseGrainedExecutorBackend` that dials
+  *    the driver (outbound-only, FaaS-compatible networking);
+  *  - a supervisor loop maintains the target executor count, replacing
+  *    dead or lease-expired invocations (the reference re-invokes per
+  *    task, `/root/reference/driver.go:129-193`; here Spark's own
+  *    DAGScheduler/TaskSchedulerImpl handle task redistribution and the
+  *    backend only manages capacity);
+  *  - invocation submission failures retry `FaasClient.MaxInvokeRetries`
+  *    times (parity: `MaxLambdaRetries = 3`, corlambda/client.go:27-29);
+  *  - lease expiry kills the invocation and lets the supervisor replace
+  *    it — the spot-instance-loss failure model, which Spark already
+  *    handles via `spark.task.maxFailures` + stage re-attempts.
+  */
+class LambdaSchedulerBackend(
+    scheduler: TaskSchedulerImpl,
+    sc: SparkContext,
+    val functionName: String,
+    client: FaasClient)
+  extends CoarseGrainedSchedulerBackend(scheduler, sc.env.rpcEnv) {
+
+  private val targetExecutors =
+    new AtomicInteger(conf.getInt("spark.executor.instances", 2))
+  /** 0 disables lease expiry; real Lambda caps at 900s. */
+  private val leaseSeconds = conf.getInt("spark.graft.lambda.leaseSeconds", 900)
+  private val execCores = conf.getInt("spark.executor.cores", 1)
+  private val execMemMb = conf.getSizeAsMb("spark.executor.memory", "1g").toInt
+
+  private val invocations = new ConcurrentHashMap[String, FaasInvocation]()
+  private val nextExecutorId = new AtomicInteger(0)
+  @volatile private var stopping = false
+
+  private val supervisor = Executors.newSingleThreadScheduledExecutor { r =>
+    val t = new Thread(r, "faas-lease-supervisor")
+    t.setDaemon(true)
+    t
+  }
+
+  override def start(): Unit = {
+    super.start()
+    supervisor.scheduleWithFixedDelay(() => superviseSafely(), 0L, 250L,
+      TimeUnit.MILLISECONDS)
+  }
+
+  private def driverUrl: String = RpcEndpointAddress(
+    conf.get("spark.driver.host"),
+    conf.get("spark.driver.port").toInt,
+    CoarseGrainedSchedulerBackend.ENDPOINT_NAME).toString
+
+  private def superviseSafely(): Unit =
+    try supervise()
+    catch {
+      case _: InterruptedException => ()
+      case e: Exception => logWarning(s"lease supervisor: ${e.getMessage}")
+    }
+
+  /** One supervision round: reap dead invocations, expire leases, then
+    * top back up to the target count. Synchronized so a concurrent
+    * doKillExecutors/stop sees a consistent invocation table. */
+  private def supervise(): Unit = synchronized {
+    if (stopping) return
+    invocations.asScala.toSeq.foreach { case (id, inv) =>
+      if (!inv.isAlive) {
+        invocations.remove(id) // driver also observes the RPC disconnect
+      } else if (leaseSeconds > 0 && inv.ageSeconds >= leaseSeconds) {
+        logInfo(s"executor $id lease expired after ${inv.ageSeconds}s; reclaiming")
+        inv.kill()
+        invocations.remove(id)
+      }
+    }
+    var live = invocations.size
+    while (live < targetExecutors.get() && !stopping) {
+      launchOne()
+      live += 1
+    }
+  }
+
+  private def launchOne(): Unit = {
+    val id = nextExecutorId.getAndIncrement().toString
+    val lease = Protocol.ExecutorLease(
+      appId = applicationId(),
+      executorId = id,
+      driverUrl = driverUrl,
+      cores = execCores,
+      memoryMb = execMemMb,
+      leaseSeconds = leaseSeconds)
+    val inv = FaasClient.invokeWithRetries(client, functionName, Protocol.toJson(lease))
+    invocations.put(id, inv)
+  }
+
+  /** Dynamic-allocation hook: adopt the requested total as the lease
+    * target; the supervisor converges to it. */
+  override def doRequestTotalExecutors(
+      resourceProfileToTotalExecs: Map[ResourceProfile, Int]): Future[Boolean] = {
+    val requested = resourceProfileToTotalExecs.values.sum
+    if (requested > 0) targetExecutors.set(requested)
+    Future.successful(true)
+  }
+
+  override def doKillExecutors(executorIds: Seq[String]): Future[Boolean] = synchronized {
+    executorIds.foreach { id =>
+      Option(invocations.remove(id)).foreach(_.kill())
+    }
+    Future.successful(true)
+  }
+
+  override def stop(): Unit = {
+    stopping = true
+    supervisor.shutdownNow()
+    try super.stop()
+    finally synchronized {
+      invocations.asScala.values.foreach(_.kill())
+      invocations.clear()
+      client.close()
+    }
+  }
+
+  // -- test/diagnostic surface -------------------------------------------
+
+  /** Executor ids with a live function invocation. */
+  def liveInvocationIds: Set[String] =
+    invocations.asScala.filter(_._2.isAlive).keySet.toSet
+
+  /** Abruptly kill one invocation (simulated sandbox loss). Returns
+    * false if the executor id has no live invocation. */
+  def killInvocation(executorId: String): Boolean = synchronized {
+    Option(invocations.remove(executorId)) match {
+      case Some(inv) => inv.kill(); true
+      case None => false
+    }
+  }
+}

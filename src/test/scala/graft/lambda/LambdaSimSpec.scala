@@ -1,0 +1,97 @@
+package graft.lambda
+
+import org.apache.spark.graft.SchedulerBackdoor
+import org.apache.spark.scheduler.cluster.lambda.LambdaSchedulerBackend
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end FaaS-simulator run: `--master lambda://local-sim` leases
+  * real executor JVM processes through the SPI-discovered cluster
+  * manager (the e2e twin of the reference's mocked-lambda job test,
+  * `/root/reference/lambda_test.go:20-141`). Runs in its own forked
+  * test JVM (see build.sbt testGrouping) because it owns the
+  * SparkContext. */
+class LambdaSimSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("lambda://" + LambdaClusterManager.LOCAL_SIM)
+      .appName("graft-lambda-sim")
+      .config("spark.executor.instances", "2")
+      .config("spark.executor.cores", "1")
+      .config("spark.executor.memory", "700m")
+      .config("spark.driver.host", "localhost")
+      .config("spark.driver.bindAddress", "localhost")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def backend: LambdaSchedulerBackend =
+    SchedulerBackdoor.backend(spark.sparkContext).asInstanceOf[LambdaSchedulerBackend]
+
+  private def eventually[A](timeoutSec: Int)(body: => A): A = {
+    val deadline = System.nanoTime() + timeoutSec * 1000000000L
+    var last: Throwable = null
+    while (System.nanoTime() < deadline) {
+      try return body
+      catch { case e: Throwable => last = e; Thread.sleep(250) }
+    }
+    throw new AssertionError(s"condition not met within ${timeoutSec}s", last)
+  }
+
+  test("job runs on >= 2 simulated function invocations with correct results") {
+    assert(backend.functionName == LambdaClusterManager.LOCAL_SIM)
+    // two leases live (the supervisor converges to spark.executor.instances)
+    eventually(90) {
+      val live = backend.liveInvocationIds
+      assert(live.size == 2, s"live invocations: $live")
+    }
+    // a shuffle job across the leased executors, checked exactly
+    val df = spark.range(0, 10000, 1, 8)
+      .groupBy((col("id") % 10).as("k")).agg(sum("id").as("s"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == (0L until 10L).toSet)
+    assert(rows(0L) == (0L until 10000L by 10).sum)
+    assert(rows.values.sum == (0L until 10000L).sum)
+    // the work really ran on the dialed-back executors, not the driver
+    eventually(30) {
+      val execs = spark.sparkContext.statusTracker.getExecutorInfos
+      assert(execs.length >= 3, s"expected driver + 2 executors, got ${execs.length}")
+    }
+  }
+
+  test("killing one invocation mid-stream: tasks reschedule, lease is replaced") {
+    val before = eventually(90) {
+      val live = backend.liveInvocationIds
+      assert(live.size == 2); live
+    }
+    val victim = before.min
+    assert(backend.killInvocation(victim))
+    assert(!backend.killInvocation(victim)) // already gone
+
+    // job submitted right after the kill still completes correctly —
+    // Spark re-queues the dead executor's tasks (reference parity:
+    // per-invocation retry, corlambda client.go:267-276; here Spark's
+    // task-level retry does the work)
+    val total = spark.range(0, 50000, 1, 16)
+      .select(sum("id")).collect().head.getLong(0)
+    assert(total == 49999L * 50000L / 2)
+
+    // the supervisor re-invokes to restore the target count, with a
+    // fresh executor id (a new function invocation, not a reconnect)
+    eventually(90) {
+      val live = backend.liveInvocationIds
+      assert(live.size == 2 && !live.contains(victim), s"live: $live")
+    }
+    val replacement = backend.liveInvocationIds.diff(before)
+    assert(replacement.nonEmpty)
+  }
+}
