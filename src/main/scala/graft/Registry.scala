@@ -11,6 +11,7 @@ object Registry {
       operators.SessionQueries.all ++
       operators.TemporalQueries.all ++
       operators.PipelineQueries.all ++
+      operators.SamplingQueries.all ++
       operators.TypedQueries.all ++
       multimodal.Multimodal.all ++
       mr.MRQueries.all

@@ -148,4 +148,48 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), cos.as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Connected components over near-dup pairs: (doc_id, group_id) with
+    * group_id = the minimum doc id in the component — the step that
+    * turns PAIRS into KEEP/DROP decisions (keep group_id, drop the
+    * rest), which is what a dedup pipeline actually executes.
+    *
+    * Algorithm: min-label propagation to a fixpoint. Each iteration is
+    * one slim equi-join (edges ⋈ labels) + a min-aggregate — O(E)
+    * shuffled rows of two longs — and converges in ≤ graph-diameter
+    * iterations. Near-dup clusters are dense (diameter is small, 2-3
+    * hops), so the loop runs a handful of rounds at any corpus size;
+    * labels are localCheckpoint'd per round to keep lineage flat. For
+    * adversarial diameters (long chains) the large-star/small-star
+    * contraction [Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"] halves diameter per round; not needed for dedup
+    * graphs. Only ids appearing in some pair get a row — unpaired docs
+    * are their own trivial groups by definition. */
+  def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val ed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // scanned every iteration
+    var labels = ed.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // labels flow one hop along (symmetric) edges; keep the min
+      val prop = ed.join(labels, ed("dst") === labels("v"))
+        .select(ed("src").as("v"), labels("lbl"))
+      val next = labels.union(prop)
+        .groupBy("v").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      converged = next.alias("n").join(labels.alias("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters iterations")
+    labels.select(col("v").as("doc_id"), col("lbl").as("group_id"))
+  }
 }

@@ -1,0 +1,65 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHashConstants
+
+/** Deterministic sampling operators for training-data pipelines —
+  * corpus rebalancing ("downsample the dominant language / source to a
+  * target mix") without RNG state: a row's fate is a pure function of
+  * its id, so the sample is reproducible across runs, engines, and
+  * retries (a task retry CANNOT change the sample — the property that
+  * makes sampling safe under Spark's recompute-on-failure model).
+  *
+  * Keep rule: scramble(id) mod P < fraction·P, with the affine+
+  * quadratic scramble mod P shared with the HLL/LSH kernels — exact
+  * BIGINT congruences replayed verbatim by the DuckDB oracle. The hash
+  * is uniform on [0, P), so the realized rate concentrates at the
+  * requested fraction (±O(1/√n) per stratum).
+  */
+object Sampling {
+  import PolyHashConstants.P
+
+  private val A1 = 1103515245L
+  private val B1 = 12345L
+  private val B2 = 2531011L
+
+  /** scramble(id) ∈ [0, P): ((id mod P)·A1+B1 mod P)² + B2 mod P.
+    * All intermediates < 2^62 — no overflow in Long or DuckDB BIGINT. */
+  private def scramble(id: Column): Column = {
+    val h = (pmod(id, lit(P)) * A1 + B1) % P
+    (h * h + B2) % P
+  }
+
+  /** Same congruence as a DuckDB SQL fragment. */
+  def scrambleSql(id: String): String = {
+    val h = s"((($id % $P) * $A1 + $B1) % $P)"
+    s"(($h * $h + $B2) % $P)"
+  }
+
+  /** Uniform deterministic Bernoulli sample at `fraction`. */
+  def uniform(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(scramble(col(idCol)).cast("double") < lit(fraction * P))
+
+  /** Per-stratum deterministic sample: `fractions` maps stratum values
+    * to keep rates; strata not listed use `default`. One codegen'd
+    * filter — no shuffle, no per-stratum pass, pushdown-friendly. */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    require((default +: fractions.values.toSeq).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (k, f)) =>
+      when(col(strataCol) === lit(k), lit(f)).otherwise(acc)
+    }
+    df.filter(scramble(col(idCol)).cast("double") < frac * P)
+  }
+
+  /** DuckDB twin of [[stratified]]'s keep predicate. */
+  def stratifiedSql(strataCol: String, idCol: String,
+      fractions: Map[String, Double], default: Double): String = {
+    val cases = fractions.toSeq.sortBy(_._1)
+      .map { case (k, f) => s"WHEN '$k' THEN ${f}e0" }.mkString(" ")
+    s"CAST(${scrambleSql(idCol)} AS DOUBLE) < " +
+      s"(CASE $strataCol $cases ELSE ${default}e0 END) * $P"
+  }
+}

@@ -49,7 +49,13 @@ object DedupQueries {
   private val DD3Rows = K / DD3Bands
 
   /** DuckDB twin of [[graft.api.Dedup.jaccardPairs]]. */
-  private def bandSql(bands: Int, rows: Int, thr: Double): String = {
+  private def bandSql(bands: Int, rows: Int, thr: Double): String =
+    s"""WITH ${bandCtes(bands, rows)}
+       |SELECT doc_a, doc_b, jac FROM cand WHERE jac >= $thr""".stripMargin
+
+  /** CTE chain `toksrc → … → cand` shared by the band-join oracles
+    * (dd2/dd3 select pairs from `cand`; dd6 builds components on it). */
+  private def bandCtes(bands: Int, rows: Int): String = {
     val sigExprs = (0 until K).map { j =>
       s"list_min(list_transform(hs, h -> (h * ${As(j)} + ${Bs(j)}) % $Prime)) AS sg$j"
     }.mkString(",\n    ")
@@ -59,7 +65,7 @@ object DedupQueries {
     val branches = (0 until bands).map { b =>
       s"SELECT doc_id, hs, nh, $b AS band, ${bkey(b)} AS bkey FROM sigs"
     }.mkString("\nUNION ALL\n")
-    s"""WITH toksrc AS (
+    s"""toksrc AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
        |  FROM documents),
        |sh AS (
@@ -79,8 +85,7 @@ object DedupQueries {
        |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
        |      (a.nh + b.nh - len(list_intersect(a.hs, b.hs))) AS jac
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, jac FROM cand WHERE jac >= $thr""".stripMargin
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   // -- dd2: exact n-gram Jaccard, MinHash-band candidates ---------------
@@ -96,6 +101,28 @@ object DedupQueries {
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
     graft.api.Dedup.jaccardPairs(Tables.documents(s, dir),
       "doc_id", "text", DD3Bands, DD3Rows, 0.8)
+
+  // -- dd6: duplicate GROUPS — connected components over dd3 pairs ------
+  // The step that turns near-dup pairs into keep/drop decisions: each
+  // doc maps to the minimum doc_id of its connected component. Spark
+  // side is iterative min-label propagation (slim two-long rows per
+  // round, diameter-bounded rounds — see Dedup.duplicateGroups); the
+  // oracle computes the same fixpoint as a DuckDB recursive CTE over
+  // the shared band-candidate chain.
+  private def dupGroups(s: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.duplicateGroups(minhashLsh(s, dir), "doc_a", "doc_b")
+
+  private val dupGroupsSql =
+    s"""WITH RECURSIVE ${bandCtes(DD3Bands, DD3Rows)},
+       |pairs AS (SELECT doc_a, doc_b FROM cand WHERE jac >= 0.8),
+       |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |verts AS (SELECT DISTINCT a AS v FROM ed),
+       |reach AS (
+       |  SELECT v, v AS r FROM verts
+       |  UNION
+       |  SELECT reach.v, e.b AS r FROM reach JOIN ed e ON reach.r = e.a)
+       |SELECT v AS doc_id, MIN(r) AS group_id FROM reach GROUP BY v""".stripMargin
 
   // -- dd4: SimHash (64-bit) + Hamming-distance pairs -------------------
   // Per distinct token: polynomial hash → 64 affine mod-P votes (see
@@ -196,5 +223,6 @@ object DedupQueries {
       Some(bandSql(DD3Bands, DD3Rows, 0.8)), bench = true),
     QueryDef("dd4_simhash", simhash, Some(simhashSql), bench = true),
     QueryDef("dd5_embed_dup", embedDup, Some(embedDupSql), bench = true),
+    QueryDef("dd6_dup_groups", dupGroups, Some(dupGroupsSql)),
   )
 }

@@ -53,6 +53,44 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((10L, 11L)))
   }
 
+  test("Sampling is deterministic, per-stratum, and near the asked rate") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 4000L).map(i => (i, if (i % 4 == 0L) "en" else "xx"))
+    val df = rows.toDF("rid", "grp")
+    val sampled = Sampling.stratified(df, "grp", "rid",
+      Map("en" -> 0.2), default = 0.8)
+    val counts = sampled.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("en") / 1000.0 - 0.2) < 0.05)
+    assert(math.abs(counts("xx") / 3000.0 - 0.8) < 0.05)
+    // a rerun keeps the identical rows (pure function of id — task
+    // retries cannot change the sample)
+    val ids1 = sampled.select("rid").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratified(df, "grp", "rid", Map("en" -> 0.2), 0.8)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    assert(Sampling.uniform(df, "rid", 0.0).count() == 0)
+    assert(Sampling.uniform(df, "rid", 1.0).count() == 4000)
+    intercept[IllegalArgumentException](
+      Sampling.stratified(df, "grp", "rid", Map("en" -> 1.5)))
+  }
+
+  test("duplicateGroups finds connected components, including long chains") {
+    // components: {1..5} as a pure path (diameter 4 — forces several
+    // propagation rounds), {10,11,12} as a triangle, {20,21} as a pair
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L))).toDF("x", "y")
+    val got = Dedup.duplicateGroups(pairs, "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("multi-probe LSH recall >= 0.9 on planted pairs in the cos~0.4-0.5 regime") {
     // Planted-pair fixture: 60 random unit vectors (fixed seed —
     // deterministic), each with a partner at a known cosine in
