@@ -50,6 +50,31 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(col("cnt")).as("cms_est"))
   }
+
+  /** Build a Bloom filter over a long key column: one row, binary
+    * column `bloom` of mBits/8 bytes. Broadcast it against the fact
+    * side and probe with [[bloomProbe]] — the explicit runtime-filter
+    * semi-join: the fact table is pre-filtered by a k-hash membership
+    * test (kB of state) before any join machinery runs, the technique
+    * that turns a 100 TB fact⋈dim join into a scan that drops
+    * non-matching rows at the source. */
+  def bloomFilter(df: DataFrame, longCol: String, mBits: Int = 4096,
+      k: Int = 3): DataFrame = {
+    val agg = udaf(new graft.functions.Aggregators.BloomAgg(mBits, k),
+      Encoders.scalaLong)
+    df.agg(agg(col(longCol)).as("bloom"))
+  }
+
+  /** Rows of `fact` whose key column passes the bloom membership test
+    * (all matches kept, plus the deterministic false positives). */
+  def bloomProbe(fact: DataFrame, keyCol: String, bloom: DataFrame,
+      k: Int = 3): DataFrame = {
+    graft.functions.HashFunctions.register(fact.sparkSession)
+    fact.crossJoin(broadcast(bloom))
+      .filter(graft.functions.HashFunctions.bloomMightContain(
+        col("bloom"), col(keyCol), k))
+      .drop("bloom")
+  }
 }
 
 /** Bounded top-K rows per key as a partial+final aggregate with O(k)

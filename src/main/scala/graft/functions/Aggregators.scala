@@ -220,4 +220,33 @@ object Aggregators {
 
   /** The default M=64 instance (the qs1 oracle's sketch). */
   object HllDistinct extends HllDistinctAgg(Hll)
+
+  /** Bloom filter over long keys: buffer = mBits/8 bytes, reduce sets
+    * the key's k affine-mod-P bit positions, merge is bytewise OR (a
+    * commutative idempotent monoid → partial aggregation safe). The
+    * hash family is seed-free integer congruences, so an external
+    * oracle replays membership exactly — the reason this exists beside
+    * Spark's murmur-based BloomFilterAggregate. Probe with
+    * [[HashKernels.bloomMightContain]] / `bloom_might_contain`. */
+  class BloomAgg(val mBits: Int, val k: Int)
+      extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    require(mBits >= 8 && mBits % 8 == 0, s"mBits must be a positive multiple of 8, got $mBits")
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    override def zero: Array[Byte] = new Array[Byte](mBits / 8)
+    // clone before mutating — Spark may share buffer instances (TopKAgg)
+    override def reduce(b: Array[Byte], x: Long): Array[Byte] = {
+      val c = b.clone()
+      graft.functions.HashKernels.bloomSet(c, x, k)
+      c
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val c = new Array[Byte](a.length)
+      var i = 0
+      while (i < a.length) { c(i) = (a(i) | b(i)).toByte; i += 1 }
+      c
+    }
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
 }

@@ -255,6 +255,37 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** Bloom-filter membership probe: `bloom_might_contain(bloom, key, k)`
+  * over a binary sketch built by [[Aggregators.BloomAgg]]. mBits is
+  * carried by the sketch length (8·bytes), so the only geometry arg is
+  * the hash count k. Codegen'd — safe in the hot path of a runtime
+  * semi-join filter. */
+case class BloomMightContain(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects (binary, bigint), got $other")
+    }
+
+  override def nullSafeEval(b: Any, x: Any): Any =
+    HashKernels.bloomMightContain(
+      b.asInstanceOf[Array[Byte]], x.asInstanceOf[Long], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, x) =>
+      s"${ev.value} = graft.functions.HashKernels.bloomMightContain($b, $x, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashFunctions {
   val WinnowK = 8
   val WinnowW = 4
@@ -277,7 +308,13 @@ object HashFunctions {
       exprs => WinnowFingerprints(exprs.head, WinnowK, WinnowW), "built-in")
     reg.createOrReplaceTempFunction("tokenize_words",
       exprs => TokenizeWords(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
   }
+
+  def bloomMightContain(bloom: Column, key: Column, k: Int): Column =
+    call_function("bloom_might_contain", bloom, key, lit(k))
 
   def tokenizeWords(text: Column): Column = call_function("tokenize_words", text)
 

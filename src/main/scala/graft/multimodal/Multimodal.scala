@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+  /** Container-generic decode metadata. `width`/`height` are PIXEL
+    * dimensions only when `format` is an image ("png"/"jpeg"/"tiff"/
+    * "bmp"); for `format == "wav"` the same two slots carry
+    * (nFrames, channels) — dimension-like per-container facts, NOT
+    * pixels. Dispatch on `format` before interpreting them. */
   final case class MediaMeta(doc_id: Long, byte_len: Long, width: Int,
       height: Int, format: String)
 

@@ -154,10 +154,61 @@ object TypedQueries {
        |  FROM orders) t
        |WHERE rank <= ${TopK.K}""".stripMargin
 
+  // -- qs3: Bloom-filter runtime semi-join ------------------------------
+  // The explicit form of the 100 TB join optimization: build a kB-sized
+  // Bloom filter over the dim keys (BUILDING-segment customers), probe
+  // it as a codegen'd scan filter on the fact table (orders) BEFORE any
+  // join, then verify against the exact semi-join. The hash family is
+  // seed-free affine-mod-P (HashKernels.bloomPos), so the oracle
+  // replays every bit position: n_pass counts matches PLUS the
+  // deterministic false positives, n_true the exact matches — the gap
+  // IS the (1-e^(-kn/m))^k rate made visible and hash-checked.
+  private val BloomBits = 4096
+  private val BloomK = 3
+
+  private def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k")).distinct()
+    val bloom = graft.api.Sketches.bloomFilter(dim, "k", BloomBits, BloomK)
+    val passed = graft.api.Sketches.bloomProbe(
+      Tables.orders(s, dir), "o_custkey", bloom, BloomK)
+    passed.join(broadcast(dim), passed("o_custkey") === dim("k"), "left_outer")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_pass"), count(col("k")).as("n_true"))
+  }
+
+  private val bloomSemiJoinSql: String = {
+    import graft.functions.PolyHashConstants.{P, SimA, SimB}
+    // HashKernels.bloomPos verbatim: affine then quadratic scramble
+    def pos(i: Int, key: String) = {
+      val h = s"((($key % $P) * ${SimA(i)} + ${SimB(i)}) % $P)"
+      s"($h * $h + 2531011) % $P % $BloomBits"
+    }
+    val bits = (0 until BloomK)
+      .map(i => s"  SELECT DISTINCT ${pos(i, "k")} AS pos FROM dim")
+      .mkString("\n  UNION\n")
+    val probe = (0 until BloomK)
+      .map(i => s"${pos(i, "o_custkey")} IN (SELECT pos FROM bits)")
+      .mkString("\n    AND ")
+    s"""WITH dim AS (
+       |  SELECT DISTINCT c_custkey AS k FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |bits AS (
+       |$bits),
+       |passed AS (
+       |  SELECT o_orderstatus, o_custkey FROM orders
+       |  WHERE $probe)
+       |SELECT o_orderstatus, COUNT(*) AS n_pass,
+       |  COUNT(CASE WHEN o_custkey IN (SELECT k FROM dim) THEN 1 END) AS n_true
+       |FROM passed GROUP BY o_orderstatus""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a1_typed_agg", typedAgg, Some(typedAggSql)),
     QueryDef("qs1_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     QueryDef("qs2_cms_topk", cmsTopK, Some(cmsTopKSql)),
+    QueryDef("qs3_bloom_semijoin", bloomSemiJoin, Some(bloomSemiJoinSql)),
     QueryDef("q30_topk_agg", topKAgg, Some(topKAggSql), bench = true),
   )
 }
