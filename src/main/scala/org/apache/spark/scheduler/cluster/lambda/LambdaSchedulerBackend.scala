@@ -47,10 +47,21 @@ class LambdaSchedulerBackend(
     new AtomicInteger(conf.getInt("spark.executor.instances", 2))
   /** 0 disables lease expiry; real Lambda caps at 900s. */
   private val leaseSeconds = conf.getInt("spark.graft.lambda.leaseSeconds", 900)
+  /** With `spark.decommission.enabled`, an invocation is gracefully
+    * decommissioned this long before lease expiry (no new tasks; a
+    * replacement launches immediately, so capacity never dips) and only
+    * killed at expiry proper. Without decommission, expiry is an abrupt
+    * kill — the spot-loss model. */
+  private val leaseGraceSeconds =
+    conf.getInt("spark.graft.lambda.leaseGraceSeconds", 60)
+  private val decommissionEnabled =
+    conf.getBoolean("spark.decommission.enabled", false)
   private val execCores = conf.getInt("spark.executor.cores", 1)
   private val execMemMb = conf.getSizeAsMb("spark.executor.memory", "1g").toInt
 
   private val invocations = new ConcurrentHashMap[String, FaasInvocation]()
+  private val decommissioning =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val nextExecutorId = new AtomicInteger(0)
   @volatile private var stopping = false
 
@@ -79,23 +90,48 @@ class LambdaSchedulerBackend(
     }
 
   /** One supervision round: reap dead invocations, expire leases, then
-    * top back up to the target count. Synchronized so a concurrent
-    * doKillExecutors/stop sees a consistent invocation table. */
-  private def supervise(): Unit = synchronized {
+    * top back up to the target count. Runs on the single supervisor
+    * thread over concurrent maps — deliberately NOT synchronized on
+    * this backend: decommissionExecutors takes the TaskSchedulerImpl
+    * lock, and Spark's dispatcher calls back into doKillExecutors
+    * while holding it, so holding a backend monitor across either
+    * call deadlocks (observed: supervisor held the monitor waiting
+    * for the scheduler lock; the dispatcher held the scheduler lock
+    * waiting for the monitor). */
+  private def supervise(): Unit = {
     if (stopping) return
+    val graceActive = decommissionEnabled &&
+      leaseSeconds > leaseGraceSeconds && leaseGraceSeconds > 0
     invocations.asScala.toSeq.foreach { case (id, inv) =>
       if (!inv.isAlive) {
-        invocations.remove(id) // driver also observes the RPC disconnect
+        // driver also observes the RPC disconnect; a decommissioned
+        // executor that drained and self-exited lands here too
+        invocations.remove(id)
+        decommissioning.remove(id)
       } else if (leaseSeconds > 0 && inv.ageSeconds >= leaseSeconds) {
         logInfo(s"executor $id lease expired after ${inv.ageSeconds}s; reclaiming")
         inv.kill()
         invocations.remove(id)
+        decommissioning.remove(id)
+      } else if (graceActive && inv.ageSeconds >= leaseSeconds - leaseGraceSeconds &&
+          !decommissioning.contains(id)) {
+        // T-grace: stop scheduling new tasks on the lease; the top-up
+        // below immediately launches its replacement, so target
+        // capacity holds through the handover
+        logInfo(s"executor $id lease ends in <=${leaseGraceSeconds}s; decommissioning")
+        decommissionExecutors(
+          Array(id -> org.apache.spark.scheduler.ExecutorDecommissionInfo(
+            s"faas lease expiring (executor $id)", None)),
+          adjustTargetNumExecutors = false,
+          triggeredByExecutor = false)
+        decommissioning.add(id)
       }
     }
-    var live = invocations.size
-    while (live < targetExecutors.get() && !stopping) {
+    // decommissioned leases are winding down — they don't count as capacity
+    var active = invocations.size - decommissioning.size
+    while (active < targetExecutors.get() && !stopping) {
       launchOne()
-      live += 1
+      active += 1
     }
   }
 
@@ -110,6 +146,10 @@ class LambdaSchedulerBackend(
       leaseSeconds = leaseSeconds)
     val inv = FaasClient.invokeWithRetries(client, functionName, Protocol.toJson(lease))
     invocations.put(id, inv)
+    if (stopping) { // stop() raced the launch: reclaim immediately
+      inv.kill()
+      invocations.remove(id)
+    }
   }
 
   /** Dynamic-allocation hook: adopt the requested total as the lease
@@ -121,9 +161,12 @@ class LambdaSchedulerBackend(
     Future.successful(true)
   }
 
-  override def doKillExecutors(executorIds: Seq[String]): Future[Boolean] = synchronized {
+  // called from Spark's RPC dispatcher, potentially under the
+  // TaskSchedulerImpl lock — must not take a backend-wide monitor
+  override def doKillExecutors(executorIds: Seq[String]): Future[Boolean] = {
     executorIds.foreach { id =>
       Option(invocations.remove(id)).foreach(_.kill())
+      decommissioning.remove(id)
     }
     Future.successful(true)
   }
@@ -132,7 +175,7 @@ class LambdaSchedulerBackend(
     stopping = true
     supervisor.shutdownNow()
     try super.stop()
-    finally synchronized {
+    finally {
       invocations.asScala.values.foreach(_.kill())
       invocations.clear()
       client.close()
@@ -141,13 +184,19 @@ class LambdaSchedulerBackend(
 
   // -- test/diagnostic surface -------------------------------------------
 
-  /** Executor ids with a live function invocation. */
+  /** Executor ids with a live function invocation (including leases
+    * winding down under decommission). */
   def liveInvocationIds: Set[String] =
     invocations.asScala.filter(_._2.isAlive).keySet.toSet
 
+  /** Live invocations still counted as capacity (not decommissioning). */
+  def activeInvocationIds: Set[String] =
+    liveInvocationIds.diff(decommissioning.asScala.toSet)
+
   /** Abruptly kill one invocation (simulated sandbox loss). Returns
     * false if the executor id has no live invocation. */
-  def killInvocation(executorId: String): Boolean = synchronized {
+  def killInvocation(executorId: String): Boolean = {
+    decommissioning.remove(executorId)
     Option(invocations.remove(executorId)) match {
       case Some(inv) => inv.kill(); true
       case None => false

@@ -94,4 +94,49 @@ class LambdaSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     val replacement = backend.liveInvocationIds.diff(before)
     assert(replacement.nonEmpty)
   }
+
+  test("lease expiry decommissions gracefully and rolls invocations over") {
+    // re-create the context with a short lease (the lease is read at
+    // backend construction) + decommission enabled
+    spark.stop()
+    spark = SparkSession.builder()
+      .master("lambda://" + LambdaClusterManager.LOCAL_SIM)
+      .appName("graft-lambda-sim-lease")
+      .config("spark.executor.instances", "2")
+      .config("spark.executor.cores", "1")
+      .config("spark.executor.memory", "700m")
+      .config("spark.driver.host", "localhost")
+      .config("spark.driver.bindAddress", "localhost")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.decommission.enabled", "true")
+      .config("spark.graft.lambda.leaseSeconds", "18")
+      .config("spark.graft.lambda.leaseGraceSeconds", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val gen0 = eventually(90) {
+      val a = backend.activeInvocationIds
+      assert(a.size == 2, s"active: $a"); a
+    }
+    // run jobs continuously UNTIL a full lease rollover completes —
+    // every result must stay exact while leases decommission + replace
+    var runs = 0
+    eventually(90) {
+      val total = spark.range(0, 20000, 1, 8)
+        .select(org.apache.spark.sql.functions.sum("id"))
+        .collect().head.getLong(0)
+      assert(total == 19999L * 20000L / 2)
+      runs += 1
+      val a = backend.activeInvocationIds
+      assert(a.intersect(gen0).isEmpty, s"gen0 still active: ${a.intersect(gen0)}")
+    }
+    assert(runs >= 1)
+    // replacements (fresh invocations, new ids) carry the target count
+    eventually(60) {
+      val a = backend.activeInvocationIds
+      assert(a.size == 2 && a.intersect(gen0).isEmpty,
+        s"active: $a, gen0: $gen0")
+    }
+  }
 }
