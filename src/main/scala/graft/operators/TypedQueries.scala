@@ -154,6 +154,49 @@ object TypedQueries {
        |  FROM orders) t
        |WHERE rank <= ${TopK.K}""".stripMargin
 
+  // -- qs4: per-key HLL distinct ----------------------------------------
+  // The grouped form of qs1 — one 64-byte sketch buffer PER KEY,
+  // merged map-side before the shuffle (ObjectHashAggregate partial+
+  // final), which is how approximate distinct actually runs in a
+  // pipeline ("distinct users per event type" at 100 TB shuffles
+  // nKeys·64 bytes, not nRows ids). Exact count-distinct rides along
+  // per group; the oracle replays sketch AND correction per group.
+  private def hllPerKey(s: SparkSession, dir: String): DataFrame = {
+    val hllU = udaf(HllDistinct, Encoders.scalaLong)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        hllU(col("user_id")).as("n_hll"))
+  }
+
+  private val hllPerKeySql: String = {
+    import Hll._
+    val rankCase = (1 to RankCap - 1).map { k =>
+      s"WHEN h2 % ${1L << k} = ${1L << (k - 1)} THEN $k"
+    }.mkString("CASE ", " ", s" ELSE $RankCap END")
+    s"""WITH h0 AS (
+       |  SELECT event_type, ((user_id % $P) * $A1 + $B1) % $P AS v FROM events),
+       |h AS (
+       |  SELECT event_type, ((v * v + $B2) % $P) % $M AS bucket,
+       |         ((v * v + $B2) % $P) // $M AS h2
+       |  FROM h0),
+       |r AS (SELECT event_type, bucket, $rankCase AS rnk FROM h),
+       |mx AS (SELECT event_type, bucket, MAX(rnk) AS m FROM r GROUP BY 1, 2),
+       |est AS (
+       |  SELECT event_type, ${Alpha}e0 * ${M * M} /
+       |    (SUM(1.0 / (CAST(1 AS BIGINT) << m)) + ($M - COUNT(*)) * 1.0) AS raw,
+       |    $M - COUNT(*) AS zeros
+       |  FROM mx GROUP BY 1),
+       |ex AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |  FROM events GROUP BY 1)
+       |SELECT ex.event_type, n_exact,
+       |  CASE WHEN raw <= ${2.5 * M}e0 AND zeros > 0
+       |    THEN CASE zeros $linearCase END
+       |    ELSE raw END AS n_hll
+       |FROM ex JOIN est USING (event_type)""".stripMargin
+  }
+
   // -- qs3: Bloom-filter runtime semi-join ------------------------------
   // The explicit form of the 100 TB join optimization: build a kB-sized
   // Bloom filter over the dim keys (BUILDING-segment customers), probe
@@ -209,6 +252,7 @@ object TypedQueries {
     QueryDef("qs1_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     QueryDef("qs2_cms_topk", cmsTopK, Some(cmsTopKSql)),
     QueryDef("qs3_bloom_semijoin", bloomSemiJoin, Some(bloomSemiJoinSql)),
+    QueryDef("qs4_hll_per_key", hllPerKey, Some(hllPerKeySql)),
     QueryDef("q30_topk_agg", topKAgg, Some(topKAggSql), bench = true),
   )
 }
