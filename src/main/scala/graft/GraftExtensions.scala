@@ -62,5 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("tokenize_words", classOf[TokenizeWords],
       "tokenize_words(text) - lowercased alphanumeric word tokens")(
       e => TokenizeWords(e.head)))
+    ext.injectFunction(fn("bloom_might_contain", classOf[BloomMightContain],
+      "bloom_might_contain(bloom, key, k) - Bloom-filter membership probe")(
+      e => BloomMightContain(e(0), e(1), e(2).eval().asInstanceOf[Int])))
   }
 }

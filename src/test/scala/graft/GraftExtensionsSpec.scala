@@ -32,6 +32,14 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       assert(toks == Seq("a", "b", "c"))
       assert(s2.sql("SELECT sorted_intersect_count(array(1L,2L,3L), array(2L,3L,9L))")
         .head().getInt(0) == 2)
+      // bloom probe: a sketch with key 7's bits set accepts 7
+      val bloomLit = {
+        val bits = new Array[Byte](64)
+        graft.functions.HashKernels.bloomSet(bits, 7L, 3)
+        "X'" + bits.map(b => f"$b%02x").mkString + "'"
+      }
+      assert(s2.sql(s"SELECT bloom_might_contain($bloomLit, 7L, 3)").head().getBoolean(0))
+      assert(!s2.sql(s"SELECT bloom_might_contain($bloomLit, 8L, 3)").head().getBoolean(0))
       // DESCRIBE FUNCTION works (ExpressionInfo wired)
       val desc = s2.sql("DESCRIBE FUNCTION vec_dot").collect().mkString
       assert(desc.contains("vec_dot"))

@@ -95,6 +95,29 @@ class LambdaSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replacement.nonEmpty)
   }
 
+  test("requestTotalExecutors drives elastic lease capacity") {
+    eventually(90)(assert(backend.activeInvocationIds.size == 2))
+    // the dynamic-allocation entry point: raise the target to 3 leases
+    assert(spark.sparkContext.requestTotalExecutors(3, 0, Map.empty))
+    eventually(90) {
+      val a = backend.activeInvocationIds
+      assert(a.size == 3, s"active: $a")
+    }
+    // work spreads over the grown fleet with exact results
+    val total = spark.range(0, 30000, 1, 12)
+      .select(sum("id")).collect().head.getLong(0)
+    assert(total == 29999L * 30000L / 2)
+    // shrink back: scheduler kills a specific executor, supervisor
+    // honors the lowered target instead of relaunching
+    assert(spark.sparkContext.requestTotalExecutors(2, 0, Map.empty))
+    val victim = backend.activeInvocationIds.max
+    backend.killInvocation(victim)
+    eventually(90) {
+      val a = backend.activeInvocationIds
+      assert(a.size == 2, s"active: $a")
+    }
+  }
+
   test("lease expiry decommissions gracefully and rolls invocations over") {
     // re-create the context with a short lease (the lease is read at
     // backend construction) + decommission enabled
