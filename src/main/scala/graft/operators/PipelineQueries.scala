@@ -58,7 +58,47 @@ object PipelineQueries {
        |  AND q.doc_id IN (SELECT keep_id FROM keepers)
        |  AND q.doc_id NOT IN (SELECT doc_b FROM losers)""".stripMargin
 
+  // -- p2: transitive near-dup removal ----------------------------------
+  // p1's pair policy ("drop doc_b of each pair") under-drops when a
+  // component's pairs don't all share their minimum — e.g. pairs (1,5)
+  // and (3,5) form one cluster {1,3,5}, but 3 never appears as a doc_b
+  // and survives p1. p2 swaps in dd6's connected components and keeps
+  // exactly one doc (the min id) per near-dup cluster — the policy a
+  // production dedup actually wants. Costs the iterative component
+  // fixpoint (a handful of tiny-frame jobs), so p1 stays the benched
+  // single-fused-plan form and p2 the semantically-strict form.
+  private val dd6 = defOf(DedupQueries.all, "dd6_dup_groups")
+
+  private def cleanCorpusTransitive(s: SparkSession, dir: String): DataFrame = {
+    val quality = t3.run(s, dir)
+    val lang = t2.run(s, dir)
+    val keepers = dd1.run(s, dir).select(col("keep_id").as("doc_id"))
+    val clusterLosers = dd6.run(s, dir)
+      .filter(col("doc_id") =!= col("group_id")).select(col("doc_id"))
+    quality
+      .filter(col("quality_score") >= MinQuality)
+      .join(lang.filter(col("pred_lang") === "en"), "doc_id")
+      .join(keepers, Seq("doc_id"), "leftsemi")
+      .join(clusterLosers, Seq("doc_id"), "leftanti")
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+  }
+
+  private val cleanCorpusTransitiveSql =
+    s"""WITH q AS (${t3.oracle.get}),
+       |l AS (${t2.oracle.get}),
+       |keepers AS (SELECT keep_id FROM (${dd1.oracle.get}) g),
+       |losers AS (
+       |  SELECT doc_id FROM (${dd6.oracle.get}) cc WHERE doc_id <> group_id)
+       |SELECT q.doc_id, q.n_tokens, q.quality_score
+       |FROM q JOIN l ON q.doc_id = l.doc_id
+       |WHERE q.quality_score >= $MinQuality
+       |  AND l.pred_lang = 'en'
+       |  AND q.doc_id IN (SELECT keep_id FROM keepers)
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("p1_clean_corpus", cleanCorpus, Some(cleanCorpusSql), bench = true),
+    QueryDef("p2_clean_corpus_transitive", cleanCorpusTransitive,
+      Some(cleanCorpusTransitiveSql)),
   )
 }
