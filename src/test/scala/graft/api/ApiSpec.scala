@@ -91,6 +91,28 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("star-contraction components equal label propagation; chains stay cheap") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 2) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val df = spark.createDataFrame(edges).toDF("x", "y")
+      val prop = Dedup.duplicateGroups(df, "x", "y")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.duplicateGroupsStar(df, "x", "y")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop)
+    }
+    // a 40-node chain has diameter 39: label propagation would need 39
+    // rounds, star contraction converges in O(log^2) — run only star
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    val g = Dedup.duplicateGroupsStar(
+        spark.createDataFrame(chain).toDF("x", "y"), "x", "y", maxIters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == (0L to 39L).map(_ -> 0L).toMap)
+  }
+
   test("multi-probe LSH recall >= 0.9 on planted pairs in the cos~0.4-0.5 regime") {
     // Planted-pair fixture: 60 random unit vectors (fixed seed —
     // deterministic), each with a partner at a known cosine in
