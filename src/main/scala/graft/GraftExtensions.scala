@@ -64,6 +64,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => TokenizeWords(e.head)))
     ext.injectFunction(fn("bloom_might_contain", classOf[BloomMightContain],
       "bloom_might_contain(bloom, key, k) - Bloom-filter membership probe")(
-      e => BloomMightContain(e(0), e(1), e(2).eval().asInstanceOf[Int])))
+      e => BloomMightContain(e(0), e(1), HashFunctions.intLit(e(2)))))
   }
 }

@@ -31,15 +31,28 @@ object Sampling {
     (h * h + B2) % P
   }
 
-  /** Same congruence as a DuckDB SQL fragment. */
+  /** Same congruence as a DuckDB SQL fragment. The double-mod mirrors
+    * Spark's `pmod` for negative ids (DuckDB `%` keeps the dividend's
+    * sign, so a bare `$id % $P` would diverge below zero). */
   def scrambleSql(id: String): String = {
-    val h = s"((($id % $P) * $A1 + $B1) % $P)"
+    val idm = s"((($id % $P) + $P) % $P)"
+    val h = s"(($idm * $A1 + $B1) % $P)"
     s"(($h * $h + $B2) % $P)"
   }
 
+  /** Double literal that survives any magnitude: Scala's shortest
+    * round-trip repr goes scientific below 1e-3 ("1.0E-4"), which a
+    * bare `${f}e0` suffix would corrupt; a quoted CAST parses every
+    * form to the identical IEEE double. */
+  private def dlit(f: Double): String = s"CAST('$f' AS DOUBLE)"
+
+  private def slit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** Uniform deterministic Bernoulli sample at `fraction`. */
-  def uniform(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+  def uniform(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0, 1], got $fraction")
     df.filter(scramble(col(idCol)).cast("double") < lit(fraction * P))
+  }
 
   /** Per-stratum deterministic sample: `fractions` maps stratum values
     * to keep rates; strata not listed use `default`. One codegen'd
@@ -58,8 +71,8 @@ object Sampling {
   def stratifiedSql(strataCol: String, idCol: String,
       fractions: Map[String, Double], default: Double): String = {
     val cases = fractions.toSeq.sortBy(_._1)
-      .map { case (k, f) => s"WHEN '$k' THEN ${f}e0" }.mkString(" ")
+      .map { case (k, f) => s"WHEN ${slit(k)} THEN ${dlit(f)}" }.mkString(" ")
     s"CAST(${scrambleSql(idCol)} AS DOUBLE) < " +
-      s"(CASE $strataCol $cases ELSE ${default}e0 END) * $P"
+      s"(CASE $strataCol $cases ELSE ${dlit(default)} END) * $P"
   }
 }

@@ -66,14 +66,17 @@ object Sketches {
   }
 
   /** Rows of `fact` whose key column passes the bloom membership test
-    * (all matches kept, plus the deterministic false positives). */
+    * (all matches kept, plus the deterministic false positives). The
+    * sketch rides under an internal name so a caller's own `bloom`
+    * column survives untouched. */
   def bloomProbe(fact: DataFrame, keyCol: String, bloom: DataFrame,
       k: Int = 3): DataFrame = {
     graft.functions.HashFunctions.register(fact.sparkSession)
-    fact.crossJoin(broadcast(bloom))
+    val tag = "__graft_bloom_sketch"
+    fact.crossJoin(broadcast(bloom.select(col("bloom").as(tag))))
       .filter(graft.functions.HashFunctions.bloomMightContain(
-        col("bloom"), col(keyCol), k))
-      .drop("bloom")
+        col(tag), col(keyCol), k))
+      .drop(tag)
   }
 }
 

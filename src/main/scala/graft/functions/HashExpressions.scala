@@ -267,6 +267,9 @@ case class BloomMightContain(left: Expression, right: Expression, k: Int)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
+      case _ if k < 1 || k > 64 => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain k must be in [1, 64], got $k" +
+          " (k <= 0 would accept every key)")
       case (org.apache.spark.sql.types.BinaryType, LongType) =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
@@ -309,8 +312,16 @@ object HashFunctions {
     reg.createOrReplaceTempFunction("tokenize_words",
       exprs => TokenizeWords(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("bloom_might_contain",
-      exprs => BloomMightContain(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int]), "built-in")
+      exprs => BloomMightContain(exprs(0), exprs(1), intLit(exprs(2))), "built-in")
+  }
+
+  /** Foldable integer arg of a function call (int or long literal),
+    * with an analysis-time error instead of a ClassCastException. */
+  private[graft] def intLit(e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal, got $other")
   }
 
   def bloomMightContain(bloom: Column, key: Column, k: Int): Column =

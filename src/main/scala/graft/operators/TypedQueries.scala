@@ -41,40 +41,52 @@ object TypedQueries {
     events.agg(countDistinct(col("user_id")).as("n_exact")).crossJoin(hll)
   }
 
-  private val hllDistinctSql: String = {
+  // shared HLL SQL pieces (qs1 global + qs4 per-key use the identical
+  // sketch arithmetic — one generator so a constant tweak cannot
+  // desynchronize the two oracles)
+  private def hllRankCase: String = {
     import Hll._
-    val rankCase = (1 to RankCap - 1).map { k =>
+    (1 to RankCap - 1).map { k =>
       s"WHEN h2 % ${1L << k} = ${1L << (k - 1)} THEN $k"
     }.mkString("CASE ", " ", s" ELSE $RankCap END")
+  }
+
+  // e0 suffix: parse as DOUBLE (a bare decimal literal is DECIMAL and
+  // overflows); shortest-round-trip repr → identical bits
+  private def hllRawEstSql: String = {
+    import Hll._
+    s"${Alpha}e0 * ${M * M} / " +
+      s"(SUM(1.0 / (CAST(1 AS BIGINT) << m)) + ($M - COUNT(*)) * 1.0)"
+  }
+
+  // small-range linear counting M*ln(M/zeros): a pure function of the
+  // integer zeros, replayed as literals from the JVM's own Math.log so
+  // DuckDB's ln() can't introduce a last-bit mismatch
+  private def hllCorrectedSql: String = {
+    import Hll._
+    val linearCase = (1 to M).map(z => s"WHEN $z THEN ${linearCount(z)}e0")
+      .mkString(" ") + " ELSE raw"
+    s"CASE WHEN raw <= ${2.5 * M}e0 AND zeros > 0 " +
+      s"THEN CASE zeros $linearCase END ELSE raw END"
+  }
+
+  private val hllDistinctSql: String = {
+    import Hll._
     s"""WITH h0 AS (
        |  SELECT ((user_id % $P) * $A1 + $B1) % $P AS v FROM events),
        |h AS (
        |  SELECT ((v * v + $B2) % $P) % $M AS bucket,
        |         ((v * v + $B2) % $P) // $M AS h2
        |  FROM h0),
-       |r AS (SELECT bucket, $rankCase AS rnk FROM h),
+       |r AS (SELECT bucket, $hllRankCase AS rnk FROM h),
        |mx AS (SELECT bucket, MAX(rnk) AS m FROM r GROUP BY bucket),
        |est AS (
-       |  -- e0 suffix: parse as DOUBLE (a bare decimal literal is DECIMAL
-       |  -- and overflows); shortest-round-trip repr → identical bits
-       |  SELECT ${Alpha}e0 * ${M * M} /
-       |    (SUM(1.0 / (CAST(1 AS BIGINT) << m)) + ($M - COUNT(*)) * 1.0) AS raw,
+       |  SELECT $hllRawEstSql AS raw,
        |         $M - COUNT(*) AS zeros
        |  FROM mx)
        |SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact,
-       |  -- small-range linear counting M*ln(M/zeros): a pure function of
-       |  -- the integer zeros, replayed as literals from the JVM's own
-       |  -- Math.log so DuckDB's ln() can't introduce a last-bit mismatch
-       |  CASE WHEN raw <= ${2.5 * M}e0 AND zeros > 0
-       |    THEN CASE zeros $linearCase END
-       |    ELSE raw END AS n_hll
+       |  $hllCorrectedSql AS n_hll
        |FROM est""".stripMargin
-  }
-
-  private def linearCase: String = {
-    import Hll._
-    (1 to M).map(z => s"WHEN $z THEN ${linearCount(z)}e0")
-      .mkString(" ") + " ELSE raw"
   }
 
   // -- qs2: count-min sketch heavy hitters ------------------------------
@@ -171,30 +183,26 @@ object TypedQueries {
 
   private val hllPerKeySql: String = {
     import Hll._
-    val rankCase = (1 to RankCap - 1).map { k =>
-      s"WHEN h2 % ${1L << k} = ${1L << (k - 1)} THEN $k"
-    }.mkString("CASE ", " ", s" ELSE $RankCap END")
     s"""WITH h0 AS (
        |  SELECT event_type, ((user_id % $P) * $A1 + $B1) % $P AS v FROM events),
        |h AS (
        |  SELECT event_type, ((v * v + $B2) % $P) % $M AS bucket,
        |         ((v * v + $B2) % $P) // $M AS h2
        |  FROM h0),
-       |r AS (SELECT event_type, bucket, $rankCase AS rnk FROM h),
+       |r AS (SELECT event_type, bucket, $hllRankCase AS rnk FROM h),
        |mx AS (SELECT event_type, bucket, MAX(rnk) AS m FROM r GROUP BY 1, 2),
        |est AS (
-       |  SELECT event_type, ${Alpha}e0 * ${M * M} /
-       |    (SUM(1.0 / (CAST(1 AS BIGINT) << m)) + ($M - COUNT(*)) * 1.0) AS raw,
+       |  SELECT event_type, $hllRawEstSql AS raw,
        |    $M - COUNT(*) AS zeros
        |  FROM mx GROUP BY 1),
        |ex AS (
        |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
        |  FROM events GROUP BY 1)
        |SELECT ex.event_type, n_exact,
-       |  CASE WHEN raw <= ${2.5 * M}e0 AND zeros > 0
-       |    THEN CASE zeros $linearCase END
-       |    ELSE raw END AS n_hll
-       |FROM ex JOIN est USING (event_type)""".stripMargin
+       |  $hllCorrectedSql AS n_hll
+       |-- null-safe join: Spark's groupBy emits a NULL-key group, which
+       |-- JOIN USING would drop
+       |FROM ex JOIN est ON ex.event_type IS NOT DISTINCT FROM est.event_type""".stripMargin
   }
 
   // -- qs3: Bloom-filter runtime semi-join ------------------------------

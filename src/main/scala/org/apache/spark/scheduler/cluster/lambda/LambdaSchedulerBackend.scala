@@ -127,11 +127,25 @@ class LambdaSchedulerBackend(
         decommissioning.add(id)
       }
     }
-    // decommissioned leases are winding down — they don't count as capacity
-    var active = invocations.size - decommissioning.size
-    while (active < targetExecutors.get() && !stopping) {
+    // decommissioned leases are winding down — they don't count as
+    // capacity (per-key membership check, not size arithmetic: the two
+    // structures update non-atomically under concurrent kills)
+    val activeIds = invocations.asScala.keys
+      .filterNot(decommissioning.contains).toSeq
+    var active = activeIds.size
+    val target = targetExecutors.get()
+    while (active < target && !stopping) {
       launchOne()
       active += 1
+    }
+    // a lowered target reaps surplus leases (youngest first — oldest
+    // have the warmest caches and the nearest natural lease end)
+    if (active > target) {
+      activeIds.sortBy(-_.toLong).take(active - target).foreach { id =>
+        logInfo(s"target lowered to $target; reclaiming surplus executor $id")
+        Option(invocations.remove(id)).foreach(_.kill())
+        decommissioning.remove(id)
+      }
     }
   }
 
@@ -153,11 +167,14 @@ class LambdaSchedulerBackend(
   }
 
   /** Dynamic-allocation hook: adopt the requested total as the lease
-    * target; the supervisor converges to it. */
+    * target; the supervisor converges to it (including down to 0 —
+    * scale-to-zero is the FaaS cost model). An empty request map is a
+    * no-op rather than a spurious zeroing. */
   override def doRequestTotalExecutors(
       resourceProfileToTotalExecs: Map[ResourceProfile, Int]): Future[Boolean] = {
-    val requested = resourceProfileToTotalExecs.values.sum
-    if (requested > 0) targetExecutors.set(requested)
+    if (resourceProfileToTotalExecs.nonEmpty) {
+      targetExecutors.set(resourceProfileToTotalExecs.values.sum)
+    }
     Future.successful(true)
   }
 
@@ -165,8 +182,8 @@ class LambdaSchedulerBackend(
   // TaskSchedulerImpl lock — must not take a backend-wide monitor
   override def doKillExecutors(executorIds: Seq[String]): Future[Boolean] = {
     executorIds.foreach { id =>
-      Option(invocations.remove(id)).foreach(_.kill())
       decommissioning.remove(id)
+      Option(invocations.remove(id)).foreach(_.kill())
     }
     Future.successful(true)
   }
