@@ -223,6 +223,6 @@ object DedupQueries {
       Some(bandSql(DD3Bands, DD3Rows, 0.8)), bench = true),
     QueryDef("dd4_simhash", simhash, Some(simhashSql), bench = true),
     QueryDef("dd5_embed_dup", embedDup, Some(embedDupSql), bench = true),
-    QueryDef("dd6_dup_groups", dupGroups, Some(dupGroupsSql)),
+    QueryDef("dd6_dup_groups", dupGroups, Some(dupGroupsSql), bench = true),
   )
 }

@@ -99,6 +99,6 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("p1_clean_corpus", cleanCorpus, Some(cleanCorpusSql), bench = true),
     QueryDef("p2_clean_corpus_transitive", cleanCorpusTransitive,
-      Some(cleanCorpusTransitiveSql)),
+      Some(cleanCorpusTransitiveSql), bench = true),
   )
 }

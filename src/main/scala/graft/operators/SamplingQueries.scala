@@ -24,6 +24,6 @@ object SamplingQueries {
        |WHERE ${graft.api.Sampling.stratifiedSql("lang", "doc_id", Fractions, DefaultFraction)}""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef("ds1_stratified_sample", stratifiedQ, Some(stratifiedSql)),
+    QueryDef("ds1_stratified_sample", stratifiedQ, Some(stratifiedSql), bench = true),
   )
 }

@@ -259,8 +259,8 @@ object TypedQueries {
     QueryDef("a1_typed_agg", typedAgg, Some(typedAggSql)),
     QueryDef("qs1_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     QueryDef("qs2_cms_topk", cmsTopK, Some(cmsTopKSql)),
-    QueryDef("qs3_bloom_semijoin", bloomSemiJoin, Some(bloomSemiJoinSql)),
-    QueryDef("qs4_hll_per_key", hllPerKey, Some(hllPerKeySql)),
+    QueryDef("qs3_bloom_semijoin", bloomSemiJoin, Some(bloomSemiJoinSql), bench = true),
+    QueryDef("qs4_hll_per_key", hllPerKey, Some(hllPerKeySql), bench = true),
     QueryDef("q30_topk_agg", topKAgg, Some(topKAggSql), bench = true),
   )
 }
