@@ -6,6 +6,7 @@ object Registry {
   def defs: Seq[QueryDef] =
     operators.RelationalQueries.all ++
       operators.TextQueries.all ++
+      operators.QualityQueries.all ++
       operators.DedupQueries.all ++
       operators.SimilarityQueries.all ++
       operators.SessionQueries.all ++

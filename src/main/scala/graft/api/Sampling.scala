@@ -26,7 +26,7 @@ object Sampling {
 
   /** scramble(id) ∈ [0, P): ((id mod P)·A1+B1 mod P)² + B2 mod P.
     * All intermediates < 2^62 — no overflow in Long or DuckDB BIGINT. */
-  private def scramble(id: Column): Column = {
+  def scramble(id: Column): Column = {
     val h = (pmod(id, lit(P)) * A1 + B1) % P
     (h * h + B2) % P
   }
@@ -66,6 +66,40 @@ object Sampling {
     }
     df.filter(scramble(col(idCol)).cast("double") < frac * P)
   }
+
+  /** Per-stratum token-budget cap: order each stratum by the
+    * deterministic priority scramble(id) (ties broken by id), then keep
+    * the prefix whose running token total stays ≤ `budget` — "cap every
+    * language at N tokens", reproducibly (same keep-set on every run,
+    * engine, and task retry). Prefix semantics: a row that overflows
+    * the budget is dropped and does NOT let later rows fill the gap.
+    *
+    * Scale note: the running sum is a window over the stratum, so one
+    * shuffle on the stratum key. With few huge strata (5 languages at
+    * 100 TB) the exact form skews; the scale path is a two-pass variant
+    * — approximate the priority threshold per stratum from a sample
+    * (percentile of scramble weighted by tokens), broadcast thresholds,
+    * filter. The exact window form is the semantic ground truth the
+    * oracle checks. */
+  def tokenBudget(df: DataFrame, strataCol: String, idCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(scramble(col(idCol)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** DuckDB twin of [[tokenBudget]]'s running total (cast back to
+    * BIGINT — DuckDB widens SUM(BIGINT) to HUGEINT). */
+  def tokenBudgetCumSql(strataCol: String, idCol: String,
+      tokensCol: String): String =
+    s"CAST(SUM($tokensCol) OVER (PARTITION BY $strataCol " +
+      s"ORDER BY ${scrambleSql(idCol)}, $idCol " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
 
   /** DuckDB twin of [[stratified]]'s keep predicate. */
   def stratifiedSql(strataCol: String, idCol: String,

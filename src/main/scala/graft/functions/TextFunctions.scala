@@ -58,6 +58,25 @@ object TextFunctions {
       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       |      ELSE [] END)""".stripMargin
 
+  /** All word n-grams (with multiplicity, document order) of the
+    * whitespace tokenization; empty array for texts shorter than n
+    * tokens. Row-local array math — no explode, no shuffle. */
+  def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB fragment for the identical n-gram list over a `toks` list
+    * expression (DuckDB `range` is end-exclusive; `sequence` above is
+    * inclusive — both yield len-n+1 grams). */
+  def wordGramsSql(toks: String, n: Int): String = {
+    val cat = (0 until n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($toks) >= $n
+       |      THEN list_transform(range(1, len($toks) - ${n - 2}), i -> $cat)
+       |      ELSE [] END""".stripMargin
+  }
+
   /** Stopword-marker counts per language, for the n-gram-heuristic
     * language-ID (langs in the test corpus: en es fr de zh). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 corpus-quality operators: repetition stats, PII redaction,
+  * benchmark decontamination, token-budget sampling. */
+class QualitySpec extends AnyFunSuite with SparkSpec {
+
+  private def run(name: String) =
+    Registry.queries(name)(spark, sf0001)
+
+  test("t7 repetition stats on a hand-computed planted document") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c", "en", "src0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val toks = split(trim(col("text")), "\\s+")
+    val g2 = graft.functions.TextFunctions.wordGrams(toks, 2)
+    val g3 = graft.functions.TextFunctions.wordGrams(toks, 3)
+    val row = df.select(
+      size(toks).as("n"),
+      size(array_distinct(toks)).as("u"),
+      g2.as("g2"), g3.as("g3")).head()
+    // "a b a b c": toks=5, uniq=3; 2-grams = [a b, b a, a b, b c] (top "a b"=2 of 4)
+    // 3-grams = [a b a, b a b, a b c] (all distinct)
+    assert(row.getInt(0) == 5 && row.getInt(1) == 3)
+    assert(row.getSeq[String](2) == Seq("a b", "b a", "a b", "b c"))
+    assert(row.getSeq[String](3) == Seq("a b a", "b a b", "a b c"))
+  }
+
+  test("t7 repetition fractions are in range and non-degenerate on sf0.001") {
+    val rows = run("t7_repetition").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (u, t2, d3) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(u > 0.0 && u <= 1.0)
+      assert(t2 >= 0.0 && t2 <= 1.0)
+      assert(d3 >= 0.0 && d3 < 1.0)
+    }
+    // the synthetic word soup from a small vocab must show SOME repetition
+    assert(rows.exists(_.getDouble(3) > 0.0))
+    assert(rows.exists(_.getDouble(2) < 1.0))
+  }
+
+  test("t8 planted emails/phones are found and redacted") {
+    val rows = run("t8_pii_redact").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (if (id % 3 == 0) 1 else 0), s"emails for doc $id")
+      assert(r.getInt(2) == (if (id % 5 == 0) 1 else 0), s"phones for doc $id")
+      assert(r.getString(3).length == 32) // md5 hex
+    }
+  }
+
+  test("t8 redaction removes the PII from the fingerprinted text") {
+    // doc 15 gets BOTH an email and a phone; its redacted fingerprint
+    // must equal the fingerprint of the hand-redacted augmented text
+    import spark.implicits._
+    val doc = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") === 15).select("text").head().getString(0)
+    val expected = doc + " contact user15@mail.example.com now" +
+      " call 555-0015 today"
+    val handRedacted = expected
+      .replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+      .replaceAll("555-[0-9]{4}", "<PHONE>")
+    assert(handRedacted.contains("<EMAIL>") && handRedacted.contains("<PHONE>"))
+    val fp = run("t8_pii_redact").filter(col("doc_id") === 15)
+      .head().getString(3)
+    val expFp = Seq(handRedacted).toDF("t")
+      .select(md5(col("t").cast("binary"))).head().getString(0)
+    assert(fp == expFp)
+  }
+
+  test("q31 decontamination removes exactly the 4-gram-overlap docs") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val clean = run("q31_decontaminate")
+    val corpusN = docs.filter(col("source") =!= "src0").count()
+    val cleanN = clean.count()
+    assert(cleanN > 0 && cleanN < corpusN,
+      s"decontamination must be non-degenerate: kept $cleanN of $corpusN")
+    // no clean doc may share a 4-gram with the benchmark slice
+    val toks = split(trim(col("text")), "\\s+")
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.wordGrams(toks, 4))).as("g"))
+    val benchG = grams.filter(col("source") === "src0").select("g").distinct()
+    val overlap = clean.join(grams, "doc_id").join(benchG, "g")
+    assert(overlap.count() == 0)
+  }
+
+  test("ds3 domain mix: computed keep rates approach the target share") {
+    val rows = run("ds3_domain_mix").collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(1))
+    assert(byLang.keySet.size == 5)
+    byLang.foreach { case (lang, rs) =>
+      val rate = rs.head.getDouble(3)
+      assert(rate > 0.0 && rate <= 1.0, s"$lang keep_rate $rate")
+      // kept tokens should land near the per-language share (10000/5)
+      // when the rate binds (rate < 1); generous bound — it's a
+      // Bernoulli sample, not an exact cap
+      val kept = rs.map(_.getLong(2)).sum
+      if (rate < 1.0) assert(kept < 2L * 2000, s"$lang kept $kept tokens")
+    }
+  }
+
+  test("ds2 token budget: prefix-cap per language, deterministic") {
+    val a = run("ds2_token_budget").collect().sortBy(_.getLong(0))
+    val b = run("ds2_token_budget").collect().sortBy(_.getLong(0))
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // reproducible
+    assert(a.nonEmpty)
+    // every kept row's running total respects the cap, per language
+    assert(a.forall(_.getLong(3) <= 2000L))
+    // and the cap binds: each language keeps fewer tokens than it has
+    val keptPerLang = a.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    val docs = graft.Tables.documents(spark, sf0001)
+    val totPerLang = docs.groupBy(col("lang"))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keptPerLang.foreach { case (lang, kept) =>
+      assert(kept <= 2000L && kept < totPerLang(lang),
+        s"$lang kept $kept of ${totPerLang(lang)}")
+    }
+  }
+}
