@@ -80,15 +80,17 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
-  /** SimHash near-dup pairs: fused 64-bit signature, pigeonhole-complete
-    * 16-bit piece banding — finds ALL pairs with hamming ≤ maxHamming
-    * for maxHamming ≤ 3. Output: (doc_a, doc_b, hamming). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+  /** Hamming-distance near-dup pairs over PRECOMPUTED 64-bit signatures
+    * (SimHash, perceptual image hashes, any 64-bit sketch):
+    * pigeonhole-complete 16-bit piece banding — hamming ≤ 3 implies at
+    * least one of the 4 pieces is identical, so an equi-join on
+    * (piece_idx, piece_value) finds ALL qualifying pairs with
+    * O(n·4) shuffled rows at any corpus size.
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, each pair once. */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "16-bit piece banding is complete only for hamming <= 3")
-    HashFunctions.register(df.sparkSession)
-    val docs = df.select(col(idCol).as("doc_id"),
-      HashFunctions.simhashText(col(textCol)).as("sig"))
+    val docs = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
     val pieces = docs.select(
         col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(i =>
@@ -104,6 +106,17 @@ object Dedup {
         hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** SimHash near-dup pairs: fused 64-bit text signature +
+    * [[hammingPairs]] banding. Output: (doc_a, doc_b, hamming). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    HashFunctions.register(df.sparkSession)
+    hammingPairs(
+      df.select(col(idCol).as("doc_id"),
+        HashFunctions.simhashText(col(textCol)).as("sig")),
+      "doc_id", "sig", maxHamming)
   }
 
   /** Embedding near-dup pairs: hyperplane-LSH band candidates, exact

@@ -43,6 +43,55 @@ object ImageCodec {
     img
   }
 
+  /** Seeded pattern with a small uniform brightness lift, saturating at
+    * 255 (NOT mod-256 wrap) — the controlled perturbation used to plant
+    * perceptual near-duplicates for mm8: a clamped +delta shifts every
+    * pixel and the mean together, so the average-hash bits stay (almost)
+    * unchanged while the byte content differs. */
+  def seededImageDelta(w: Int, h: Int, seed: Long, delta: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = math.min(255, pxR(seed, x, y) + delta)
+        val g = math.min(255, pxG(seed, x, y) + delta)
+        val b = math.min(255, pxB(seed, x, y) + delta)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Perceptual average-hash over the decoded image: nearest-neighbor
+    * sample an 8×8 grid, gray = r+g+b per cell, bit i set iff
+    * gray_i·64 > Σgray (strict, integer — no float rounding to drift
+    * between engines). Robust to uniform brightness/contrast shifts;
+    * near-duplicate images land within a few bits. */
+  def ahash64(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val grays = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < 64) {
+      val rgb = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+      val gray = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)).toLong
+      grays(i) = gray
+      total += gray
+      i += 1
+    }
+    var sig = 0L
+    i = 0
+    while (i < 64) {
+      if (grays(i) * 64L > total) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
   def encode(img: BufferedImage, format: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     require(ImageIO.write(img, format, bos), s"no ImageIO writer for $format")

@@ -330,6 +330,84 @@ object Multimodal {
        |  FROM documents) t""".stripMargin
   }
 
+  // -- mm8: perceptual-hash image near-dup ------------------------------
+  // The image twin of dd4: decode → 8×8 average-hash (ImageCodec.ahash64)
+  // → 16-bit-piece Hamming banding (Dedup.hammingPairs). The fixture
+  // plants near-duplicate families: ids sharing doc_id/4 carry the same
+  // base pattern with a small clamped brightness lift per member —
+  // different BYTES (the PNGs differ), same perceptual content. The
+  // hash runs on the REAL decoded pixels; the oracle replays the synth
+  // arithmetic + hash in closed form, so a wrong pixel anywhere in the
+  // encode/decode/hash path breaks the match.
+  private val AHashFamily = 4   // ids per near-dup family
+  private val AHashDelta = 2    // brightness step between family members
+  private val AHashMaxHamming = 2
+
+  private def ahashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docIds(s, dir)
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { id =>
+        val fam = id / AHashFamily
+        val w = (fam % 16 + 8).toInt
+        val h = (fam % 12 + 8).toInt
+        val delta = ((id % AHashFamily) * AHashDelta).toInt
+        val png = ImageCodec.encode(
+          ImageCodec.seededImageDelta(w, h, fam * SeedMul + SeedAdd, delta), "png")
+        (id, ImageCodec.ahash64(ImageCodec.decode(png)))
+      }))
+      .toDF("doc_id", "sig")
+  }
+
+  private def ahashDedupQ(s: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.hammingPairs(ahashSigs(s, dir), "doc_id", "sig",
+      AHashMaxHamming)
+
+  private val ahashDedupSql: String = {
+    // closed-form replay: gray cell i samples pixel (⌊(i%8)·w/8⌋,
+    // ⌊(i/8)·h/8⌋) of the clamped-delta pattern; bit i ⇔ gray·64 > Σgray
+    def sx = "(((i % 8) * w) // 8)"
+    def sy = "(((i // 8) * h) // 8)"
+    val gray =
+      s"least(255, (seed + $sx*5 + $sy*17) % 256 + delta) + " +
+        s"least(255, (seed + $sx*11 + $sy*3) % 256 + delta) + " +
+        s"least(255, (seed + $sx*7 + $sy*13) % 256 + delta)"
+    // bits 0..62 sum non-negatively; the b=63 term is Long.MinValue —
+    // added last so no partial sum overflows BIGINT (dd4's trick)
+    val sig = (0 until 63).map { b =>
+      s"(CASE WHEN gs[${b + 1}]*64 > total THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ",
+      " + (CASE WHEN gs[64]*64 > total THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END))")
+    def piece(i: Int) = (0 until 16).map { b =>
+      s"(CASE WHEN gs[${16 * i + b + 1}]*64 > total THEN ${1 << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val pieceBranches = (0 until 4).map { i =>
+      s"SELECT doc_id, sig, $i AS piece, p$i AS pval FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    (doc_id // $AHashFamily) * $SeedMul + $SeedAdd AS seed,
+       |    (doc_id // $AHashFamily) % 16 + 8 AS w,
+       |    (doc_id // $AHashFamily) % 12 + 8 AS h,
+       |    (doc_id % $AHashFamily) * $AHashDelta AS delta
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_transform(range(0, 64), i -> $gray) AS gs
+       |  FROM p),
+       |t AS (SELECT doc_id, gs, list_sum(gs) AS total FROM g),
+       |sigs AS (SELECT doc_id, $sig AS sig,
+       |  ${piece(0)} AS p0, ${piece(1)} AS p1,
+       |  ${piece(2)} AS p2, ${piece(3)} AS p3 FROM t),
+       |pieces AS (
+       |$pieceBranches),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |  FROM pieces a JOIN pieces b
+       |    ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= $AHashMaxHamming""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("mm1_media_meta", mediaMeta, Some(mediaMetaSql)),
     QueryDef("mm2_frame_sample", frameSampleQ, Some(frameSampleSql)),
@@ -338,5 +416,6 @@ object Multimodal {
     QueryDef("mm5_bmp_resize", bmpResizeQ, Some(bmpResizeSql)),
     QueryDef("mm6_wav_decode", wavDecodeQ, Some(wavDecodeSql)),
     QueryDef("mm7_wav_energy", wavEnergyQ, Some(wavEnergySql)),
+    QueryDef("mm8_ahash_dedup", ahashDedupQ, Some(ahashDedupSql), bench = true),
   )
 }

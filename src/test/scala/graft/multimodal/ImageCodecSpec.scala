@@ -55,6 +55,35 @@ class ImageCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("ahash64: invariant to uniform brightness lift, sensitive to content") {
+    val (w, h, seed) = (16, 12, 77L)
+    val base = ahash64(decode(encode(seededImageDelta(w, h, seed, 0), "png")))
+    // clamped +delta shifts pixels and mean together → few/no bits flip
+    val lifted = ahash64(decode(encode(seededImageDelta(w, h, seed, 6), "png")))
+    assert(java.lang.Long.bitCount(base ^ lifted) <= 2,
+      s"brightness lift flipped ${java.lang.Long.bitCount(base ^ lifted)} bits")
+    // a different pattern must land far away
+    val other = ahash64(decode(encode(seededImageDelta(w, h, seed + 1000, 0), "png")))
+    assert(java.lang.Long.bitCount(base ^ other) > 10,
+      s"distinct patterns only ${java.lang.Long.bitCount(base ^ other)} bits apart")
+  }
+
+  test("ahash64 matches the closed-form grid replay (the mm8 oracle math)") {
+    val (w, h, seed, delta) = (13, 9, 42L, 4)
+    val img = decode(encode(seededImageDelta(w, h, seed, delta), "png"))
+    def gray(i: Int): Long = {
+      val sx = (i % 8) * w / 8
+      val sy = (i / 8) * h / 8
+      (math.min(255, pxR(seed, sx, sy) + delta) +
+        math.min(255, pxG(seed, sx, sy) + delta) +
+        math.min(255, pxB(seed, sx, sy) + delta)).toLong
+    }
+    val total = (0 until 64).map(gray).sum
+    var expected = 0L
+    for (i <- 0 until 64) if (gray(i) * 64L > total) expected |= (1L << i)
+    assert(ahash64(img) == expected)
+  }
+
   test("sniff rejects non-image payloads without throwing") {
     assert(sniffFormat("plain text".getBytes) == "unknown")
     assert(sniffFormat(Array.emptyByteArray) == "unknown")

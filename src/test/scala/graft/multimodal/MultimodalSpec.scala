@@ -62,4 +62,22 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val b = extractMeta(s.createDataset(recs)(recEnc)).collect().sortBy(_.doc_id).toSeq
     assert(a == b)
   }
+
+  test("mm8 finds the planted near-dup image families") {
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.Registry.queries("mm8_ahash_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, hm) => a < b && hm <= 2 })
+    // every within-family pair (same doc_id/4 → same base pattern with
+    // only a clamped brightness lift between members) must be recalled
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val missing = for {
+      fam <- 0L until 125L
+      i <- 0 until 4; j <- i + 1 until 4
+      (a, b) = (fam * 4 + i, fam * 4 + j)
+      if !found.contains((a, b))
+    } yield (a, b)
+    assert(missing.isEmpty, s"missed ${missing.take(5)} of the family pairs")
+  }
 }
