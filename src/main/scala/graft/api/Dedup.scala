@@ -189,16 +189,21 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // labels flow one hop along (symmetric) edges; keep the min
+      // labels flow one hop along (symmetric) edges; keep the min.
+      // One aggregate + one left join per round: the improved label and
+      // the did-anything-change flag come out of the same pass (no
+      // separate convergence join against the previous labels).
       val prop = ed.join(labels, ed("dst") === labels("v"))
         .select(ed("src").as("v"), labels("lbl"))
-      val next = labels.union(prop)
-        .groupBy("v").agg(min("lbl").as("lbl"))
+        .groupBy("v").agg(min("lbl").as("plbl"))
+      val next = labels.alias("o")
+        .join(prop.alias("p"), col("o.v") === col("p.v"), "left")
+        .select(col("o.v").as("v"),
+          least(col("o.lbl"), col("p.plbl")).as("lbl"),
+          (col("p.plbl") < col("o.lbl")).as("changed"))
         .localCheckpoint(true)
-      converged = next.alias("n").join(labels.alias("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("v"), col("lbl"))
       iter += 1
     }
     require(converged, s"label propagation did not converge in $maxIters iterations")

@@ -93,6 +93,35 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** The skew-safe form of [[tokenBudget]] for few-huge-strata inputs
+    * (5 languages × 20 TB each): pre-filter every stratum to the
+    * priority prefix expected to hold `oversample`× the budget —
+    * threshold computed IN-PLAN from the exact per-stratum token
+    * totals, broadcast back — then run the exact window only on the
+    * survivors. The window sorts ~oversample·budget tokens per stratum
+    * instead of the whole stratum.
+    *
+    * Returns exactly [[tokenBudget]]'s rows whenever the oversampled
+    * prefix covers the budget: the exact keep-set is a priority prefix,
+    * and any priority prefix holding ≥ budget tokens contains it.
+    * scramble is uniform on [0,P), so oversample ≥ 2 covers w.h.p.;
+    * strata with ≤ oversample·budget total tokens keep everything
+    * (threshold clamps to 1) and are exact unconditionally. */
+  def tokenBudgetThreshold(df: DataFrame, strataCol: String, idCol: String,
+      tokensCol: String, budget: Long, oversample: Double = 2.0): DataFrame = {
+    require(oversample >= 1.0, s"oversample must be >= 1, got $oversample")
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(tokensCol)).as("_stratum_tokens"))
+    val frac = least(lit(1.0),
+      lit(oversample) * budget / col("_stratum_tokens").cast("double"))
+    // the USING join moves the stratum column first — restore the
+    // caller's column order so both forms return identical schemas
+    val coarse = df.join(broadcast(totals), strataCol)
+      .filter(scramble(col(idCol)).cast("double") < frac * P)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+    tokenBudget(coarse, strataCol, idCol, tokensCol, budget)
+  }
+
   /** DuckDB twin of [[tokenBudget]]'s running total (cast back to
     * BIGINT — DuckDB widens SUM(BIGINT) to HUGEINT). */
   def tokenBudgetCumSql(strataCol: String, idCol: String,

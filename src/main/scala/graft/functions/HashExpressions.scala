@@ -230,6 +230,35 @@ case class TokenizeWords(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Word n-grams of the whitespace tokenization in one native pass (the
+  * `split(trim(text), "\\s+")` semantics the quality/decontamination
+  * oracles replay; see HashKernels.wordNGrams for why the HOF
+  * formulation is quadratic under Generate). */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(n >= 1, s"word_ngrams n must be >= 1, got $n")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.wordNGrams(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.HashKernels.wordNGrams($x, $n);")
+
+  override protected def withNewChildInternal(c: Expression): WordNGrams =
+    copy(child = c)
+}
+
 /** string → sorted distinct winnowing fingerprints (rolling-hash
   * character k-grams, window minima). See HashKernels.winnow. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
@@ -311,6 +340,8 @@ object HashFunctions {
       exprs => WinnowFingerprints(exprs.head, WinnowK, WinnowW), "built-in")
     reg.createOrReplaceTempFunction("tokenize_words",
       exprs => TokenizeWords(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      exprs => WordNGrams(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("bloom_might_contain",
       exprs => BloomMightContain(exprs(0), exprs(1), intLit(exprs(2))), "built-in")
   }
@@ -328,6 +359,9 @@ object HashFunctions {
     call_function("bloom_might_contain", bloom, key, lit(k))
 
   def tokenizeWords(text: Column): Column = call_function("tokenize_words", text)
+
+  def wordNGrams(text: Column, n: Int): Column =
+    call_function("word_ngrams", text, lit(n))
 
   def winnowFingerprints(text: Column): Column =
     call_function("winnow_fingerprints", text)

@@ -241,6 +241,55 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Word n-grams over the `split(trim(text), "\\s+")` tokenization in
+    * ONE pass — the plan-shape fix for gram explodes: `Generate` inlines
+    * expression trees without common-subexpression elimination, so the
+    * higher-order-function formulation re-splits the text once per
+    * element_at per gram (~4n regex splits per document at n=4).
+    * Replicates the composed semantics exactly: space-only `trim`, then
+    * regex-\s splitting with limit -1 (leading/trailing NON-SPACE
+    * whitespace yields empty edge tokens — see the split gotcha pinned
+    * in KernelSpec). Grams join n consecutive tokens with one space;
+    * fewer than n tokens → empty array. */
+  def wordNGrams(v: UTF8String, n: Int): ArrayData = {
+    val s = v.toString
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) == ' ') start += 1
+    while (end > start && s.charAt(end - 1) == ' ') end -= 1
+    val toks = new java.util.ArrayList[String]()
+    if (start == end) toks.add("") // split("", re) = [""]
+    else {
+      if (isRegexWs(s.charAt(start))) toks.add("") // leading separator
+      var i = start
+      while (i < end) {
+        while (i < end && isRegexWs(s.charAt(i))) i += 1
+        val b = i
+        while (i < end && !isRegexWs(s.charAt(i))) i += 1
+        if (i > b) toks.add(s.substring(b, i))
+      }
+      if (isRegexWs(s.charAt(end - 1))) toks.add("") // trailing separator
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](m)
+      var j = 0
+      while (j < m) {
+        val sb = new java.lang.StringBuilder(16 * n)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.get(j + k))
+          k += 1
+        }
+        out(j) = UTF8String.fromString(sb.toString)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   private val WinnowBase = 257L
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD '03):

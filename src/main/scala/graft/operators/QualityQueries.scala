@@ -30,10 +30,16 @@ import graft.functions.TextFunctions._
 object QualityQueries {
 
   // -- t7: repetition statistics ---------------------------------------
+  // Gram arrays come from the native one-pass word_ngrams kernel, not
+  // the transform/element_at tower — identical output (pinned in
+  // KernelSpec), but tokenizes each document once instead of once per
+  // element reference.
   private def repetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val g2 = wordGrams(toks, 2)
-    val g3 = wordGrams(toks, 3)
+    graft.functions.HashFunctions.register(s)
+    import graft.functions.HashFunctions.{wordNGrams => ngrams}
+    val toks = ngrams(col("text"), 1)
+    val g2 = ngrams(col("text"), 2)
+    val g3 = ngrams(col("text"), 3)
     // most frequent 2-gram's occurrence count: per-distinct-gram count
     // via nested higher-order functions (row-local; ~n·d string compares
     // on ≤100-token docs — no explode/groupBy shuffle needed)
@@ -128,10 +134,11 @@ object QualityQueries {
   private val ContamN = 4
 
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
     val docs = Tables.documents(s, dir)
     val grams = docs.select(col("doc_id"), col("source"),
-      explode(array_distinct(wordGrams(split(trim(col("text")), "\\s+"), ContamN)))
-        .as("g"))
+      explode(array_distinct(
+        graft.functions.HashFunctions.wordNGrams(col("text"), ContamN))).as("g"))
     val benchGrams = grams.filter(col("source") === BenchSource)
       .select("g").distinct()
     val poisoned = grams.filter(col("source") =!= BenchSource)

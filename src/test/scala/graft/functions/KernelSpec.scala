@@ -28,6 +28,26 @@ class KernelSpec extends AnyFunSuite with SparkSpec {
     assert(diff == 0)
   }
 
+  test("wordNGrams equals the split/transform tower, incl. split edge cases") {
+    HashFunctions.register(spark)
+    import spark.implicits._
+    // the corpus plus adversarial whitespace: leading/trailing spaces
+    // (trimmed), leading/trailing TABS (NOT trimmed — split limit=-1
+    // keeps the empty edge tokens), interior runs, empty, short
+    val edge = Seq("", " ", "  \t ", "a", "a b", " a  b ", "\ta b\t",
+      "a\t\tb c", "x \n y", "one two three four five")
+    val df = Tables.documents(spark, sf0001).select(col("text"))
+      .union(edge.toDF("text"))
+    for (n <- Seq(1, 2, 3, 4)) {
+      val tower = graft.functions.TextFunctions.wordGrams(
+        split(trim(col("text")), "\\s+"), n)
+      val diff = df.select(
+          HashFunctions.wordNGrams(col("text"), n).as("a"), tower.as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0, s"kernel vs tower mismatch at n=$n")
+    }
+  }
+
   test("sortedIntersectCount equals size(array_intersect) on sorted sets") {
     val gen = Gen.zip(
       Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted),

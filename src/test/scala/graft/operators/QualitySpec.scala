@@ -106,6 +106,27 @@ class QualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ds2 threshold (scale path) equals the exact window form") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+    val exact = graft.api.Sampling
+      .tokenBudget(docs, "lang", "doc_id", "n_tokens", 2000L)
+      .collect().map(_.toString).sorted.toSeq
+    val twoPhase = graft.api.Sampling
+      .tokenBudgetThreshold(docs, "lang", "doc_id", "n_tokens", 2000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(twoPhase == exact)
+    // and with a clamping threshold (budget >= stratum totals) nothing
+    // is pre-filtered at all
+    val all = graft.api.Sampling
+      .tokenBudgetThreshold(docs, "lang", "doc_id", "n_tokens", 1000000L)
+      .count()
+    assert(all == docs.count())
+  }
+
   test("ds2 token budget: prefix-cap per language, deterministic") {
     val a = run("ds2_token_budget").collect().sortBy(_.getLong(0))
     val b = run("ds2_token_budget").collect().sortBy(_.getLong(0))
