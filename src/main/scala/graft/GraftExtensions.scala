@@ -65,5 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("bloom_might_contain", classOf[BloomMightContain],
       "bloom_might_contain(bloom, key, k) - Bloom-filter membership probe")(
       e => BloomMightContain(e(0), e(1), HashFunctions.intLit(e(2)))))
+    ext.injectFunction(fn("word_ngrams", classOf[WordNGrams],
+      "word_ngrams(text, n) - whitespace word n-grams in one pass")(
+      e => WordNGrams(e(0), HashFunctions.intLit(e(1)))))
   }
 }

@@ -95,6 +95,35 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Corpus-curation transform shared VERBATIM by batch and streaming
+    * inputs — the quality gates (t7 repetition stats) and PII redaction
+    * (t8) are pure per-row projections/filters, so the identical Column
+    * program runs on a `readStream` frame with no stateful operators:
+    * the streaming ingest path of a training-data pipeline (filter +
+    * redact at landing time, before anything is persisted). Expects
+    * (doc_id, lang, text); emits the survivors with redacted text. */
+  def curateDocs(docs: DataFrame,
+      minUniqWordFrac: Double = 0.3,
+      maxTop2GramFrac: Double = 0.5): DataFrame = {
+    graft.functions.HashFunctions.register(docs.sparkSession)
+    import graft.functions.HashFunctions.{wordNGrams => ngrams}
+    val toks = ngrams(col("text"), 1)
+    val g2 = ngrams(col("text"), 2)
+    val top2 = aggregate(array_distinct(g2), lit(0), (acc, g) =>
+      greatest(acc, size(filter(g2, x => x === g))))
+    val uniqFrac = size(array_distinct(toks)).cast("double") /
+      size(toks).cast("double")
+    val top2Frac = when(size(g2) === 0, lit(0.0))
+      .otherwise(top2.cast("double") / size(g2).cast("double"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "555-[0-9]{4}"
+    docs
+      .filter(uniqFrac >= minUniqWordFrac && top2Frac <= maxTop2GramFrac)
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("clean_text"))
+  }
+
   /** Idempotent micro-batch sink: foreachBatch + deterministic
     * per-batch output paths, the standard exactly-once-to-storage
     * recipe (a replayed batch overwrites the same path instead of

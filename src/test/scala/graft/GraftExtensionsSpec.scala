@@ -40,6 +40,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       }
       assert(s2.sql(s"SELECT bloom_might_contain($bloomLit, 7L, 3)").head().getBoolean(0))
       assert(!s2.sql(s"SELECT bloom_might_contain($bloomLit, 8L, 3)").head().getBoolean(0))
+      val grams = s2.sql("SELECT word_ngrams('a b c', 2)").head().getSeq[String](0)
+      assert(grams == Seq("a b", "b c"))
       // DESCRIBE FUNCTION works (ExpressionInfo wired)
       val desc = s2.sql("DESCRIBE FUNCTION vec_dot").collect().mkString
       assert(desc.contains("vec_dot"))

@@ -100,6 +100,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation equals the batch twin and drops the spam doc") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "buy buy buy buy buy buy buy buy"), // repetition spam
+      (3L, "en", "reach me at jo.doe@mail.example.com or 555-0142 thanks"))
+    val batch = StreamingOps.curateDocs(
+        rows.toDF("doc_id", "lang", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.curateDocs(
+        ms.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = s.table("curate_out")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+      assert(streamed.size == 2) // spam doc dropped
+      assert(streamed.mkString.contains("<EMAIL>") &&
+        streamed.mkString.contains("<PHONE>"))
+      assert(!streamed.mkString.contains("example.com"))
+    } finally q.stop()
+  }
+
   test("foreachBatch idempotent sink writes deterministic per-batch paths") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
