@@ -78,6 +78,90 @@ object Sketches {
         col(tag), col(keyCol), k))
       .drop(tag)
   }
+  /** Constant-memory distributed quantile sketch: equi-width histogram
+    * over the global [lo, hi] (computed in-plan, broadcast back) with
+    * `bins` buckets per group, then linear interpolation inside the
+    * first bucket whose cumulative count crosses q·n. Per-group state
+    * is ≤ `bins` integer counters — map-side combinable, one shuffle of
+    * (group, bin, cnt) rows — where the exact `percentile()` (q26)
+    * buffers EVERY value per group, the thing that OOMs at 100 TB.
+    * Error ≤ one bin width = (hi−lo)/bins. Every float op (bin
+    * indexing, target, interpolation) is a fixed IEEE sequence the
+    * DuckDB oracle replays verbatim.
+    * Output: (groupCol, p<q1>_est, p<q2>_est, ...). */
+  def histQuantile(df: DataFrame, groupCol: String, valCol: String,
+      qs: Seq[Double], bins: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.select(col(groupCol).as("g"), col(valCol).cast("double").as("x"))
+    val bounds = vals.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val width = (col("hi") - col("lo")) / lit(bins.toDouble)
+    val binned = vals.crossJoin(broadcast(bounds))
+      .select(col("g"),
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(floor((col("x") - col("lo")) / width).cast("int"),
+            lit(bins - 1))).as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = binned.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy("g").orderBy("bin")))
+    val tot = binned.groupBy("g").agg(sum(col("cnt")).as("n"))
+    val base = cum.join(broadcast(tot), "g").crossJoin(broadcast(bounds))
+    val perQ = qs.map { q =>
+      val name = s"p${math.round(q * 100)}_est"
+      val target = lit(q) * col("n").cast("double")
+      val est = col("lo") + width *
+        (col("bin").cast("double") +
+          (target - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double"))
+      base.filter(col("cum").cast("double") >= target)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("g").orderBy("bin")))
+        .filter(col("rn") === 1)
+        .select(col("g"), est.as(name))
+    }
+    perQ.reduce(_.join(_, "g")).withColumnRenamed("g", groupCol)
+  }
+
+  /** DuckDB twin of [[histQuantile]] over a FROM-able relation. */
+  def histQuantileSql(rel: String, groupCol: String, valCol: String,
+      qs: Seq[Double], bins: Int = 256): String = {
+    val qCtes = qs.map { q =>
+      val name = s"p${math.round(q * 100)}_est"
+      // bare decimal literals are DECIMAL in DuckDB — e0 forces DOUBLE
+      val target = s"${q}e0 * CAST(n AS DOUBLE)"
+      (name,
+        s"""q_$name AS (
+           |  SELECT g, lo + ((hi - lo) / CAST($bins AS DOUBLE)) *
+           |    (CAST(bin AS DOUBLE) +
+           |     ($target - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+           |    AS $name
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY g ORDER BY bin) AS rn
+           |        FROM base WHERE CAST(cum AS DOUBLE) >= $target) t
+           |  WHERE rn = 1)""".stripMargin)
+    }
+    val joins = qCtes.map(_._1).zipWithIndex.map { case (name, i) =>
+      if (i == 0) s"q_$name" else s"JOIN q_$name ON q_$name.g = q_${qCtes.head._1}.g"
+    }.mkString("\n  ")
+    s"""WITH v AS (SELECT $groupCol AS g, CAST($valCol AS DOUBLE) AS x FROM $rel),
+       |b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM v),
+       |binned AS (
+       |  SELECT g, bin, COUNT(*) AS cnt FROM (
+       |    SELECT g, CASE WHEN hi = lo THEN 0
+       |      ELSE CAST(least(floor((x - lo) / ((hi - lo) / CAST($bins AS DOUBLE))),
+       |                      ${bins - 1}) AS INTEGER) END AS bin
+       |    FROM v CROSS JOIN b) t GROUP BY g, bin),
+       |cum AS (SELECT g, bin, cnt,
+       |  SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum FROM binned),
+       |tot AS (SELECT g, SUM(cnt) AS n FROM binned GROUP BY g),
+       |base AS (SELECT c.g, c.bin, c.cnt, c.cum, t.n, b.lo, b.hi
+       |         FROM cum c JOIN tot t ON c.g = t.g CROSS JOIN b),
+       |${qCtes.map(_._2).mkString(",\n")}
+       |SELECT q_${qCtes.head._1}.g AS $groupCol,
+       |  ${qCtes.map(c => c._1).mkString(", ")}
+       |FROM $joins""".stripMargin
+  }
 }
 
 /** Bounded top-K rows per key as a partial+final aggregate with O(k)
@@ -105,4 +189,5 @@ object TopKPerKey {
       }
       .toDF(keyCol, idCol, orderCol, "rank")
   }
+
 }

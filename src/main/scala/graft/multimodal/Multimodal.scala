@@ -362,7 +362,14 @@ object Multimodal {
     graft.api.Dedup.hammingPairs(ahashSigs(s, dir), "doc_id", "sig",
       AHashMaxHamming)
 
-  private val ahashDedupSql: String = {
+  private val ahashDedupSql: String =
+    s"""WITH $ahashCtes
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= $AHashMaxHamming""".stripMargin
+
+  /** CTE chain `p → g → t → sigs → pieces → pairs` shared by the mm8
+    * pair oracle and p3's component oracle. */
+  private lazy val ahashCtes: String = {
     // closed-form replay: gray cell i samples pixel (⌊(i%8)·w/8⌋,
     // ⌊(i/8)·h/8⌋) of the clamped-delta pattern; bit i ⇔ gray·64 > Σgray
     def sx = "(((i % 8) * w) // 8)"
@@ -383,7 +390,7 @@ object Multimodal {
     val pieceBranches = (0 until 4).map { i =>
       s"SELECT doc_id, sig, $i AS piece, p$i AS pval FROM sigs"
     }.mkString("\nUNION ALL\n")
-    s"""WITH p AS (
+    s"""p AS (
        |  SELECT doc_id,
        |    (doc_id // $AHashFamily) * $SeedMul + $SeedAdd AS seed,
        |    (doc_id // $AHashFamily) % 16 + 8 AS w,
@@ -403,10 +410,39 @@ object Multimodal {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
        |  FROM pieces a JOIN pieces b
-       |    ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, hamming FROM pairs
-       |WHERE hamming <= $AHashMaxHamming""".stripMargin
+       |    ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  // -- p3: image-dedup corpus (multimodal capstone) ---------------------
+  // mm8's perceptual pairs → connected components (min-label
+  // propagation, the dd6 machinery) → keep exactly one document per
+  // image cluster: the end-to-end multimodal dedup a 100 TB pipeline
+  // runs (hash every image once, band-join, contract clusters, drop).
+  // Oracle: the mm8 CTE chain + the same recursive-CTE components as
+  // dd6, composed.
+  private def imageDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ahashDedupQ(s, dir)
+    val groups = graft.api.Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+    val drop = groups.filter(col("doc_id") =!= col("group_id")).select("doc_id")
+    Tables.documents(s, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  private val imageDedupCorpusSql =
+    s"""WITH RECURSIVE $ahashCtes,
+       |ok AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= $AHashMaxHamming),
+       |ed AS (SELECT doc_a AS a, doc_b AS b FROM ok
+       |       UNION ALL SELECT doc_b, doc_a FROM ok),
+       |verts AS (SELECT DISTINCT a AS v FROM ed),
+       |reach AS (
+       |  SELECT v, v AS r FROM verts
+       |  UNION
+       |  SELECT reach.v, e.b AS r FROM reach JOIN ed e ON reach.r = e.a),
+       |comp AS (SELECT v AS doc_id, MIN(r) AS group_id FROM reach GROUP BY v),
+       |dropped AS (SELECT doc_id FROM comp WHERE doc_id <> group_id)
+       |SELECT d.doc_id, d.lang, d.source FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("mm1_media_meta", mediaMeta, Some(mediaMetaSql)),
@@ -417,5 +453,6 @@ object Multimodal {
     QueryDef("mm6_wav_decode", wavDecodeQ, Some(wavDecodeSql)),
     QueryDef("mm7_wav_energy", wavEnergyQ, Some(wavEnergySql)),
     QueryDef("mm8_ahash_dedup", ahashDedupQ, Some(ahashDedupSql), bench = true),
+    QueryDef("p3_image_dedup", imageDedupCorpus, Some(imageDedupCorpusSql)),
   )
 }

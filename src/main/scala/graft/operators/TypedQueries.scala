@@ -255,12 +255,27 @@ object TypedQueries {
        |FROM passed GROUP BY o_orderstatus""".stripMargin
   }
 
+  // -- qs5: histogram-sketch quantiles ----------------------------------
+  // q26's exact percentile() buffers every value per group; this is the
+  // constant-memory sketch form (see Sketches.histQuantile). Same
+  // grouping and value column as q26 so the two are directly
+  // comparable; QualitySpec pins |sketch − exact| ≤ one bin width.
+  private val HistQs = Seq(0.5, 0.9)
+
+  private def histQuantileQ(s: SparkSession, dir: String): DataFrame =
+    graft.api.Sketches.histQuantile(
+      Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice", HistQs)
+
+  private val histQuantileSql = graft.api.Sketches.histQuantileSql(
+    "lineitem", "l_returnflag", "l_extendedprice", HistQs)
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("a1_typed_agg", typedAgg, Some(typedAggSql)),
     QueryDef("qs1_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     QueryDef("qs2_cms_topk", cmsTopK, Some(cmsTopKSql)),
     QueryDef("qs3_bloom_semijoin", bloomSemiJoin, Some(bloomSemiJoinSql), bench = true),
     QueryDef("qs4_hll_per_key", hllPerKey, Some(hllPerKeySql), bench = true),
+    QueryDef("qs5_hist_quantile", histQuantileQ, Some(histQuantileSql), bench = true),
     QueryDef("q30_topk_agg", topKAgg, Some(topKAggSql), bench = true),
   )
 }

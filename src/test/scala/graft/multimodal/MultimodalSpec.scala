@@ -63,6 +63,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("p3 keeps exactly one survivor per image cluster") {
+    import org.apache.spark.sql.functions.col
+    val clean = graft.Registry.queries("p3_image_dedup")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = graft.Registry.queries("mm8_ahash_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clean.nonEmpty && clean.size < 500)
+    // no surviving pair may be a near-dup pair
+    assert(!pairs.exists { case (a, b) => clean.contains(a) && clean.contains(b) })
+    // independent union-find over the pairs: each component must keep
+    // EXACTLY its minimum member, nothing else
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = parent.keys.groupBy(find).values.map(_.toSet)
+    comps.foreach { c =>
+      assert(clean.intersect(c) == Set(c.min),
+        s"component $c survivors ${clean.intersect(c)}")
+    }
+  }
+
   test("mm8 finds the planted near-dup image families") {
     import org.apache.spark.sql.functions.col
     val pairs = graft.Registry.queries("mm8_ahash_dedup")(spark, sf0001)

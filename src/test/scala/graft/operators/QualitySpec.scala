@@ -127,6 +127,25 @@ class QualitySpec extends AnyFunSuite with SparkSpec {
     assert(all == docs.count())
   }
 
+  test("qs5 histogram quantiles land within one bin width of exact") {
+    import org.apache.spark.sql.functions.{col, expr, max => smax, min => smin}
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val sketch = run("qs5_hist_quantile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val bounds = li.agg(smin(col("l_extendedprice")), smax(col("l_extendedprice")))
+      .head()
+    val binW = (bounds.getDouble(1) - bounds.getDouble(0)) / 256.0
+    assert(sketch.keySet == exact.keySet)
+    sketch.foreach { case (g, (s50, s90)) =>
+      assert(math.abs(s50 - exact(g)._1) <= binW, s"$g p50: $s50 vs ${exact(g)._1}")
+      assert(math.abs(s90 - exact(g)._2) <= binW, s"$g p90: $s90 vs ${exact(g)._2}")
+    }
+  }
+
   test("ds2 token budget: prefix-cap per language, deterministic") {
     val a = run("ds2_token_budget").collect().sortBy(_.getLong(0))
     val b = run("ds2_token_budget").collect().sortBy(_.getLong(0))
