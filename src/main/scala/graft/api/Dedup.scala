@@ -58,12 +58,16 @@ object Dedup {
     // generation — the hs arrays would otherwise be copied bands× through
     // the exchange. Candidates dedupe BEFORE verification, so the exact
     // intersect runs once per pair, not once per colliding band.
+    // barrier the slim (id, band, bkey) rows: both self-join sides
+    // re-derive `banded`, which would otherwise compute the K minhashes
+    // twice per document
     val banded = docs
       .select(col("doc_id"), HashFunctions.minhashSig(col("hs")).as("sig"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => bandKey(col("sig"), b, rows))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .localCheckpoint(true)
     val cands = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -90,7 +94,12 @@ object Dedup {
   def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "16-bit piece banding is complete only for hamming <= 3")
+    // barrier: both sides of the self-join re-derive the signature
+    // input — without it the (possibly expensive) signature computation
+    // runs twice per row (for mm8 that is a full image decode per side;
+    // the broadcast side gets no exchange Spark could reuse)
     val docs = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
+      .localCheckpoint(true)
     val pieces = docs.select(
         col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(i =>
@@ -139,9 +148,14 @@ object Dedup {
       VectorFunctions.norm(col(vecCol)).as("nrm"))
     // Same slim-candidate shape as jaccardPairs: only (vec_id, tbl, sig)
     // shuffles through the band join; embeddings attach once per pair.
+    // barrier the slim (vec_id, tbl, sig) rows: the probe and build
+    // sides of the band join both re-derive `tagged`, which would
+    // otherwise run the tables×planes hyperplane hashing twice per
+    // vector
     val tagged = e.select(col("vec_id"),
         posexplode(VectorFunctions.lshSignatures(col("embedding"), tables, planes)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+      .localCheckpoint(true)
     val probed =
       if (probes == 0) tagged
       else tagged.select(col("vec_id"), col("tbl"),
