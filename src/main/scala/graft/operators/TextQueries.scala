@@ -173,7 +173,9 @@ object TextQueries {
         when(size(col("fps")) > 0, element_at(col("fps"), 1)).as("fp_min"))
   }
 
-  private val winnowSql: String = {
+  /** CTE chain `codes → h → mins → fp(doc_id, fps)` shared by the t6
+    * fingerprint oracle and q32's substring-overlap oracle. */
+  private lazy val winnowCtes: String = {
     import graft.functions.PolyHashConstants.P
     val k = graft.functions.HashFunctions.WinnowK
     val w = graft.functions.HashFunctions.WinnowW
@@ -182,7 +184,7 @@ object TextQueries {
       (0 until (k - 1 - j)).foldLeft(1L)((p, _) => p * 257L % P)
     }
     val hterm = (0 until k).map(j => s"cs[i+$j] * ${coef(j)}").mkString(" + ")
-    s"""WITH codes AS (
+    s"""codes AS (
        |  SELECT doc_id, length(text) AS n,
        |    list_transform(range(1, length(text)+1),
        |      i -> CAST(unicode(text[i]) AS BIGINT)) AS cs
@@ -197,16 +199,57 @@ object TextQueries {
        |    ELSE list_transform(range(1, len(hs) - $w + 2),
        |           i -> list_min(hs[i:i+${w - 1}])) END AS ms
        |  FROM h),
-       |fp AS (SELECT doc_id, list_sort(list_distinct(ms)) AS fps FROM mins)
+       |fp AS (SELECT doc_id, list_sort(list_distinct(ms)) AS fps FROM mins)""".stripMargin
+  }
+
+  private val winnowSql: String =
+    s"""WITH $winnowCtes
        |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
        |  CASE WHEN len(fps) > 0 THEN fps[1] END AS fp_min
        |FROM fp""".stripMargin
+
+  // -- q32: cross-document repeated-substring detection -----------------
+  // The winnowing guarantee (Schleimer et al.): two docs sharing any
+  // character run of length >= WinnowK+WinnowW-1 share at least one
+  // fingerprint. Pairs sharing >= MinShared fingerprints therefore
+  // contain every pair with MinShared disjoint long duplicated runs —
+  // the "exact substring dedup" signal (Lee et al., Deduplicating
+  // Training Data) at a banded-join cost: explode the fingerprint sets
+  // (O(n·fps) slim rows), equi-join on the fingerprint, count per pair.
+  // Hot fingerprints (boilerplate shared by many docs) fan out
+  // quadratically inside their bucket — the MinShared threshold and,
+  // at cluster scale, a frequency cap on exploded fps (drop fps seen
+  // in > F docs, they carry no dedup signal) bound the join.
+  private val MinSharedFps = 2
+
+  private def substringOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashFunctions.register(s)
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.HashFunctions.winnowFingerprints(col("text")))
+          .as("f"))
+      .localCheckpoint(true) // both self-join sides reuse the explode
+    fps.alias("a").join(fps.alias("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFps)
   }
+
+  private val substringOverlapSql =
+    s"""WITH $winnowCtes,
+       |e AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared FROM pr WHERE n_shared >= $MinSharedFps""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q2_wordcount", wordcount, Some(wordcountSql), bench = true),
     QueryDef("t5_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("t6_winnow", winnowQ, Some(winnowSql)),
+    QueryDef("q32_substring_overlap", substringOverlap, Some(substringOverlapSql)),
     QueryDef("t1_token_count", tokenCountQ, Some(tokenCountSql)),
     QueryDef("t2_langid", langId, Some(langIdSql)),
     QueryDef("t3_quality", quality, Some(qualitySql), bench = true),

@@ -127,6 +127,27 @@ class QualitySpec extends AnyFunSuite with SparkSpec {
     assert(all == docs.count())
   }
 
+  test("q32 substring overlap finds every exact-duplicate pair") {
+    import org.apache.spark.sql.functions.col
+    val pairs = run("q32_substring_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    // independent check: recompute each doc's fingerprint set and
+    // verify (a) every reported pair truly shares >= 2 fingerprints and
+    // (b) no sharing pair was missed (exhaustive over the 500-doc set)
+    graft.functions.HashFunctions.register(spark)
+    val fps = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.winnowFingerprints(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      if fps(a).intersect(fps(b)).size >= 2
+    } yield (a, b)).toSet
+    assert(pairs == expected,
+      s"extra=${(pairs -- expected).take(3)} missing=${(expected -- pairs).take(3)}")
+  }
+
   test("qs5 histogram quantiles land within one bin width of exact") {
     import org.apache.spark.sql.functions.{col, expr, max => smax, min => smin}
     val li = graft.Tables.lineitem(spark, sf0001)
