@@ -60,7 +60,15 @@ object Bench {
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val qsCold = cold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val totalCold = cold.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$qs,"queries_cold":$qsCold,"bytes":$bytes,"warmup":"cold-pass@sf","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$qs,"queries_cold":$qsCold,"bytes":$bytes,"warmup":"cold-pass@sf","sf":"$sfDir"}"""
+    println(line)
+    // stdout of an sbt run gets interleaved/truncated by the harness —
+    // persist the full line so the round artifact always parses
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

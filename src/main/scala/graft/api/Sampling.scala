@@ -84,12 +84,23 @@ object Sampling {
   def tokenBudget(df: DataFrame, strataCol: String, idCol: String,
       tokensCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    // `cum_tokens` is part of the OUTPUT contract (callers and the ds2
+    // oracle read it), so an input column of the same name would be
+    // silently clobbered — refuse instead.
+    require(!df.columns.contains("cum_tokens"),
+      "tokenBudget emits a cum_tokens column; rename the input's cum_tokens first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(scramble(col(idCol)), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+    // a negative count would let the running total dip back under the
+    // budget and break the prefix semantics — fail loud per row
+    val checkedTokens = when(col(tokensCol) >= 0, col(tokensCol))
+      .otherwise(raise_error(concat(
+        lit(s"tokenBudget: negative $tokensCol for $idCol="),
+        col(idCol).cast("string"))))
+    df.withColumn("cum_tokens", sum(checkedTokens).over(w))
       .filter(col("cum_tokens") <= budget)
   }
 
@@ -119,6 +130,22 @@ object Sampling {
     val coarse = df.join(broadcast(totals), strataCol)
       .filter(scramble(col(idCol)).cast("double") < frac * P)
       .select(df.columns.map(col).toIndexedSeq: _*)
+    // Guard the w.h.p. equivalence claim: in a BINDING stratum
+    // (frac < 1 ⟺ stratum total > oversample·budget) whose coarse
+    // prefix holds fewer than `budget` tokens, the exact form would
+    // keep rows this one dropped. Detect with one slim aggregate over
+    // the survivors and fail loud with the remedy, instead of silently
+    // returning a short keep-set.
+    val short = coarse.groupBy(col(strataCol))
+      .agg(sum(col(tokensCol)).as("_coarse_tokens"))
+      .join(broadcast(totals), strataCol)
+      .filter(col("_stratum_tokens").cast("double") > lit(oversample) * budget &&
+        col("_coarse_tokens") < budget)
+      .select(col(strataCol).cast("string")).limit(5).collect().map(_.getString(0))
+    require(short.isEmpty,
+      s"tokenBudgetThreshold: oversample=$oversample prefix holds < budget=$budget " +
+        s"tokens for strata [${short.mkString(", ")}] — raise oversample " +
+        "(the exact tokenBudget keep-set is not covered)")
     tokenBudget(coarse, strataCol, idCol, tokensCol, budget)
   }
 

@@ -95,7 +95,11 @@ object Sketches {
       s"quantiles must be in (0, 1], got $qs")
     require(bins >= 2, s"bins must be >= 2, got $bins")
     import org.apache.spark.sql.expressions.Window
+    // nulls would form a NULL bin whose window position differs between
+    // engines (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST) and
+    // would inflate n — drop them here and in the SQL twin
     val vals = df.select(col(groupCol).as("g"), col(valCol).cast("double").as("x"))
+      .filter(col("x").isNotNull)
     // barrier: bounds feed both the binning pass and the final
     // interpolation join — one scan, not two
     val bounds = vals.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
@@ -153,7 +157,8 @@ object Sketches {
     val joins = qCtes.map(_._1).zipWithIndex.map { case (name, i) =>
       if (i == 0) s"q_$name" else s"JOIN q_$name ON q_$name.g = q_${qCtes.head._1}.g"
     }.mkString("\n  ")
-    s"""WITH v AS (SELECT $groupCol AS g, CAST($valCol AS DOUBLE) AS x FROM $rel),
+    s"""WITH v AS (SELECT $groupCol AS g, CAST($valCol AS DOUBLE) AS x FROM $rel
+       |           WHERE $valCol IS NOT NULL),
        |b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM v),
        |binned AS (
        |  SELECT g, bin, COUNT(*) AS cnt FROM (

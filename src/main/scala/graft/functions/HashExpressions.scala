@@ -259,6 +259,33 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Highest multiplicity among the document's word n-grams in one
+  * linear pass (see HashKernels.topGramCount — the O(tokens)
+  * replacement for the quadratic nested-HOF top-gram scan). */
+case class TopGramCount(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(n >= 1, s"top_gram_count n must be >= 1, got $n")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_gram_count expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.topGramCount(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.HashKernels.topGramCount($x, $n);")
+
+  override protected def withNewChildInternal(c: Expression): TopGramCount =
+    copy(child = c)
+}
+
 /** string → sorted distinct winnowing fingerprints (rolling-hash
   * character k-grams, window minima). See HashKernels.winnow. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
@@ -342,6 +369,8 @@ object HashFunctions {
       exprs => TokenizeWords(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("word_ngrams",
       exprs => WordNGrams(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("top_gram_count",
+      exprs => TopGramCount(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("bloom_might_contain",
       exprs => BloomMightContain(exprs(0), exprs(1), intLit(exprs(2))), "built-in")
   }
@@ -362,6 +391,9 @@ object HashFunctions {
 
   def wordNGrams(text: Column, n: Int): Column =
     call_function("word_ngrams", text, lit(n))
+
+  def topGramCount(text: Column, n: Int): Column =
+    call_function("top_gram_count", text, lit(n))
 
   def winnowFingerprints(text: Column): Column =
     call_function("winnow_fingerprints", text)

@@ -241,18 +241,11 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
-  /** Word n-grams over the `split(trim(text), "\\s+")` tokenization in
-    * ONE pass — the plan-shape fix for gram explodes: `Generate` inlines
-    * expression trees without common-subexpression elimination, so the
-    * higher-order-function formulation re-splits the text once per
-    * element_at per gram (~4n regex splits per document at n=4).
-    * Replicates the composed semantics exactly: space-only `trim`, then
-    * regex-\s splitting with limit -1 (leading/trailing NON-SPACE
-    * whitespace yields empty edge tokens — see the split gotcha pinned
-    * in KernelSpec). Grams join n consecutive tokens with one space;
-    * fewer than n tokens → empty array. */
-  def wordNGrams(v: UTF8String, n: Int): ArrayData = {
-    val s = v.toString
+  /** The `split(trim(text), "\\s+")` tokenization both gram kernels
+    * share: space-only trim, regex-\s separators with limit -1
+    * semantics (leading/trailing NON-SPACE whitespace yields empty edge
+    * tokens; the empty string splits to [""]). */
+  private def splitRegexWs(s: String): java.util.ArrayList[String] = {
     var start = 0
     var end = s.length
     while (start < end && s.charAt(start) == ' ') start += 1
@@ -270,6 +263,56 @@ object HashKernels {
       }
       if (isRegexWs(s.charAt(end - 1))) toks.add("") // trailing separator
     }
+    toks
+  }
+
+  /** Highest multiplicity among the word n-grams of the document — the
+    * Gopher-gate "top n-gram mass" numerator — in ONE linear pass
+    * (hashmap count, running max). Semantically equal to
+    * `max over distinct g in grams of count(grams, _ == g)` (pinned in
+    * KernelSpec), but O(tokens) instead of the nested-HOF form's
+    * O(distinct·tokens) — the difference between 10⁴ and 10⁸ compares
+    * on a 10⁴-token web document. 0 when the doc has fewer than n
+    * tokens (empty gram array). */
+  def topGramCount(v: UTF8String, n: Int): Int = {
+    val toks = splitRegexWs(v.toString)
+    val m = toks.size - n + 1
+    if (m <= 0) 0
+    else {
+      val counts = new java.util.HashMap[String, Integer](m * 2)
+      var best = 0
+      var j = 0
+      while (j < m) {
+        val sb = new java.lang.StringBuilder(16 * n)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.get(j + k))
+          k += 1
+        }
+        val g = sb.toString
+        val prev = counts.get(g)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        counts.put(g, c)
+        if (c > best) best = c
+        j += 1
+      }
+      best
+    }
+  }
+
+  /** Word n-grams over the `split(trim(text), "\\s+")` tokenization in
+    * ONE pass — the plan-shape fix for gram explodes: `Generate` inlines
+    * expression trees without common-subexpression elimination, so the
+    * higher-order-function formulation re-splits the text once per
+    * element_at per gram (~4n regex splits per document at n=4).
+    * Replicates the composed semantics exactly: space-only `trim`, then
+    * regex-\s splitting with limit -1 (leading/trailing NON-SPACE
+    * whitespace yields empty edge tokens — see the split gotcha pinned
+    * in KernelSpec). Grams join n consecutive tokens with one space;
+    * fewer than n tokens → empty array. */
+  def wordNGrams(v: UTF8String, n: Int): ArrayData = {
+    val toks = splitRegexWs(v.toString)
     val m = toks.size - n + 1
     if (m <= 0) new GenericArrayData(Array.empty[Any])
     else {

@@ -40,11 +40,13 @@ object QualityQueries {
     val toks = ngrams(col("text"), 1)
     val g2 = ngrams(col("text"), 2)
     val g3 = ngrams(col("text"), 3)
-    // most frequent 2-gram's occurrence count: per-distinct-gram count
-    // via nested higher-order functions (row-local; ~n·d string compares
-    // on ≤100-token docs — no explode/groupBy shuffle needed)
-    val top2 = aggregate(array_distinct(g2), lit(0), (acc, g) =>
-      greatest(acc, size(filter(g2, x => x === g))))
+    // most frequent 2-gram's occurrence count: one-pass native kernel
+    // (hashmap count, running max — O(tokens) per row where the nested
+    // higher-order-function form is O(distinct·tokens), which at the
+    // 10³–10⁴-token docs a Gopher-style gate exists for is 10⁷–10⁸
+    // string compares per row). Equality with the HOF form is pinned
+    // in KernelSpec; row-local either way — no shuffle.
+    val top2 = graft.functions.HashFunctions.topGramCount(col("text"), 2)
     Tables.documents(s, dir).select(
       col("doc_id"),
       size(toks).as("n_tokens"),

@@ -217,19 +217,39 @@ object TextQueries {
   // Training Data) at a banded-join cost: explode the fingerprint sets
   // (O(n·fps) slim rows), equi-join on the fingerprint, count per pair.
   // Hot fingerprints (boilerplate shared by many docs) fan out
-  // quadratically inside their bucket — the MinShared threshold and,
-  // at cluster scale, a frequency cap on exploded fps (drop fps seen
-  // in > F docs, they carry no dedup signal) bound the join.
+  // quadratically inside their bucket — the MinShared threshold and a
+  // frequency cap on exploded fps bound the join: a fingerprint in m
+  // docs produces m(m-1)/2 candidate rows, so fps seen in > MaxFpFreq
+  // docs (corpus boilerplate, not copied content — they carry no dedup
+  // signal) are dropped BEFORE the self-join, bounding candidates at
+  // MaxFpFreq · |fps|. The hot set is tiny by construction (only
+  // corpus-wide boilerplate exceeds the cap), so it broadcasts; the
+  // identical HAVING cap runs in the oracle, keeping the two forms
+  // equivalent at ANY cap value.
   private val MinSharedFps = 2
+  private val MaxFpFreq = 256
 
   private def substringOverlap(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashFunctions.register(s)
-    val fps = Tables.documents(s, dir)
+    substringOverlapPairs(Tables.documents(s, dir), MaxFpFreq)
+  }
+
+  /** q32's plan, parameterized on the hot-fingerprint cap (the spec
+    * exercises a binding cap on planted boilerplate). Input needs
+    * (doc_id, text). */
+  private[graft] def substringOverlapPairs(docs: DataFrame,
+      maxFpFreq: Int): DataFrame = {
+    graft.functions.HashFunctions.register(docs.sparkSession)
+    val fps = docs
       .select(col("doc_id"),
         explode(graft.functions.HashFunctions.winnowFingerprints(col("text")))
           .as("f"))
-      .localCheckpoint(true) // both self-join sides reuse the explode
-    fps.alias("a").join(fps.alias("b"),
+      .localCheckpoint(true) // the freq agg and both self-join sides reuse the explode
+    // doc-frequency cap: one slim (f) aggregate, broadcast anti-join
+    val hot = fps.groupBy(col("f")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxFpFreq).select(col("f"))
+    val cold = fps.join(broadcast(hot), Seq("f"), "left_anti")
+    cold.alias("a").join(cold.alias("b"),
         col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -239,9 +259,11 @@ object TextQueries {
   private val substringOverlapSql =
     s"""WITH $winnowCtes,
        |e AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+       |hot AS (SELECT f FROM e GROUP BY f HAVING COUNT(*) > $MaxFpFreq),
+       |ec AS (SELECT e.doc_id, e.f FROM e ANTI JOIN hot ON e.f = hot.f),
        |pr AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-       |  FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  FROM ec a JOIN ec b ON a.f = b.f AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_shared FROM pr WHERE n_shared >= $MinSharedFps""".stripMargin
 

@@ -191,6 +191,29 @@ class KernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("topGramCount equals the nested-HOF top-gram scan, incl. >1k-token docs") {
+    HashFunctions.register(spark)
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf0001).limit(100).select(col("text"))
+    // >1k-token docs from a tiny vocab (dense repetition — the worst
+    // case for the quadratic HOF form this kernel replaces) + edges
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val longDocs = (1 to 5).map(_ =>
+      (1 to 1500).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val edge = Seq("", " ", "a", "a b", "a a a a", "\ta b\t", "x y x y x y")
+    val df = corpus.union((longDocs ++ edge).toDF("text"))
+    for (n <- Seq(2, 3)) {
+      val g = HashFunctions.wordNGrams(col("text"), n)
+      val hof = aggregate(array_distinct(g), lit(0), (acc, gg) =>
+        greatest(acc, size(filter(g, x => x === gg))))
+      val diff = df.select(
+          HashFunctions.topGramCount(col("text"), n).as("a"), hof.as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0, s"kernel vs HOF mismatch at n=$n")
+    }
+  }
+
   test("winnow fingerprint guard survives short docs under ANSI mode") {
     HashFunctions.register(spark)
     val df = spark.createDataFrame(Seq(

@@ -136,16 +136,109 @@ class QualitySpec extends AnyFunSuite with SparkSpec {
     // verify (a) every reported pair truly shares >= 2 fingerprints and
     // (b) no sharing pair was missed (exhaustive over the 500-doc set)
     graft.functions.HashFunctions.register(spark)
-    val fps = graft.Tables.documents(spark, sf0001)
+    val raw = graft.Tables.documents(spark, sf0001)
       .select(col("doc_id"),
         graft.functions.HashFunctions.winnowFingerprints(col("text")).as("fps"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // replay the shipped hot-fingerprint cap (fps in > 256 docs drop)
+    val docFreq = raw.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size)
+    val fps = raw.view.mapValues(_.filter(f => docFreq(f) <= 256)).toMap
     val expected = (for {
       a <- fps.keys; b <- fps.keys if a < b
       if fps(a).intersect(fps(b)).size >= 2
     } yield (a, b)).toSet
     assert(pairs == expected,
       s"extra=${(pairs -- expected).take(3)} missing=${(expected -- pairs).take(3)}")
+  }
+
+  test("q32 hot-fingerprint cap bounds the self-join fan-out") {
+    import spark.implicits._
+    graft.functions.HashFunctions.register(spark)
+    val boiler = "this boilerplate footer sentence is repeated verbatim " +
+      "across every single document in the whole fixture corpus"
+    val shared = "a long duplicated passage that appears only in the " +
+      "first two documents and nowhere else at all"
+    val n = 50
+    val docs = (0L until n.toLong).map { i =>
+      val extra = if (i < 2) s" $shared" else ""
+      (i, s"document number $i payload alpha$i beta$i gamma$i$extra $boiler")
+    }.toDF("doc_id", "text")
+    val cap = 10
+    val pairs = TextQueries.substringOverlapPairs(docs, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the genuine duplicate pair survives; the boilerplate-only mass
+    // (all 1225 pairs would share the footer's fps) does not
+    assert(pairs.contains((0L, 1L)), "planted duplicate pair lost")
+    assert(pairs.size < 10, s"boilerplate pairs survived the cap: ${pairs.size}")
+    // fan-out bound: after dropping fps in > cap docs, every bucket has
+    // <= cap rows, so candidates <= cap/2 · |fp rows| — NOT n²/2 per
+    // hot fingerprint. Verify against the recomputed doc-frequency.
+    val fpRows = docs.select(col("doc_id"),
+        explode(graft.functions.HashFunctions.winnowFingerprints(col("text")))
+          .as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val freq = fpRows.groupBy(_._2).view.mapValues(_.size).toMap
+    val cold = fpRows.filter { case (_, f) => freq(f) <= cap }
+    val capped = cold.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val uncapped = fpRows.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(capped <= cap.toLong * fpRows.length / 2,
+      s"capped candidates $capped exceed the cap·n bound")
+    // and the cap genuinely bites: the boilerplate fps alone fan out
+    // ~n²/2 candidates per fingerprint without it
+    assert(uncapped > n.toLong * (n - 1) / 2,
+      s"fixture failed to produce a hot fingerprint (uncapped=$uncapped)")
+    assert(capped < uncapped / 10, s"cap barely reduced fan-out: $capped vs $uncapped")
+    // an unbinding cap keeps the boilerplate pairs (sanity: same plan,
+    // full result)
+    val uncappedPairs = TextQueries.substringOverlapPairs(docs, 1000).count()
+    assert(uncappedPairs == n.toLong * (n - 1) / 2)
+  }
+
+  test("tokenBudget refuses cum_tokens input and negative counts") {
+    import spark.implicits._
+    val clash = Seq((1L, "en", 5L, 0L)).toDF("doc_id", "lang", "n_tokens", "cum_tokens")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Sampling.tokenBudget(clash, "lang", "doc_id", "n_tokens", 10L)
+    }
+    assert(e.getMessage.contains("cum_tokens"))
+    val neg = Seq((1L, "en", 5L), (2L, "en", -3L)).toDF("doc_id", "lang", "n_tokens")
+    val thrown = intercept[Throwable] {
+      graft.api.Sampling.tokenBudget(neg, "lang", "doc_id", "n_tokens", 100L).collect()
+    }
+    assert(thrown.getMessage != null)
+  }
+
+  test("tokenBudgetThreshold fails loud when the coarse prefix under-covers") {
+    import spark.implicits._
+    // One stratum, skewed: 100 one-token rows + a 1000-token row whose
+    // priority is LAST (max scramble among the candidates), so at
+    // oversample=1 the coarse prefix holds far fewer than `budget`
+    // tokens while the stratum total (1100) is binding (> 1·500).
+    val cands = (100L until 1100L).toDF("id")
+      .select(col("id"), graft.api.Sampling.scramble(col("id")).as("s"))
+      .orderBy(col("s").desc).limit(1).collect()
+    val bigId = cands.head.getLong(0)
+    val rows = (0L until 100L).map(i => (i, "en", 1L)) :+ ((bigId, "en", 1000L))
+    val df = rows.toDF("doc_id", "lang", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Sampling.tokenBudgetThreshold(
+        df, "lang", "doc_id", "n_tokens", 500L, oversample = 1.0).collect()
+    }
+    assert(e.getMessage.contains("raise oversample"), e.getMessage)
+  }
+
+  test("histQuantile ignores null values") {
+    import spark.implicits._
+    val base = (1 to 500).map(i => ("g" + (i % 3), i.toDouble))
+      .toDF("grp", "v")
+    val withNulls = base.union(
+      (1 to 100).map(i => ("g" + (i % 3), null.asInstanceOf[java.lang.Double]))
+        .toDF("grp", "v"))
+    val a = graft.api.Sketches.histQuantile(base, "grp", "v", Seq(0.5, 0.9))
+      .collect().map(_.toString).sorted.toSeq
+    val b = graft.api.Sketches.histQuantile(withNulls, "grp", "v", Seq(0.5, 0.9))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
   }
 
   test("qs5 histogram quantiles land within one bin width of exact") {
