@@ -1,0 +1,76 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The ONE materialization-barrier seam for every graft operator that
+  * re-reads an intermediate projection: self-join candidate sides
+  * (dd2/dd3/dd4/dd5, q32), iterative fixpoints (dd6), and multi-branch
+  * sketch passes (qs5). The barriers fix real plan defects — without
+  * one, both consumers of the projection recompute it from the source
+  * (for mm8 that is a full image decode per side; for qs5, 4-5 full
+  * fact-table scans) because Spark performs no cross-stage
+  * common-subexpression reuse.
+  *
+  * The MODE is deployment policy, not operator logic, so it is one
+  * session conf — `spark.graft.barrier` — instead of a per-call choice:
+  *
+  *  - `localCheckpoint` (default): eager, lineage SEVERED, blocks live
+  *    only on executors. Fastest on static clusters, but an executor
+  *    loss loses the only copy and fails the job — do NOT use on
+  *    decommissioning backends (the `lambda://` lease-rollover executor
+  *    model).
+  *  - `persist`: eager MEMORY_AND_DISK cache. Lineage is KEPT, so a
+  *    lost block recomputes from source — the mode elastic/FaaS
+  *    deployments require (see STATUS.md; LambdaSimSpec runs dd2 under
+  *    it across a mid-query executor kill).
+  *  - `checkpoint`: eager reliable checkpoint to
+  *    `SparkContext.setCheckpointDir` (a SHARED filesystem in
+  *    production); survives any executor loss without recompute, at
+  *    the cost of an FS round-trip per barrier. If no checkpoint dir
+  *    is set, a session-local temp dir is used (tests; single-node).
+  *  - `none`: no barrier. Plan inspection and tiny inputs only — the
+  *    double-computation the barriers exist to prevent comes back, and
+  *    iterative operators grow unbounded lineage.
+  *
+  * Eagerness is part of the contract for every mode but `none`: a LAZY
+  * cache shared by two stages of one job races to materialize the same
+  * partitions and duplicates the scan — the barrier must be filled
+  * before the consumers run.
+  */
+object Barrier {
+  val ConfKey = "spark.graft.barrier"
+
+  val Modes: Set[String] = Set("localCheckpoint", "persist", "checkpoint", "none")
+
+  def mode(df: DataFrame): String = {
+    val m = df.sparkSession.conf.get(ConfKey, "localCheckpoint")
+    require(Modes.contains(m), s"$ConfKey must be one of $Modes, got '$m'")
+    m
+  }
+
+  /** Materialize `df` now per the session's barrier mode; consumers of
+    * the returned frame read the materialized rows, not the lineage. */
+  def apply(df: DataFrame): DataFrame = mode(df) match {
+    case "none" => df
+    case "persist" =>
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // fill eagerly: a lazy cache races under a self-join
+      p
+    case "checkpoint" =>
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(java.nio.file.Files
+          .createTempDirectory("graft-ckpt").toString)
+      df.checkpoint(true)
+    case _ => df.localCheckpoint(true)
+  }
+
+  /** Drop a barrier an iterative operator no longer reads (the
+    * previous round's labels/edges) so `persist` mode does not
+    * accumulate one cached copy per round. No-op in other modes:
+    * localCheckpoint/checkpoint blocks are reclaimed by the context,
+    * and there is nothing to release under `none`. */
+  def release(df: DataFrame): Unit =
+    if (df.storageLevel != StorageLevel.NONE) { df.unpersist(false); () }
+}

@@ -23,20 +23,14 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Shingle-hash projection behind a materialization barrier (see
-    * `spark.graft.dedup.barrier`): (id, hs sorted distinct mod-P
-    * 3-shingle hashes, nh). */
+    * [[Barrier]], conf `spark.graft.barrier`): (id, hs sorted distinct
+    * mod-P 3-shingle hashes, nh). */
   def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     HashFunctions.register(df.sparkSession)
-    val proj = df.select(
+    Barrier(df.select(
       col(idCol).as("doc_id"),
       HashFunctions.shingleHashes(col(textCol)).as("hs"))
-      .withColumn("nh", size(col("hs")))
-    df.sparkSession.conf.get("spark.graft.dedup.barrier", "localCheckpoint") match {
-      case "persist" =>
-        proj.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      case "none" => proj
-      case _ => proj.localCheckpoint(true)
-    }
+      .withColumn("nh", size(col("hs"))))
   }
 
   private def bandKey(sig: Column, b: Column, rows: Int): Column =
@@ -61,13 +55,12 @@ object Dedup {
     // barrier the slim (id, band, bkey) rows: both self-join sides
     // re-derive `banded`, which would otherwise compute the K minhashes
     // twice per document
-    val banded = docs
+    val banded = Barrier(docs
       .select(col("doc_id"), HashFunctions.minhashSig(col("hs")).as("sig"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => bandKey(col("sig"), b, rows))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      .localCheckpoint(true)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey"))
     val cands = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -98,8 +91,8 @@ object Dedup {
     // input — without it the (possibly expensive) signature computation
     // runs twice per row (for mm8 that is a full image decode per side;
     // the broadcast side gets no exchange Spark could reuse)
-    val docs = sigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
-      .localCheckpoint(true)
+    val docs = Barrier(
+      sigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig")))
     val pieces = docs.select(
         col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(i =>
@@ -152,10 +145,9 @@ object Dedup {
     // sides of the band join both re-derive `tagged`, which would
     // otherwise run the tables×planes hyperplane hashing twice per
     // vector
-    val tagged = e.select(col("vec_id"),
+    val tagged = Barrier(e.select(col("vec_id"),
         posexplode(VectorFunctions.lshSignatures(col("embedding"), tables, planes)))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
-      .localCheckpoint(true)
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig"))
     val probed =
       if (probes == 0) tagged
       else tagged.select(col("vec_id"), col("tbl"),
@@ -186,20 +178,21 @@ object Dedup {
     * shuffled rows of two longs — and converges in ≤ graph-diameter
     * iterations. Near-dup clusters are dense (diameter is small, 2-3
     * hops), so the loop runs a handful of rounds at any corpus size;
-    * labels are localCheckpoint'd per round to keep lineage flat. For
+    * labels are [[Barrier]]'d per round to keep lineage flat. For
     * adversarial diameters (long chains) use [[duplicateGroupsStar]],
     * which converges in O(log²) rounds regardless of diameter. Only
     * ids appearing in some pair get a row — unpaired docs are their
     * own trivial groups by definition. */
   def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
-    val ed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val ed = Barrier(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true) // scanned every iteration
-    var labels = ed.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
-      .localCheckpoint(true)
+      .distinct()) // scanned every iteration
+    var labels = Barrier(ed.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")))
+    // the frame actually holding this round's barrier (labels is later
+    // a PROJECTION of it, which release() could not unpersist)
+    var barriered = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -210,13 +203,14 @@ object Dedup {
       val prop = ed.join(labels, ed("dst") === labels("v"))
         .select(ed("src").as("v"), labels("lbl"))
         .groupBy("v").agg(min("lbl").as("plbl"))
-      val next = labels.alias("o")
+      val next = Barrier(labels.alias("o")
         .join(prop.alias("p"), col("o.v") === col("p.v"), "left")
         .select(col("o.v").as("v"),
           least(col("o.lbl"), col("p.plbl")).as("lbl"),
-          (col("p.plbl") < col("o.lbl")).as("changed"))
-        .localCheckpoint(true)
+          (col("p.plbl") < col("o.lbl")).as("changed")))
       converged = next.filter(col("changed")).isEmpty
+      Barrier.release(barriered) // persist mode: one cached copy per round otherwise
+      barriered = next
       labels = next.select(col("v"), col("lbl"))
       iter += 1
     }
@@ -255,9 +249,8 @@ object Dedup {
     def mins(se: DataFrame): DataFrame = se
       .groupBy(col("u").as("c")).agg(least(min(col("v")), col("c")).as("m"))
 
-    var edges = canon(
-        pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
-      .localCheckpoint(true)
+    var edges = Barrier(canon(
+      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -275,9 +268,10 @@ object Dedup {
         large.join(m2, col("u") === col("c"))
           .select(col("v").as("u"), col("m").as("v"))
         .union(m2.select(col("c").as("u"), col("m").as("v"))))
-      val next = small.localCheckpoint(true)
+      val next = Barrier(small)
       converged = next.count() == edges.count() &&
         next.except(edges).isEmpty
+      Barrier.release(edges) // persist mode: one cached copy per round otherwise
       edges = next
       iter += 1
     }

@@ -102,21 +102,20 @@ object Sketches {
       .filter(col("x").isNotNull)
     // barrier: bounds feed both the binning pass and the final
     // interpolation join — one scan, not two
-    val bounds = vals.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-      .localCheckpoint(true)
+    val bounds = Barrier(
+      vals.agg(min(col("x")).as("lo"), max(col("x")).as("hi")))
     val width = (col("hi") - col("lo")) / lit(bins.toDouble)
     // materialization barrier after the one heavy pass: the per-q
     // branches, the totals, and the cumulative window all re-derive
     // `binned` — without the barrier each branch re-scans the fact
     // table (4-5 full scans at 100 TB); with it they read ≤ groups·bins
     // counter rows
-    val binned = vals.crossJoin(broadcast(bounds))
+    val binned = Barrier(vals.crossJoin(broadcast(bounds))
       .select(col("g"),
         when(col("hi") === col("lo"), lit(0))
           .otherwise(least(floor((col("x") - col("lo")) / width).cast("int"),
             lit(bins - 1))).as("bin"))
-      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt")))
     val cum = binned.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy("g").orderBy("bin")))
     val tot = binned.groupBy("g").agg(sum(col("cnt")).as("n"))

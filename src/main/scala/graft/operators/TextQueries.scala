@@ -240,11 +240,10 @@ object TextQueries {
   private[graft] def substringOverlapPairs(docs: DataFrame,
       maxFpFreq: Int): DataFrame = {
     graft.functions.HashFunctions.register(docs.sparkSession)
-    val fps = docs
+    val fps = graft.api.Barrier(docs
       .select(col("doc_id"),
         explode(graft.functions.HashFunctions.winnowFingerprints(col("text")))
-          .as("f"))
-      .localCheckpoint(true) // the freq agg and both self-join sides reuse the explode
+          .as("f"))) // the freq agg and both self-join sides reuse the explode
     // doc-frequency cap: one slim (f) aggregate, broadcast anti-join
     val hot = fps.groupBy(col("f")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxFpFreq).select(col("f"))

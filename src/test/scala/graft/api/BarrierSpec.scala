@@ -1,0 +1,70 @@
+package graft.api
+
+import graft.{SparkSpec, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The conf-driven materialization barrier: every mode must produce
+  * identical operator output (the mode is a durability/locality choice,
+  * never a semantic one), and the iterative operators must not leak one
+  * cached copy per round under `persist`. */
+class BarrierSpec extends AnyFunSuite with SparkSpec {
+
+  private def withMode[A](m: String)(f: => A): A = {
+    val prev = spark.conf.getOption(Barrier.ConfKey)
+    spark.conf.set(Barrier.ConfKey, m)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(Barrier.ConfKey, v)
+      case None => spark.conf.unset(Barrier.ConfKey)
+    }
+  }
+
+  test("default mode is localCheckpoint; bad modes are rejected") {
+    val docs = Tables.documents(spark, sf0001).limit(1)
+    assert(Barrier.mode(docs) == "localCheckpoint")
+    withMode("persist")(assert(Barrier.mode(docs) == "persist"))
+    withMode("bogus") {
+      val e = intercept[IllegalArgumentException](Barrier.mode(docs))
+      assert(e.getMessage.contains("spark.graft.barrier"))
+    }
+  }
+
+  test("dd2 jaccard pairs are identical under every barrier mode") {
+    val docs = Tables.documents(spark, sf0001)
+    def run(): Seq[String] =
+      Dedup.jaccardPairs(docs, "doc_id", "text", 8, 4, 0.5)
+        .collect().map(_.toString).sorted.toSeq
+    val base = withMode("localCheckpoint")(run())
+    assert(base.nonEmpty)
+    for (m <- Seq("persist", "checkpoint", "none"))
+      assert(withMode(m)(run()) == base, s"mode $m diverged from localCheckpoint")
+  }
+
+  test("dd6 duplicate groups are identical under every barrier mode") {
+    import spark.implicits._
+    // two components incl. a 5-node chain (multi-round propagation)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    def run(): Seq[String] =
+      Dedup.duplicateGroups(pairs, "a", "b")
+        .collect().map(_.toString).sorted.toSeq
+    val base = withMode("localCheckpoint")(run())
+    assert(base.nonEmpty)
+    for (m <- Seq("persist", "checkpoint", "none"))
+      assert(withMode(m)(run()) == base, s"mode $m diverged from localCheckpoint")
+  }
+
+  test("persist-mode fixpoints release per-round barriers (no cache leak)") {
+    import spark.implicits._
+    // a 7-node chain forces ~6 label-propagation rounds; without
+    // release() each round would leave one more cached copy behind
+    val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("a", "b")
+    withMode("persist") {
+      val before = spark.sparkContext.getPersistentRDDs.size
+      Dedup.duplicateGroups(pairs, "a", "b").collect()
+      val after = spark.sparkContext.getPersistentRDDs.size
+      // ed + the final round's labels may stay; per-round copies must not
+      assert(after - before <= 2, s"leaked ${after - before} cached barriers")
+    }
+  }
+}
