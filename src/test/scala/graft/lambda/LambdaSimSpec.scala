@@ -118,6 +118,40 @@ class LambdaSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dd2 with persist barrier survives an invocation kill mid-query") {
+    // The barrier-mode contract for elastic backends (Barrier.scala):
+    // persist keeps lineage, so losing the executor that holds the
+    // only copy of a barrier block recomputes instead of failing —
+    // the property localCheckpoint (blocks-only, lineage severed)
+    // cannot provide on decommissioning leases.
+    eventually(90)(assert(backend.liveInvocationIds.size == 2))
+    spark.conf.set("spark.graft.barrier", "persist")
+    try {
+      val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      def run(): Set[String] =
+        graft.api.Dedup.jaccardPairs(docs, "doc_id", "text", 8, 4, 0.5)
+          .collect().map(_.toString).toSet
+      // clean pass: the expected pair set AND the clock for the kill
+      val t0 = System.nanoTime()
+      val expected = run()
+      val cleanNanos = System.nanoTime() - t0
+      assert(expected.nonEmpty)
+      // second pass with one of the two leases killed mid-flight
+      val killer = new Thread(() => {
+        Thread.sleep(math.max(cleanNanos / 3000000L, 200L)) // ~1/3 in, ms
+        val live = backend.liveInvocationIds
+        if (live.nonEmpty) backend.killInvocation(live.min)
+      })
+      killer.start()
+      val got = run()
+      killer.join()
+      assert(got == expected,
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+      // the supervisor restores the lease count afterwards
+      eventually(90)(assert(backend.liveInvocationIds.size == 2))
+    } finally spark.conf.unset("spark.graft.barrier")
+  }
+
   test("lease expiry decommissions gracefully and rolls invocations over") {
     // re-create the context with a short lease (the lease is read at
     // backend construction) + decommission enabled
