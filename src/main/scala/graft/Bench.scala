@@ -45,19 +45,24 @@ object Bench {
       try {
         val (_, snap) = Metrics.track(spark)(fn(spark, sfDir).count())
         (name, snap.wallClockSec,
-          math.max(snap.bytesRead, snap.fsBytesRead), snap.shuffleBytesWritten)
+          math.max(snap.bytesRead, snap.fsBytesRead), snap.shuffleBytesWritten,
+          snap.fsBytesRead)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         // failed queries are marked -1.0 instead of masquerading as timings
-        (name, -1.0, 0L, 0L)
+        (name, -1.0, 0L, 0L, 0L)
       }
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // bytesRead is task-level (counts each consumer's read of a
+    // barrier/cached block AGAIN); fsBytesRead is the storage-layer
+    // truth — see tools/BarrierBytes for the per-mode attribution
     val bytes = results
-      .map { case (k, _, r, s) => s""""$k":{"bytesRead":$r,"shuffleWrite":$s}""" }
+      .map { case (k, _, r, s, f) =>
+        s""""$k":{"bytesRead":$r,"fsBytesRead":$f,"shuffleWrite":$s}""" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val qsCold = cold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val totalCold = cold.collect { case (_, v) if v >= 0 => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$qs,"queries_cold":$qsCold,"bytes":$bytes,"warmup":"cold-pass@sf","sf":"$sfDir"}"""
