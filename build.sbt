@@ -37,9 +37,13 @@ Test / parallelExecution := false
 Test / testGrouping := {
   val forkOpts = ForkOptions()
     .withRunJVMOptions((Test / javaOptions).value.toVector)
-  val (sim, rest) = (Test / definedTests).value
+  val (sim, rest0) = (Test / definedTests).value
     .partition(_.name.contains("LambdaSim"))
+  // the shuffle suites set spark.shuffle.manager — a static conf — so
+  // they own their SparkContexts in a JVM of their own too
+  val (shuffle, rest) = rest0.partition(_.name.contains("GraftShuffle"))
   Seq(
     Tests.Group("lambda-sim", sim, Tests.SubProcess(forkOpts)),
+    Tests.Group("graft-shuffle", shuffle, Tests.SubProcess(forkOpts)),
     Tests.Group("main", rest, Tests.SubProcess(forkOpts)))
 }

@@ -21,7 +21,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -30,7 +30,16 @@ object Bench {
       // task input metrics and FileSystem statistics (see Metrics)
       .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_SHUFFLE_DIR=<uri> benchmarks the object-store shuffle
+    // (GraftShuffleManager) instead of local-disk shuffle
+    val spark = sys.env.get("SPARK_GRAFT_SHUFFLE_DIR").fold(builder) { dir =>
+      builder
+        .config("spark.shuffle.manager",
+          "org.apache.spark.shuffle.graft.GraftShuffleManager")
+        .config("spark.shuffle.sort.io.plugin.class",
+          "org.apache.spark.shuffle.graft.GraftShuffleDataIO")
+        .config("spark.graft.shuffle.dir", dir)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Pass 1: cold, at the target SF (doubles as the warmup for pass 2).

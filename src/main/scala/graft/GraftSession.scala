@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   * | maxConcurrency (500)| maxConcurrency      | local[N] / executor sizing |
   * | cleanup             | (automatic)         | shuffle files managed by ContextCleaner |
   * | workingLocation     | workingLocation     | default staging dir for MultiStageDriver.runMaterialized |
+  * | S3 intermediate bins (emitter.go:90-120) | shuffleLocation | spark.shuffle.manager=GraftShuffleManager + spark.graft.shuffle.dir |
   */
 object GraftSession {
 
@@ -25,7 +26,11 @@ object GraftSession {
       mapBinSize: Long = 512L << 20,
       reduceBins: Option[Int] = None,
       maxConcurrency: Int = Runtime.getRuntime.availableProcessors(),
-      workingLocation: Option[String] = None)
+      workingLocation: Option[String] = None,
+      // corral keeps intermediate (shuffle) bins under its S3 working
+      // location (emitter.go:90-120); setting this routes Spark's
+      // shuffle through GraftShuffleManager at the given FS URI
+      shuffleLocation: Option[String] = None)
 
   /** Default `graftrc` search order: `.` then `$HOME/.graft/` (viper's
     * corralrc search path, config.go:8-10). First file found wins. */
@@ -61,7 +66,8 @@ object GraftSession {
       reduceBins = layer("GRAFT_REDUCE_BINS", "reduceBins").map(_.toInt),
       maxConcurrency = layer("GRAFT_MAX_CONCURRENCY", "maxConcurrency").map(_.toInt)
         .getOrElse(d.maxConcurrency),
-      workingLocation = layer("GRAFT_WORKING_LOCATION", "workingLocation"))
+      workingLocation = layer("GRAFT_WORKING_LOCATION", "workingLocation"),
+      shuffleLocation = layer("GRAFT_SHUFFLE_LOCATION", "shuffleLocation"))
   }
 
   def builder(conf: Conf = fromEnv(), local: Boolean = true): SparkSession.Builder = {
@@ -77,6 +83,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions",
         conf.reduceBins.getOrElse(conf.maxConcurrency))
       .config("spark.ui.enabled", "false")
+    conf.shuffleLocation.foreach { dir =>
+      b.config("spark.shuffle.manager",
+          "org.apache.spark.shuffle.graft.GraftShuffleManager")
+        .config("spark.shuffle.sort.io.plugin.class",
+          "org.apache.spark.shuffle.graft.GraftShuffleDataIO")
+        .config("spark.graft.shuffle.dir", dir)
+    }
     if (local) b.master(s"local[${conf.maxConcurrency}]") else b
   }
 }

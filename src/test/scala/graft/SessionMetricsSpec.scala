@@ -37,6 +37,12 @@ class SessionMetricsSpec extends AnyFunSuite with SparkSpec {
       assert(envOver.workingLocation.contains("/tmp/from-file"))
       // options > env (explicit copy on top of the resolved cascade)
       assert(envOver.copy(splitSize = 333L).splitSize == 333L)
+      // shuffleLocation rides the same cascade (GraftShuffleSpec covers
+      // the manager the builder wires it to)
+      val shuf = GraftSession.fromEnv(
+        Map("GRAFT_SHUFFLE_LOCATION" -> "graftfs:///tmp/bins"), rc)
+      assert(shuf.shuffleLocation.contains("graftfs:///tmp/bins"))
+      assert(fileOnly.shuffleLocation.isEmpty)
       // missing file → defaults untouched
       val missing = GraftSession.loadRc(Seq(dir.resolve("nope")))
       assert(GraftSession.fromEnv(Map.empty, missing) == GraftSession.Conf())
