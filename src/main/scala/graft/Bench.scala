@@ -83,6 +83,12 @@ object Bench {
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The harness keeps only the TAIL of stdout (BENCH_r0{2..7}.json all
+    // lost the head of the full line above). Re-print the driver-contract
+    // fields WITHOUT the bytes/cold maps as the final line so a complete,
+    // parseable JSON object always lands inside the tail window; the full
+    // detail stays in target/bench.json.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -270,7 +270,7 @@ object TextQueries {
     QueryDef("q2_wordcount", wordcount, Some(wordcountSql), bench = true),
     QueryDef("t5_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("t6_winnow", winnowQ, Some(winnowSql)),
-    QueryDef("q32_substring_overlap", substringOverlap, Some(substringOverlapSql)),
+    QueryDef("q32_substring_overlap", substringOverlap, Some(substringOverlapSql), bench = true),
     QueryDef("t1_token_count", tokenCountQ, Some(tokenCountSql)),
     QueryDef("t2_langid", langId, Some(langIdSql)),
     QueryDef("t3_quality", quality, Some(qualitySql), bench = true),

@@ -253,10 +253,13 @@ private[graft] class GraftShuffleReader[K, C](
     val recordIter: Iterator[(Any, Any)] = blocks
       .filter(_._2 > 0) // empty bins wrote no object
       .flatMap {
-        case (bid @ ShuffleBlockId(_, blockMapId, reduceId), _) =>
+        case (bid @ ShuffleBlockId(_, blockMapId, reduceId), size) =>
           val path = GraftShuffleManager.binPath(shuffleDir, blockMapId, reduceId)
           metrics.incRemoteBlocksFetched(1)
-          metrics.incRemoteBytesRead(fs.getFileStatus(path).getLen)
+          // Size comes from the MapOutputTracker's registered MapStatus —
+          // no per-block getFileStatus (on an object store that would be
+          // one HEAD request per (map, bin) object per reduce task).
+          metrics.incRemoteBytesRead(size)
           val in = serMgr.wrapStream(bid,
             new BufferedInputStream(fs.open(path), 64 * 1024))
           // asKeyValueIterator closes the stream at EOF
