@@ -77,6 +77,76 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Persistable MinHash signature asset for INCREMENTAL dedup: one row
+    * per doc with nh > 0 — (doc_id, hs, nh, bkeys), where bkeys(b) is
+    * the band-b key of the doc's [[MinHashConstants.K]]-minhash
+    * signature (bands × rows must equal K). All columns are plain
+    * parquet types (bigint, array&lt;bigint&gt;, bigint, array&lt;bigint&gt;):
+    * write this once per corpus generation and feed it back to
+    * [[incrementalJaccardPairs]] — the daily increment then never
+    * re-shingles or re-pairs the existing corpus. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rows: Int): DataFrame = {
+    require(bands * rows == MinHashConstants.K,
+      s"bands*rows must equal ${MinHashConstants.K}")
+    shingled(df, idCol, textCol).filter(col("nh") > 0)
+      .select(col("doc_id"), col("hs"), col("nh"),
+        HashFunctions.minhashSig(col("hs")).as("sig"))
+      .select(col("doc_id"), col("hs"), col("nh"),
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => bandKey(col("sig"), b, rows)).as("bkeys"))
+  }
+
+  /** dd7 — incremental near-dup: every pair (doc_a, doc_b, jac) with
+    * jac ≥ threshold where AT LEAST one side is in `incSigs`
+    * (increment×corpus and increment×increment); corpus×corpus is never
+    * re-paired. Both inputs come from [[minhashSignatures]] under the
+    * same band geometry; increment ids must not collide with corpus ids
+    * (an increment is new by definition).
+    *
+    * Equivalence: a pair survives iff the two docs share a (band, bkey)
+    * bucket and verify at jac ≥ threshold — the same candidate geometry
+    * and verification as [[jaccardPairs]] — so the output is EXACTLY the
+    * inc-touching subset of `jaccardPairs(corpus ∪ inc)`
+    * (property-pinned in DedupSimilaritySpec).
+    *
+    * Scale shape: the probe side of the band join is only the
+    * increment's slim (doc_id, band, bkey) rows — O(|inc|·bands). For a
+    * daily-sized increment Spark broadcasts that side, so the corpus
+    * signature table (the 100 TB asset) is scanned once and never
+    * shuffled; comparable-sized inputs degrade gracefully to dd3's
+    * shuffled equi-join. */
+  def incrementalJaccardPairs(corpusSigs: DataFrame, incSigs: DataFrame,
+      threshold: Double): DataFrame = {
+    def explodeBands(sigs: DataFrame): DataFrame = sigs
+      .select(col("doc_id"), posexplode(col("bkeys")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    // barrier: the increment's banded rows are probed against the union
+    // below, so they would otherwise be derived twice
+    val incBanded = Barrier(explodeBands(incSigs))
+    val allBanded = incBanded.union(explodeBands(corpusSigs))
+    // The inc side probes the union, so inc-inc pairs arrive in both
+    // orientations and inc-corpus pairs in one; canonicalize + distinct.
+    val cands = incBanded.alias("a").join(allBanded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    // Shingle sets attach once per surviving candidate side, from either
+    // table — same verification tail as jaccardPairs.
+    val docs = corpusSigs.select(col("doc_id"), col("hs"), col("nh"))
+      .union(incSigs.select(col("doc_id"), col("hs"), col("nh")))
+    val da = docs.select(col("doc_id"), col("hs").as("hs_a"), col("nh").as("nh_a"))
+    val db = docs.select(col("doc_id"), col("hs").as("hs_b"), col("nh").as("nh_b"))
+    val inter = HashFunctions.sortedIntersectCount(col("hs_a"), col("hs_b"))
+    val jac = inter.cast("double") / (col("nh_a") + col("nh_b") - inter)
+    cands.join(da, cands("doc_a") === da("doc_id")).drop("doc_id")
+      .join(db, col("doc_b") === db("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** Hamming-distance near-dup pairs over PRECOMPUTED 64-bit signatures
     * (SimHash, perceptual image hashes, any 64-bit sketch):
     * pigeonhole-complete 16-bit piece banding — hamming ≤ 3 implies at

@@ -124,6 +124,33 @@ object DedupQueries {
        |  SELECT reach.v, e.b AS r FROM reach JOIN ed e ON reach.r = e.a)
        |SELECT v AS doc_id, MIN(r) AS group_id FROM reach GROUP BY v""".stripMargin
 
+  // -- dd7: incremental dedup — increment vs existing corpus ------------
+  // The daily-pipeline verb the batch-global variants (dd1–dd6) lack:
+  // new documents arrive, the corpus is already deduped and its MinHash
+  // signature table is a persisted asset — find every near-dup pair
+  // TOUCHING the increment without re-pairing the corpus against
+  // itself. Fixture split: doc_id % IncMod == 0 (10%) plays the
+  // increment. Same dd3 geometry (8 bands × 4 rows, jac >= 0.8), so a
+  // pair survives iff it shares a band bucket and verifies — the oracle
+  // is dd3's band CTE restricted to inc-touching pairs, which
+  // dd7(corpus, inc) equals exactly (same candidates, same
+  // verification; property-pinned in DedupSimilaritySpec).
+  private val IncMod = 10
+
+  private def incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpusSigs = graft.api.Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % IncMod =!= 0), "doc_id", "text", DD3Bands, DD3Rows)
+    val incSigs = graft.api.Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % IncMod === 0), "doc_id", "text", DD3Bands, DD3Rows)
+    graft.api.Dedup.incrementalJaccardPairs(corpusSigs, incSigs, 0.8)
+  }
+
+  private val incrementalSql =
+    s"""WITH ${bandCtes(DD3Bands, DD3Rows)}
+       |SELECT doc_a, doc_b, jac FROM cand
+       |WHERE jac >= 0.8 AND (doc_a % $IncMod = 0 OR doc_b % $IncMod = 0)""".stripMargin
+
   // -- dd4: SimHash (64-bit) + Hamming-distance pairs -------------------
   // Per distinct token: polynomial hash → 64 affine mod-P votes (see
   // HashKernels.simhashP); signature bit = sign of vote sum. Near-dups =
@@ -224,5 +251,6 @@ object DedupQueries {
     QueryDef("dd4_simhash", simhash, Some(simhashSql), bench = true),
     QueryDef("dd5_embed_dup", embedDup, Some(embedDupSql), bench = true),
     QueryDef("dd6_dup_groups", dupGroups, Some(dupGroupsSql), bench = true),
+    QueryDef("dd7_incremental", incremental, Some(incrementalSql), bench = true),
   )
 }

@@ -44,6 +44,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     if (dups.count() > 0) assert(sim.nonEmpty)
   }
 
+  test("dd7 incremental ≡ inc-touching subset of full jaccardPairs, via a parquet round-trip of the signature asset") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    // the corpus signatures go through parquet: the asset a daily
+    // pipeline persists once and reuses per increment
+    val tmp = java.nio.file.Files.createTempDirectory("dd7sigs").toString
+    graft.api.Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4)
+      .write.mode("overwrite").parquet(s"$tmp/corpus_sigs")
+    val corpusSigs = spark.read.parquet(s"$tmp/corpus_sigs")
+    val incSigs = graft.api.Dedup.minhashSignatures(inc, "doc_id", "text", 8, 4)
+    val got = graft.api.Dedup.incrementalJaccardPairs(corpusSigs, incSigs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = graft.api.Dedup.jaccardPairs(docs, "doc_id", "text", 8, 4, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(got == expected)
+    assert(got.forall { case (a, b, _) => a % 10 == 0 || b % 10 == 0 })
+    assert(full.exists(p => p._1 % 10 != 0 && p._2 % 10 != 0),
+      "fixture should also hold corpus-corpus pairs dd7 must NOT re-find")
+  }
+
   test("s1 brute-force topk: 5 ranked neighbors per probe, cosine in [-1,1]") {
     val rows = run("s1_cosine_topk").collect()
     assert(rows.length == 50) // 10 probes × k=5
