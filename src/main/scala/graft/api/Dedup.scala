@@ -180,6 +180,44 @@ object Dedup {
       .distinct()
   }
 
+  /** dd8 — incremental Hamming near-dup over PRECOMPUTED 64-bit
+    * signatures: pairs (doc_a, doc_b, hamming) with hamming ≤
+    * maxHamming where AT LEAST one side is in `incSigs`. The corpus
+    * side is the persisted (id, sig) asset — SimHash for text,
+    * perceptual average-hash for images (mm8) — so the daily image or
+    * text increment dedups against the corpus without re-pairing it.
+    * Same pigeonhole-complete 16-bit-piece banding as [[hammingPairs]];
+    * output ≡ the inc-touching subset of `hammingPairs(corpus ∪ inc)`
+    * (property-pinned in DedupSimilaritySpec). Only the increment's
+    * 4 piece rows per doc probe; a daily-sized increment broadcasts,
+    * leaving the corpus scan shuffle-free. */
+  def incrementalHammingPairs(corpusSigs: DataFrame, incSigs: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "16-bit piece banding is complete only for hamming <= 3")
+    def pieces(sigs: DataFrame): DataFrame = sigs
+      .select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "piece").withColumnRenamed("col", "pval")
+    // barrier: the increment's pieces are probed against the union below,
+    // so the (possibly expensive) signature computation would otherwise
+    // run twice per increment row
+    val incPieces = Barrier(pieces(incSigs))
+    val allPieces = incPieces.union(pieces(corpusSigs))
+    val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+    // inc probes the union: inc-inc pairs arrive in both orientations,
+    // inc-corpus in one; canonicalize + distinct (hamming is symmetric)
+    incPieces.alias("a").join(allPieces.alias("b"),
+        col("a.piece") === col("b.piece") && col("a.pval") === col("b.pval") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SimHash near-dup pairs: fused 64-bit text signature +
     * [[hammingPairs]] banding. Output: (doc_a, doc_b, hamming). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

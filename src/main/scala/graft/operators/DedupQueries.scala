@@ -162,7 +162,30 @@ object DedupQueries {
   private def simhash(s: SparkSession, dir: String): DataFrame =
     graft.api.Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 3)
 
-  private val simhashSql: String = {
+  // -- dd8: incremental SimHash — increment vs persisted signature asset
+  // dd7's verb for the Hamming signature family: the corpus's 64-bit
+  // sigs (SimHash here; mm8's perceptual image hashes are the same
+  // shape) are the persisted asset, only the increment's piece rows
+  // probe. Oracle = dd4's piece CTE restricted to inc-touching pairs,
+  // which dd8(corpus, inc) equals exactly (same pigeonhole candidates,
+  // same hamming verification).
+  private def incrementalSimhash(s: SparkSession, dir: String): DataFrame = {
+    HashFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    def sigs(df: DataFrame) = df.select(col("doc_id"),
+      HashFunctions.simhashText(col("text")).as("sig"))
+    graft.api.Dedup.incrementalHammingPairs(
+      sigs(docs.filter(col("doc_id") % IncMod =!= 0)),
+      sigs(docs.filter(col("doc_id") % IncMod === 0)),
+      "doc_id", "sig", 3)
+  }
+
+  private val simhashSql: String = simhashSqlWhere("")
+
+  private def incSimhashSql: String =
+    simhashSqlWhere(s" AND (doc_a % $IncMod = 0 OR doc_b % $IncMod = 0)")
+
+  private def simhashSqlWhere(extraWhere: String): String = {
     import PolyHashConstants.{Half, P, SimA, SimB}
     val votes = (0 until 64).map { b =>
       s"list_sum(list_transform(hs, h -> CASE WHEN (h * ${SimA(b)} + ${SimB(b)}) % $P >= $Half THEN 1 ELSE -1 END)) AS v$b"
@@ -197,7 +220,7 @@ object DedupQueries {
        |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
        |  FROM pieces a JOIN pieces b
        |    ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3$extraWhere""".stripMargin
   }
 
   // -- dd5: embedding-cosine near-dup -----------------------------------
@@ -252,5 +275,6 @@ object DedupQueries {
     QueryDef("dd5_embed_dup", embedDup, Some(embedDupSql), bench = true),
     QueryDef("dd6_dup_groups", dupGroups, Some(dupGroupsSql), bench = true),
     QueryDef("dd7_incremental", incremental, Some(incrementalSql), bench = true),
+    QueryDef("dd8_inc_simhash", incrementalSimhash, Some(incSimhashSql)),
   )
 }

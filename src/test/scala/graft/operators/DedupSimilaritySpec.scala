@@ -66,6 +66,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       "fixture should also hold corpus-corpus pairs dd7 must NOT re-find")
   }
 
+  test("dd8 incremental hamming ≡ inc-touching subset of full simhashPairs") {
+    graft.functions.HashFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, sf0001)
+    def sigs(f: org.apache.spark.sql.Column) = docs.filter(f)
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.simhashText(col("text")).as("sig"))
+    val got = graft.api.Dedup.incrementalHammingPairs(
+        sigs(col("doc_id") % 10 =!= 0), sigs(col("doc_id") % 10 === 0),
+        "doc_id", "sig", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = graft.api.Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should hold inc-touching hamming pairs")
+    assert(full.exists(p => p._1 % 10 != 0 && p._2 % 10 != 0),
+      "fixture should also hold corpus-corpus pairs dd8 must NOT re-find")
+  }
+
   test("s1 brute-force topk: 5 ranked neighbors per probe, cosine in [-1,1]") {
     val rows = run("s1_cosine_topk").collect()
     assert(rows.length == 50) // 10 probes × k=5
