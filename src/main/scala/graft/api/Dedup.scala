@@ -276,6 +276,62 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Persistable hyperplane-LSH signature asset for INCREMENTAL
+    * embedding dedup: one row per vector — (vec_id, embedding, nrm,
+    * sigs), where sigs(t) is the table-t signature. Plain parquet
+    * types; write once per corpus generation and feed back to
+    * [[incrementalEmbeddingPairs]]. */
+  def lshSignatureTable(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, planes: Int): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+      VectorFunctions.norm(col(vecCol)).as("nrm"),
+      VectorFunctions.lshSignatures(col(vecCol), tables, planes).as("sigs"))
+  }
+
+  /** dd9 — incremental embedding near-dup: pairs (vec_a, vec_b, cos)
+    * with cos ≥ threshold where AT LEAST one side is in `incSigs`;
+    * corpus×corpus is never re-paired. Both inputs come from
+    * [[lshSignatureTable]] under the same (tables, planes) geometry.
+    *
+    * Multi-probe lives on the increment side only — Hamming-1
+    * signature adjacency is symmetric, so probing one side finds every
+    * pair whose table signatures differ in ≤1 probed bit, the same
+    * recall surface as [[embeddingPairs]] at equal probes. Output ≡
+    * the inc-touching subset of `embeddingPairs(corpus ∪ inc)`
+    * (property-pinned in DedupSimilaritySpec). A daily-sized
+    * increment's slim (vec_id, tbl, sig) probe rows broadcast; the
+    * corpus signature asset is scanned once, never shuffled. */
+  def incrementalEmbeddingPairs(corpusSigs: DataFrame, incSigs: DataFrame,
+      threshold: Double, probes: Int = 0): DataFrame = {
+    def banded(sigs: DataFrame): DataFrame = sigs
+      .select(col("vec_id"), posexplode(col("sigs")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+    val incBanded = Barrier(banded(incSigs))
+    val probed =
+      if (probes == 0) incBanded
+      else incBanded.select(col("vec_id"), col("tbl"),
+        explode(array(col("sig") +:
+          (0 until probes).map(p => col("sig").bitwiseXOR(lit(1L << p))): _*)).as("sig"))
+    val allBanded = incBanded.union(banded(corpusSigs))
+    val cands = probed.alias("a").join(allBanded.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      .distinct()
+    val e = corpusSigs.select(col("vec_id"), col("embedding"), col("nrm"))
+      .union(incSigs.select(col("vec_id"), col("embedding"), col("nrm")))
+    val ea = e.select(col("vec_id"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val eb = e.select(col("vec_id"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("emb_a"), col("emb_b")), col("nrm_a"), col("nrm_b"))
+    cands.join(ea, cands("vec_a") === ea("vec_id")).drop("vec_id")
+      .join(eb, col("vec_b") === eb("vec_id")).drop("vec_id")
+      .select(col("vec_a"), col("vec_b"), cos.as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Connected components over near-dup pairs: (doc_id, group_id) with
     * group_id = the minimum doc id in the component — the step that
     * turns PAIRS into KEEP/DROP decisions (keep group_id, drop the

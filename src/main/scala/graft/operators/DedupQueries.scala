@@ -243,7 +243,30 @@ object DedupQueries {
     graft.api.Dedup.embeddingPairs(Tables.embeddings(s, dir),
       "vec_id", "embedding", DupTables, DupPlanes, 0.4, probes = DupPlanes)
 
-  private val embedDupSql = {
+  // -- dd9: incremental embedding dedup — increment vs persisted LSH
+  // signature asset. Completes the incremental verb across all three
+  // signature families (dd7 MinHash/Jaccard, dd8 Hamming, dd9
+  // hyperplane-LSH/cosine): the corpus's (vec_id, embedding, nrm,
+  // sigs) table is the persisted asset; only the increment's slim
+  // (vec_id, tbl, sig) rows probe it, multi-probe on the increment
+  // side only (Hamming-1 adjacency is symmetric, so the recall
+  // surface equals dd5's at the same probes). Oracle = dd5's CTE
+  // restricted to inc-touching pairs.
+  private def incrementalEmbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    def sigs(f: Column) = graft.api.Dedup.lshSignatureTable(
+      emb.filter(f), "vec_id", "embedding", DupTables, DupPlanes)
+    graft.api.Dedup.incrementalEmbeddingPairs(
+      sigs(col("vec_id") % IncMod =!= 0), sigs(col("vec_id") % IncMod === 0),
+      0.4, probes = DupPlanes)
+  }
+
+  private def incEmbedSql: String =
+    embedDupSqlWhere(s" AND (vec_a % $IncMod = 0 OR vec_b % $IncMod = 0)")
+
+  private val embedDupSql: String = embedDupSqlWhere("")
+
+  private def embedDupSqlWhere(extraWhere: String): String = {
     val cos = s"(${VectorFunctions.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm))"
     // probe expansion: sig itself plus each single-bit flip (Hamming-1)
     val probeBranches = ("SELECT vec_id, embedding, nrm, tbl, sig FROM sigs" +:
@@ -262,7 +285,7 @@ object DedupQueries {
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos
        |  FROM probes a JOIN sigs b
        |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id) p
-       |WHERE cos >= 0.4""".stripMargin
+       |WHERE cos >= 0.4$extraWhere""".stripMargin
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -276,5 +299,6 @@ object DedupQueries {
     QueryDef("dd6_dup_groups", dupGroups, Some(dupGroupsSql), bench = true),
     QueryDef("dd7_incremental", incremental, Some(incrementalSql), bench = true),
     QueryDef("dd8_inc_simhash", incrementalSimhash, Some(incSimhashSql)),
+    QueryDef("dd9_inc_embed", incrementalEmbed, Some(incEmbedSql)),
   )
 }

@@ -85,6 +85,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       "fixture should also hold corpus-corpus pairs dd8 must NOT re-find")
   }
 
+  test("dd9 incremental embedding ≡ inc-touching subset of full embeddingPairs") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    def sigs(f: org.apache.spark.sql.Column) = graft.api.Dedup.lshSignatureTable(
+      emb.filter(f), "vec_id", "embedding", 8, 6)
+    val got = graft.api.Dedup.incrementalEmbeddingPairs(
+        sigs(col("vec_id") % 10 =!= 0), sigs(col("vec_id") % 10 === 0),
+        0.3, probes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = graft.api.Dedup.embeddingPairs(emb, "vec_id", "embedding",
+        8, 6, 0.3, probes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should hold inc-touching embedding pairs")
+  }
+
   test("s1 brute-force topk: 5 ranked neighbors per probe, cosine in [-1,1]") {
     val rows = run("s1_cosine_topk").collect()
     assert(rows.length == 50) // 10 probes × k=5
