@@ -124,6 +124,52 @@ object StreamingOps {
           phoneRe, "<PHONE>").as("clean_text"))
   }
 
+  /** Continuous ingest-and-dedup — the streaming twin of dd7
+    * ([[graft.api.Dedup.incrementalJaccardPairs]]). Per micro-batch:
+    * read the persisted corpus signature asset, emit the batch's
+    * near-dup pairs against it (and within the batch), then APPEND the
+    * batch's own signatures to the asset — so every batch dedups
+    * against the seed corpus plus all earlier batches, and the union
+    * of per-batch pair outputs equals ONE batch dd7 over the whole
+    * increment (StreamingSpec pins the equality across micro-batches).
+    *
+    * Exactly-once discovery under retries: both writes go to
+    * deterministic per-batch subdirs with overwrite (`pairs/batch=<id>`,
+    * `sigs/inc_<id>`), and the corpus read EXCLUDES the current batch's
+    * own subdir, so a replayed batch recomputes the same pairs instead
+    * of pairing against its failed attempt's signatures. Scale shape
+    * per batch is dd7's: only slim (doc_id, band, bkey) probe rows of
+    * the batch shuffle/broadcast; the asset is scanned, never
+    * re-paired. `corpusSigDir` must be seeded (e.g. subdir `base/`)
+    * with [[graft.api.Dedup.minhashSignatures]] output of the same
+    * (bands, rows) geometry. */
+  def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
+      bands: Int, rows: Int, threshold: Double):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(corpusSigDir)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val corpusParts = fs.listStatus(root).map(_.getPath)
+          .filter(p => !p.getName.startsWith("_"))
+          .filterNot(_.getName == s"inc_$batchId") // retry idempotence
+          .map(_.toString)
+        val corpusSigs = s.read.parquet(corpusParts.toIndexedSeq: _*)
+        val incSigs = graft.api.Barrier(graft.api.Dedup.minhashSignatures(
+          batch.toDF(), idCol, textCol, bands, rows))
+        try {
+          graft.api.Dedup.incrementalJaccardPairs(corpusSigs, incSigs, threshold)
+            .write.mode("overwrite").parquet(s"$pairsOutDir/batch=$batchId")
+          incSigs.write.mode("overwrite").parquet(s"$corpusSigDir/inc_$batchId")
+        } finally graft.api.Barrier.release(incSigs)
+        ()
+      }
+      .start()
+
   /** Idempotent micro-batch sink: foreachBatch + deterministic
     * per-batch output paths, the standard exactly-once-to-storage
     * recipe (a replayed batch overwrites the same path instead of

@@ -52,6 +52,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("continuous incremental dedup: union of micro-batch pairs equals batch dd7") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    val work = Files.createTempDirectory("graft-incdedup")
+    val sigDir = s"$work/sigs"
+    val pairsDir = s"$work/pairs"
+    val landing = Files.createTempDirectory("graft-incdedup-landing")
+    try {
+      // seed the persisted corpus asset
+      graft.api.Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4)
+        .write.parquet(s"$sigDir/base")
+      // two increment files → two micro-batches under maxFilesPerTrigger=1
+      Seq(col("doc_id") % 20 === 0, col("doc_id") % 20 =!= 0).zipWithIndex.foreach {
+        case (pred, i) =>
+          val tmp = work.resolve(s"half$i")
+          inc.filter(pred).coalesce(1).write.parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get
+          Files.copy(part, landing.resolve(s"inc$i.parquet"))
+      }
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+      val q = StreamingOps.incrementalDedupStream(stream, "doc_id", "text",
+        sigDir, pairsDir, s"$work/ckpt", 8, 4, 0.8)
+      assert(q.awaitTermination(180000), "AvailableNow query did not stop")
+      val gotDf = spark.read.parquet(pairsDir) // batch=<id> partition col
+      assert(gotDf.select("batch").distinct().count() == 2,
+        "expected the two landing files to arrive as two micro-batches")
+      val got = gotDf.select("doc_a", "doc_b", "jac")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.size == gotDf.count(), "pair discovered twice across batches")
+      val expected = graft.api.Dedup.incrementalJaccardPairs(
+          graft.api.Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4),
+          graft.api.Dedup.minhashSignatures(inc, "doc_id", "text", 8, 4), 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected)
+      assert(got.nonEmpty, "fixture should hold inc-touching pairs")
+      // the asset grew: base + one signature subdir per batch
+      assert(new java.io.File(sigDir).list().count(_.startsWith("inc_")) == 2)
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
+
   test("watermark finalizes windows and drops late data (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
