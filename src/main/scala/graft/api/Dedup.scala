@@ -301,9 +301,15 @@ object Dedup {
     * the inc-touching subset of `embeddingPairs(corpus ∪ inc)`
     * (property-pinned in DedupSimilaritySpec). A daily-sized
     * increment's slim (vec_id, tbl, sig) probe rows broadcast; the
-    * corpus signature asset is scanned once, never shuffled. */
+    * corpus signature asset is scanned once, never shuffled.
+    *
+    * `probes` must not exceed the `planes` of the asset's geometry
+    * (unknowable from the signatures themselves, so not `require`-able
+    * here): bits ≥ planes are always 0 in real signatures, so probing
+    * them can't match anything — it only wastes candidate rows. */
   def incrementalEmbeddingPairs(corpusSigs: DataFrame, incSigs: DataFrame,
       threshold: Double, probes: Int = 0): DataFrame = {
+    require(probes >= 0, s"probes must be non-negative, got $probes")
     def banded(sigs: DataFrame): DataFrame = sigs
       .select(col("vec_id"), posexplode(col("sigs")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")

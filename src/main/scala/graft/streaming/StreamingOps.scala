@@ -158,6 +158,9 @@ object StreamingOps {
           .filter(p => !p.getName.startsWith("_"))
           .filterNot(_.getName == s"inc_$batchId") // retry idempotence
           .map(_.toString)
+        require(corpusParts.nonEmpty,
+          s"corpus signature asset at $corpusSigDir is unseeded — write " +
+            "Dedup.minhashSignatures output (e.g. under base/) first")
         val corpusSigs = s.read.parquet(corpusParts.toIndexedSeq: _*)
         val incSigs = graft.api.Barrier(graft.api.Dedup.minhashSignatures(
           batch.toDF(), idCol, textCol, bands, rows))
