@@ -61,6 +61,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
     assert(got == expected)
+    assert(got.nonEmpty, "fixture should hold inc-touching jaccard pairs")
     assert(got.forall { case (a, b, _) => a % 10 == 0 || b % 10 == 0 })
     assert(full.exists(p => p._1 % 10 != 0 && p._2 % 10 != 0),
       "fixture should also hold corpus-corpus pairs dd7 must NOT re-find")
