@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// keep `sbt run` stdout ending on the program's own last line: the
+// round harness parses the LAST stdout line of graft.Bench as JSON,
+// and sbt's "[success] Total time: ..." banner otherwise lands after it
+Global / showSuccess := false
+// ... and write the forked process's stdout through unchanged instead
+// of routing it through sbt's logger, which prefixes every line with
+// "[info] " (a last-line JSON parse chokes on the prefix too)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,17 +5,22 @@ import org.apache.spark.sql.SparkSession
   * on SPARK_GRAFT_SF_DIR in one session, printing the driver-contract
   * JSON line.
   *
-  * Methodology: two timed passes at the target SF. Pass 1 is COLD —
-  * first-call Catalyst planning + whole-stage/encoder codegen + JIT
-  * included — and its per-query times and `total_cold` keep
+  * Methodology: one COLD pass then N ≥ 2 WARM passes at the target SF.
+  * The cold pass carries first-call Catalyst planning + whole-stage/
+  * encoder codegen + JIT — its per-query times and `total_cold` keep
   * round-over-round comparisons honest (a plan regression shows up
-  * here even if steady-state hides it). Pass 2 is WARM and is the
-  * headline `total`: per-process one-offs don't scale with data, so
-  * steady-state throughput is the number to compare against the
-  * reference. The warm pass wraps each query in Metrics.track, so the
-  * JSON line also carries per-query bytesRead / shuffleWrite
-  * (reference F22 parity, `/root/reference/driver.go:246-249`'s
-  * per-job byte log lines).
+  * here even if steady-state hides it). The headline `total` is the
+  * MIN-PER-QUERY composite over the warm passes: per-process one-offs
+  * don't scale with data, and single-pass warm numbers on a 32-core
+  * local box are GC/JIT/contention noise (round 8's committed artifact
+  * recorded warm 201 s > cold 187 s during a contended driver
+  * snapshot) — the per-query min over independent passes is the
+  * steady-state number to compare against the reference. A
+  * `contended` sentinel flags measurements to distrust: warm composite
+  * slower than cold, or any query's warm min > 2× its own cold time.
+  * Warm passes wrap each query in Metrics.track, so the JSON line also
+  * carries per-query bytesRead / shuffleWrite (reference F22 parity,
+  * `/root/reference/driver.go:246-249`'s per-job byte log lines).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,18 +54,33 @@ object Bench {
       catch { case _: Throwable => (name, -1.0) } // failure surfaces in the warm pass
     }
 
-    val results = SparkEntry.benchQueries.map { name =>
-      val fn = SparkEntry.queries(name)
-      try {
-        val (_, snap) = Metrics.track(spark)(fn(spark, sfDir).count())
-        (name, snap.wallClockSec,
-          math.max(snap.bytesRead, snap.fsBytesRead), snap.shuffleBytesWritten,
-          snap.fsBytesRead)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        // failed queries are marked -1.0 instead of masquerading as timings
-        (name, -1.0, 0L, 0L, 0L)
+    // N warm passes; the headline is the per-query MIN across them.
+    val warmPasses = math.max(2,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_PASSES", "2").toInt)
+    val passes = (1 to warmPasses).map { _ =>
+      SparkEntry.benchQueries.map { name =>
+        val fn = SparkEntry.queries(name)
+        try {
+          val (_, snap) = Metrics.track(spark)(fn(spark, sfDir).count())
+          (name, snap.wallClockSec,
+            math.max(snap.bytesRead, snap.fsBytesRead), snap.shuffleBytesWritten,
+            snap.fsBytesRead)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          // failed queries are marked -1.0 instead of masquerading as timings
+          (name, -1.0, 0L, 0L, 0L)
+        }
       }
+    }
+    // per-query min over the warm passes (a query that failed every
+    // pass stays -1.0); bytes come from the first pass — reads are
+    // deterministic, so byte counts don't vary across warm passes
+    val results = passes.head.indices.map { i =>
+      val name = passes.head(i)._1
+      val times = passes.map(_(i)._2).filter(_ >= 0)
+      val best = if (times.isEmpty) -1.0 else times.min
+      val (_, _, r, s, f) = passes.head(i)
+      (name, best, r, s, f)
     }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -74,7 +94,18 @@ object Bench {
     val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val qsCold = cold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val totalCold = cold.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$qs,"queries_cold":$qsCold,"bytes":$bytes,"warmup":"cold-pass@sf","sf":"$sfDir"}"""
+    // Contention sentinel: a warm min composite slower than the cold
+    // pass, or any query whose warm min exceeds 2× its own cold time,
+    // means the box was busy during the run — the numbers are a bad
+    // measurement, not a regression (round-8 postmortem).
+    val coldByName = cold.toMap
+    val contended = (totalCold > 0 && total > totalCold) ||
+      results.exists { case (k, v, _, _, _) =>
+        val c = coldByName.getOrElse(k, -1.0); c > 0 && v > 2 * c }
+    val passDetail = passes.map(p =>
+      p.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"queries":$qs,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","sf":"$sfDir"}"""
     println(line)
     // stdout of an sbt run gets interleaved/truncated by the harness —
     // persist the full line so the round artifact always parses
@@ -85,10 +116,13 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The harness keeps only the TAIL of stdout (BENCH_r0{2..7}.json all
     // lost the head of the full line above). Re-print the driver-contract
-    // fields WITHOUT the bytes/cold maps as the final line so a complete,
-    // parseable JSON object always lands inside the tail window; the full
-    // detail stays in target/bench.json.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$qs,"sf":"$sfDir"}""")
+    // fields WITHOUT the bytes/cold/per-pass maps as the final line so a
+    // complete, parseable JSON object always lands inside the tail
+    // window; the full detail stays in target/bench.json. (build.sbt
+    // sets Global/showSuccess := false so sbt's "[success] Total time"
+    // banner doesn't land AFTER this line — r8's tail showed the banner
+    // as the true last line, which is what a last-line parser chokes on.)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
