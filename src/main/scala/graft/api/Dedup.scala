@@ -451,4 +451,74 @@ object Dedup {
       .union(edges.select(col("v").as("doc_id"), col("v").as("group_id")).distinct())
       .distinct()
   }
+
+  /** dd10 — INCREMENTAL connected components: the daily-pipeline group
+    * step dd7–dd9 pairs feed into. `asset` is the persisted
+    * (doc_id, group_id) table from a previous [[duplicateGroups]] run
+    * over the corpus; `incPairs` is the increment's near-dup pairs
+    * (dd7/dd8/dd9 output — every pair touches the increment). Output:
+    * (doc_id, group_id) for every member of every component TOUCHED by
+    * the increment — new docs mapped to existing-or-new groups, plus
+    * the updated rows for existing groups whose id changed (an
+    * increment doc bridged two groups, or carries a smaller id than
+    * the old minimum). Untouched groups are not emitted: their rows in
+    * the asset are still current, so the caller upserts this output
+    * over the asset to produce the next generation.
+    *
+    * Equivalence (property-pinned in DedupSimilaritySpec): the output
+    * is EXACTLY `duplicateGroups(corpusPairs ∪ incPairs)` restricted
+    * to components containing an increment doc — group ids are the
+    * component-min doc ids of the merged graph.
+    *
+    * Scale shape: the corpus asset (the 100 TB table) is STREAMED
+    * twice and never shuffled — once against a broadcast of the
+    * increment's pair endpoints (label lookup), once against a
+    * broadcast of the touched group ids (member expansion). The
+    * connected-components fixpoint runs over the CONTRACTED label
+    * graph — one node per touched group or new doc, O(|incPairs|)
+    * edges — never the full corpus, so a bridge merging two
+    * billion-doc groups costs a fixpoint over 2 labels, not 2×10⁹
+    * rows. Preconditions: increment ids are disjoint from corpus ids
+    * (an increment is new by definition) and each incPair touches the
+    * increment; a corpus-corpus pair inside ONE existing group is
+    * tolerated (its contracted edge self-collapses — the group is
+    * simply not touched). */
+  def incrementalGroups(asset: DataFrame, incPairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    // endpoints of the increment's pairs: O(|incPairs|), broadcastable
+    val endpoints = Barrier(incPairs.select(col(aCol).as("doc_id"))
+      .union(incPairs.select(col(bCol).as("doc_id"))).distinct())
+    // label = the endpoint's existing group id when it is in the asset,
+    // else its own id (new doc, or an existing doc paired for the first
+    // time). The asset streams against the broadcast endpoint set.
+    val matched = Barrier(asset.join(broadcast(endpoints), "doc_id")
+      .select(col("doc_id"), col("group_id").as("lbl")))
+    val unmatched = Barrier(endpoints
+      .join(matched.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("lbl")))
+    val labeled = Barrier(matched.union(unmatched))
+    // contract each pair to a (label, label) edge; self-edges collapse
+    val la = labeled.select(col("doc_id").as("da"), col("lbl").as("la"))
+    val lb = labeled.select(col("doc_id").as("db"), col("lbl").as("lb"))
+    val contracted = incPairs
+      .select(col(aCol).as("da"), col(bCol).as("db"))
+      .join(la, "da").join(lb, "db")
+      .select(col("la"), col("lb"))
+      .filter(col("la") =!= col("lb"))
+    // fixpoint over touched labels only; group = min label = min doc id
+    // of the merged component (each old label is already its group min)
+    val newGroup = duplicateGroups(contracted, "la", "lb")
+      .select(col("doc_id").as("lbl"), col("group_id").as("new_group"))
+    // member expansion: all asset rows of touched groups (one more
+    // streamed asset scan against the broadcast touched-group set),
+    // plus the endpoints that were not in the asset
+    val touched = matched.select(col("lbl").as("tg")).distinct()
+    val assetMembers = asset.join(broadcast(touched), col("group_id") === col("tg"))
+      .select(col("doc_id"), col("group_id").as("lbl"))
+    // inner join: a label with no surviving contracted edge (tolerated
+    // same-group corpus pair) has no new group — correctly not emitted
+    assetMembers.union(unmatched)
+      .join(broadcast(newGroup), "lbl")
+      .select(col("doc_id"), col("new_group").as("group_id"))
+  }
 }

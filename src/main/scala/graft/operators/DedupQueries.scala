@@ -261,6 +261,43 @@ object DedupQueries {
       0.4, probes = DupPlanes)
   }
 
+  // -- dd10: incremental connected components — the group step for the
+  // daily pipeline. The corpus's (doc_id, group_id) table (a previous
+  // dd6 run over corpus-only pairs) is the persisted asset; dd7's
+  // incremental pairs are the increment's edges. incrementalGroups
+  // contracts each pair endpoint to its existing group label, runs the
+  // CC fixpoint over the contracted label graph ONLY (never the
+  // corpus), and re-expands touched groups' members — so the output is
+  // dd6 over corpus ∪ inc restricted to components touched by the
+  // increment (property-pinned in DedupSimilaritySpec). Oracle = dd6's
+  // recursive CTE over the full table, restricted to components
+  // containing an increment doc. Corpus-only banding produces exactly
+  // the corpus-corpus subset of full-table banding (candidates are
+  // per-doc bucket keys), so asset ∪ incPairs = all dd3 pairs.
+  private def incrementalCC(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % IncMod =!= 0)
+    val asset = graft.api.Dedup.duplicateGroups(
+      graft.api.Dedup.jaccardPairs(corpus, "doc_id", "text", DD3Bands, DD3Rows, 0.8),
+      "doc_a", "doc_b")
+    graft.api.Dedup.incrementalGroups(asset, incremental(s, dir), "doc_a", "doc_b")
+  }
+
+  private val incrementalCCSql =
+    s"""WITH RECURSIVE ${bandCtes(DD3Bands, DD3Rows)},
+       |pairs AS (SELECT doc_a, doc_b FROM cand WHERE jac >= 0.8),
+       |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |verts AS (SELECT DISTINCT a AS v FROM ed),
+       |reach AS (
+       |  SELECT v, v AS r FROM verts
+       |  UNION
+       |  SELECT reach.v, e.b AS r FROM reach JOIN ed e ON reach.r = e.a),
+       |comp AS (SELECT v AS doc_id, MIN(r) AS group_id FROM reach GROUP BY v)
+       |SELECT doc_id, group_id FROM comp
+       |WHERE group_id IN (
+       |  SELECT c2.group_id FROM comp c2 WHERE c2.doc_id % $IncMod = 0)""".stripMargin
+
   private def incEmbedSql: String =
     embedDupSqlWhere(s" AND (vec_a % $IncMod = 0 OR vec_b % $IncMod = 0)")
 
@@ -298,7 +335,8 @@ object DedupQueries {
     QueryDef("dd5_embed_dup", embedDup, Some(embedDupSql), bench = true),
     QueryDef("dd6_dup_groups", dupGroups, Some(dupGroupsSql), bench = true),
     QueryDef("dd7_incremental", incremental, Some(incrementalSql), bench = true),
-    QueryDef("dd8_inc_simhash", incrementalSimhash, Some(incSimhashSql)),
-    QueryDef("dd9_inc_embed", incrementalEmbed, Some(incEmbedSql)),
+    QueryDef("dd8_inc_simhash", incrementalSimhash, Some(incSimhashSql), bench = true),
+    QueryDef("dd9_inc_embed", incrementalEmbed, Some(incEmbedSql), bench = true),
+    QueryDef("dd10_inc_groups", incrementalCC, Some(incrementalCCSql)),
   )
 }

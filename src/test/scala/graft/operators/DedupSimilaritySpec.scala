@@ -102,6 +102,51 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty, "fixture should hold inc-touching embedding pairs")
   }
 
+  test("dd10 incremental groups ≡ dd6 over corpus ∪ inc restricted to touched components") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    // asset goes through parquet: the persisted form a daily run reads
+    val tmp = java.nio.file.Files.createTempDirectory("dd10asset").toString
+    graft.api.Dedup.duplicateGroups(
+        graft.api.Dedup.jaccardPairs(corpus, "doc_id", "text", 8, 4, 0.8),
+        "doc_a", "doc_b")
+      .write.mode("overwrite").parquet(s"$tmp/groups")
+    val asset = spark.read.parquet(s"$tmp/groups")
+    val incPairs = graft.api.Dedup.incrementalJaccardPairs(
+      graft.api.Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4),
+      graft.api.Dedup.minhashSignatures(inc, "doc_id", "text", 8, 4), 0.8)
+    val got = graft.api.Dedup.incrementalGroups(asset, incPairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.api.Dedup.duplicateGroups(
+        graft.api.Dedup.jaccardPairs(docs, "doc_id", "text", 8, 4, 0.8),
+        "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val touchedGroups = full.filter(_._1 % 10 == 0).map(_._2)
+    val expected = full.filter(r => touchedGroups.contains(r._2))
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should hold inc-touched components")
+    assert(full.exists(r => !touchedGroups.contains(r._2)),
+      "fixture should also hold untouched components dd10 must NOT emit")
+  }
+
+  test("dd10 handles the bridge-merge and first-time-paired cases") {
+    val s = spark
+    import s.implicits._
+    // two existing groups {1,2} and {10,11}, one untouched group {20,21};
+    // doc 50 exists in the corpus but was never paired (not in the asset)
+    val asset = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)).toDF("doc_id", "group_id")
+    // inc doc 100 bridges groups 1 and 10; inc doc 101 pairs with the
+    // previously-unpaired corpus doc 50
+    val incPairs = Seq((100L, 2L), (100L, 10L), (101L, 50L)).toDF("doc_a", "doc_b")
+    val got = graft.api.Dedup.incrementalGroups(asset, incPairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (10L, 1L), (11L, 1L), (100L, 1L),
+      (50L, 50L), (101L, 50L)),
+      s"merged bridge + new component expected, got $got")
+  }
+
   test("s1 brute-force topk: 5 ranked neighbors per probe, cosine in [-1,1]") {
     val rows = run("s1_cosine_topk").collect()
     assert(rows.length == 50) // 10 probes × k=5
