@@ -49,21 +49,50 @@ object Barrier {
     m
   }
 
+  // barriers created inside the innermost active `scoped` block on this
+  // thread, released when the block exits (see scoped below)
+  private val scopeStack = new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[DataFrame]]] {
+    override def initialValue: List[scala.collection.mutable.ArrayBuffer[DataFrame]] = Nil
+  }
+
   /** Materialize `df` now per the session's barrier mode; consumers of
     * the returned frame read the materialized rows, not the lineage. */
-  def apply(df: DataFrame): DataFrame = mode(df) match {
-    case "none" => df
-    case "persist" =>
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count() // fill eagerly: a lazy cache races under a self-join
-      p
-    case "checkpoint" =>
-      val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(java.nio.file.Files
-          .createTempDirectory("graft-ckpt").toString)
-      df.checkpoint(true)
-    case _ => df.localCheckpoint(true)
+  def apply(df: DataFrame): DataFrame = {
+    val out = mode(df) match {
+      case "none" => df
+      case "persist" =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // fill eagerly: a lazy cache races under a self-join
+        p
+      case "checkpoint" =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(java.nio.file.Files
+            .createTempDirectory("graft-ckpt").toString)
+        df.checkpoint(true)
+      case _ => df.localCheckpoint(true)
+    }
+    scopeStack.get.headOption.foreach(_ += out)
+    out
+  }
+
+  /** Run `body` and release every barrier it creates (on this thread)
+    * when it returns — the seam for REPEATED operator invocations that
+    * would otherwise accumulate cached frames under `persist` mode: a
+    * long-running stream calling an operator per micro-batch holds
+    * ~2 inner barriers per batch forever without this (each operator
+    * barriers its own intermediates and has no release hook). Nested
+    * scopes release only their own barriers; releasing an
+    * already-released frame is a no-op, so operators that release
+    * eagerly (the dd6 fixpoint) compose fine. */
+  def scoped[T](body: => T): T = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    scopeStack.set(buf :: scopeStack.get)
+    try body
+    finally {
+      scopeStack.set(scopeStack.get.tail)
+      buf.foreach(release)
+    }
   }
 
   /** Drop a barrier an iterative operator no longer reads (the

@@ -521,4 +521,144 @@ object Dedup {
       .join(broadcast(newGroup), "lbl")
       .select(col("doc_id"), col("new_group").as("group_id"))
   }
+
+  // ------------------------------------------------------------------
+  // Signature-asset lifecycle: the persisted corpus signature table the
+  // incremental operators (dd7-dd10) and the streaming twins read.
+  //
+  // Directory layout under one asset root:
+  //   base/ (or any non-inc_, non-base_gen name)  seed generation 0 —
+  //     written directly by the user from minhashSignatures /
+  //     lshSignatureTable / an (id, sig) projection
+  //   inc_<batchId>/   one per streamed micro-batch (appended by the
+  //     incremental streams)
+  //   base_gen<k>/     compacted generation k: the union of the
+  //     previous generation and the inc_* dirs folded into it.
+  //     COMPLETE iff its `_manifest` file exists (written strictly
+  //     after the parquet data) — readers ignore incomplete gens, so a
+  //     crashed compaction is invisible and a retry overwrites it.
+  //   _*               ignored (markers, in-flight work)
+  //
+  // The reader takes the newest COMPLETE generation plus every inc_*
+  // dir not listed in that generation's manifest — never a folded inc
+  // (double rows) and never an incomplete gen (partial data).
+  // ------------------------------------------------------------------
+
+  private val GenRe = "base_gen(\\d+)".r
+
+  private def assetFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** (generation dirs of the newest complete generation, inc names that
+    * generation folded, live inc_* dirs, superseded dirs safe to delete). */
+  private def scanAsset(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path):
+      (Seq[org.apache.hadoop.fs.Path], Set[String],
+        Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path]) = {
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filterNot(_.getName.startsWith("_")).toSeq
+    val (incs, genDirs) = dirs.partition(_.getName.startsWith("inc_"))
+    val (compacted, seeds) = genDirs.partition(p => GenRe.matches(p.getName))
+    val complete = compacted
+      .map { p => val GenRe(k) = p.getName: @unchecked; (k.toInt, p) }
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_manifest")) }
+      .sortBy(_._1)
+    complete.lastOption match {
+      case Some((k, p)) =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(p, "_manifest"))
+        val folded =
+          try scala.io.Source.fromInputStream(in)
+            .getLines().map(_.trim).filter(_.nonEmpty).toSet
+          finally in.close()
+        val stale = seeds ++ complete.init.map(_._2) ++
+          compacted.collect { // incomplete attempts at or below k
+            case q if { val GenRe(j) = q.getName: @unchecked; j.toInt <= k } &&
+              !complete.exists(_._2 == q) => q } ++
+          incs.filter(i => folded.contains(i.getName))
+        (Seq(p), folded, incs.filterNot(i => folded.contains(i.getName)), stale)
+      case None =>
+        (seeds, Set.empty, incs, Seq.empty)
+    }
+  }
+
+  /** Read the signature asset at `dir` per the layout contract above:
+    * newest complete generation + un-folded inc_* dirs, minus
+    * `excludeInc` (a streaming batch excludes its OWN subdir so a
+    * replayed batch never pairs against its previous attempt). Fails
+    * loud when the asset is unseeded. */
+  def readSignatureAsset(spark: org.apache.spark.sql.SparkSession, dir: String,
+      excludeInc: Option[String] = None): DataFrame = {
+    val (fs, root) = assetFs(spark, dir)
+    val (gen, _, incs, _) = scanAsset(fs, root)
+    val parts = (gen ++ incs.filterNot(i => excludeInc.contains(i.getName)))
+      .map(_.toString)
+    require(parts.nonEmpty,
+      s"signature asset at $dir is unseeded — write minhashSignatures / " +
+        "lshSignatureTable output (e.g. under base/) first")
+    spark.read.parquet(parts: _*)
+  }
+
+  /** Fold the asset's accumulated inc_* dirs into a new compacted
+    * generation — the maintenance verb that keeps a long-lived
+    * streaming asset from degrading into thousands of small dirs (a
+    * year of daily batches is ~365 `listStatus` children and as many
+    * tiny-file scans per read: the classic object-store lakehouse
+    * failure). Idempotent under retry at every step: the new
+    * generation is invisible until its `_manifest` lands (written
+    * strictly after the parquet data), a crashed attempt is simply
+    * overwritten, and cleanup of superseded dirs is safe at any point
+    * after the manifest exists (readers already ignore them). Safe to
+    * run between micro-batches of a live stream — but not concurrently
+    * with one (a replayed batch whose inc dir was just folded would
+    * re-pair against its own signatures); quiesce the stream first.
+    * Returns the number of inc dirs folded (0 = nothing to do; stale
+    * dirs from earlier compactions are still cleaned up). */
+  def compactSignatureAsset(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val (fs, root) = assetFs(spark, dir)
+    val (gen, folded, incs, stale0) = scanAsset(fs, root)
+    if (incs.isEmpty) { // nothing to fold; still clear earlier leftovers
+      stale0.foreach(p => fs.delete(p, true))
+      return 0
+    }
+    require(gen.nonEmpty, s"signature asset at $dir has no seed generation")
+    val nextK = gen.head.getName match {
+      case GenRe(k) => k.toInt + 1
+      case _ => 1 // seed generation 0
+    }
+    val target = new org.apache.hadoop.fs.Path(root, s"base_gen$nextK")
+    spark.read.parquet((gen ++ incs).map(_.toString): _*)
+      .write.mode("overwrite").parquet(target.toString)
+    // completion marker LAST: the gen is invisible to readers until the
+    // manifest (cumulative fold list) exists
+    val out = fs.create(new org.apache.hadoop.fs.Path(target, "_manifest"), true)
+    try out.write((folded ++ incs.map(_.getName)).toSeq.sorted
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // superseded: everything the new generation replaces + older leftovers
+    (stale0 ++ gen ++ incs).foreach(p => fs.delete(p, true))
+    incs.size
+  }
+
+  /** Opt-in precondition check for the incremental operators: corpus
+    * and increment ids must be disjoint (an increment is new by
+    * definition). A colliding id — e.g. re-ingesting an existing doc
+    * through the streaming path — does NOT fail by itself: it silently
+    * duplicates rows in the verification union and produces duplicate
+    * or incorrect pairs. This assertion costs one streamed scan of the
+    * corpus asset against a broadcast of the increment's ids, so it is
+    * a flag on the streaming ops rather than always-on. */
+  def assertDisjointIds(corpus: DataFrame, inc: DataFrame, idCol: String): Unit = {
+    val collisions = corpus.select(col(idCol))
+      .join(broadcast(inc.select(col(idCol)).distinct()), idCol)
+      .limit(5).collect()
+    require(collisions.isEmpty,
+      s"increment re-uses ${collisions.length}+ corpus ids (e.g. " +
+        s"${collisions.take(3).map(_.get(0)).mkString(", ")}) — an " +
+        "increment must be disjoint from the corpus; deduplicate ingestion " +
+        "or re-key the increment")
+  }
 }

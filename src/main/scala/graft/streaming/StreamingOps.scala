@@ -124,54 +124,135 @@ object StreamingOps {
           phoneRe, "<PHONE>").as("clean_text"))
   }
 
-  /** Continuous ingest-and-dedup — the streaming twin of dd7
-    * ([[graft.api.Dedup.incrementalJaccardPairs]]). Per micro-batch:
-    * read the persisted corpus signature asset, emit the batch's
-    * near-dup pairs against it (and within the batch), then APPEND the
-    * batch's own signatures to the asset — so every batch dedups
-    * against the seed corpus plus all earlier batches, and the union
-    * of per-batch pair outputs equals ONE batch dd7 over the whole
-    * increment (StreamingSpec pins the equality across micro-batches).
+  /** Continuous ingest-and-dedup engine shared by all three signature
+    * families (MinHash/Jaccard, 64-bit Hamming, hyperplane-LSH/cosine —
+    * see the wrappers below). Per micro-batch: read the persisted
+    * corpus signature asset, emit the batch's near-dup pairs against it
+    * (and within the batch) via `pairFn`, then APPEND the batch's own
+    * `sigFn` signatures to the asset — so every batch dedups against
+    * the seed corpus plus all earlier batches, and the union of
+    * per-batch pair outputs equals ONE batch incremental run over the
+    * whole increment (StreamingSpec pins the equality across
+    * micro-batches for each family).
     *
     * Exactly-once discovery under retries: both writes go to
     * deterministic per-batch subdirs with overwrite (`pairs/batch=<id>`,
     * `sigs/inc_<id>`), and the corpus read EXCLUDES the current batch's
     * own subdir, so a replayed batch recomputes the same pairs instead
-    * of pairing against its failed attempt's signatures. Scale shape
-    * per batch is dd7's: only slim (doc_id, band, bkey) probe rows of
-    * the batch shuffle/broadcast; the asset is scanned, never
-    * re-paired. `corpusSigDir` must be seeded (e.g. subdir `base/`)
-    * with [[graft.api.Dedup.minhashSignatures]] output of the same
-    * (bands, rows) geometry. */
-  def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
+    * of pairing against its failed attempt's signatures. The asset is
+    * read through [[graft.api.Dedup.readSignatureAsset]], so it
+    * composes with [[graft.api.Dedup.compactSignatureAsset]] run
+    * between batches (folded inc dirs are skipped via the generation
+    * manifest). Inner operator barriers are released per batch
+    * ([[graft.api.Barrier.scoped]]), so `persist` barrier mode does not
+    * accumulate cached frames over a long stream.
+    *
+    * Lifecycle guard: the asset root is stamped with a `_lineage`
+    * marker naming this query's checkpoint dir. Restarting against the
+    * same asset with a DIFFERENT checkpoint restarts batchIds at 0,
+    * which would silently OVERWRITE `inc_0` (dropping a prior run's
+    * signatures) — the marker turns that into a loud failure. Delete
+    * `_lineage` (or the whole checkpoint+asset pair) to intentionally
+    * re-seed.
+    *
+    * `assertDisjointIds` (opt-in; one corpus scan per batch): fail loud
+    * when a batch re-uses an id already in the asset — e.g. a re-ingested
+    * document. WITHOUT the flag a collision is SILENT corruption, not an
+    * error: the verification union holds both rows and the batch emits
+    * duplicate/incorrect pairs ([[graft.api.Dedup.assertDisjointIds]]). */
+  def incrementalPairStream(docs: DataFrame,
+      sigFn: DataFrame => DataFrame,
+      pairFn: (DataFrame, DataFrame) => DataFrame,
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
-      bands: Int, rows: Int, threshold: Double):
+      idCol: String = "doc_id", assertDisjointIds: Boolean = false):
       org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(corpusSigDir)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val corpusParts = fs.listStatus(root).map(_.getPath)
-          .filter(p => !p.getName.startsWith("_"))
-          .filterNot(_.getName == s"inc_$batchId") // retry idempotence
-          .map(_.toString)
-        require(corpusParts.nonEmpty,
-          s"corpus signature asset at $corpusSigDir is unseeded — write " +
-            "Dedup.minhashSignatures output (e.g. under base/) first")
-        val corpusSigs = s.read.parquet(corpusParts.toIndexedSeq: _*)
-        val incSigs = graft.api.Barrier(graft.api.Dedup.minhashSignatures(
-          batch.toDF(), idCol, textCol, bands, rows))
-        try {
-          graft.api.Dedup.incrementalJaccardPairs(corpusSigs, incSigs, threshold)
+        requireLineage(s, corpusSigDir, checkpointDir)
+        val corpusSigs = graft.api.Dedup.readSignatureAsset(
+          s, corpusSigDir, excludeInc = Some(s"inc_$batchId"))
+        graft.api.Barrier.scoped {
+          val incSigs = graft.api.Barrier(sigFn(batch.toDF()))
+          if (assertDisjointIds)
+            graft.api.Dedup.assertDisjointIds(corpusSigs, incSigs, idCol)
+          pairFn(corpusSigs, incSigs)
             .write.mode("overwrite").parquet(s"$pairsOutDir/batch=$batchId")
           incSigs.write.mode("overwrite").parquet(s"$corpusSigDir/inc_$batchId")
-        } finally graft.api.Barrier.release(incSigs)
+        }
         ()
       }
       .start()
+
+  /** Couple the asset's lifecycle to ONE checkpoint lineage: batchIds
+    * are only unique within a checkpoint, and `inc_<batchId>` names key
+    * the asset's retry idempotence. First batch stamps the marker;
+    * later batches (and restarts from the same checkpoint) verify it. */
+  private def requireLineage(s: SparkSession, corpusSigDir: String,
+      checkpointDir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(corpusSigDir, "_lineage")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val prior =
+        try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      require(prior == checkpointDir,
+        s"signature asset at $corpusSigDir belongs to checkpoint lineage " +
+          s"'$prior' but this query runs under '$checkpointDir' — a fresh " +
+          "checkpoint restarts batchIds at 0 and would silently overwrite " +
+          "inc_0. Reuse the original checkpoint dir, or delete the " +
+          "_lineage marker to intentionally adopt the asset.")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write((checkpointDir + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** dd7's streaming twin — MinHash/Jaccard family. `corpusSigDir` must
+    * be seeded (e.g. subdir `base/`) with
+    * [[graft.api.Dedup.minhashSignatures]] output of the same
+    * (bands, rows) geometry. */
+  def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
+      bands: Int, rows: Int, threshold: Double,
+      assertDisjointIds: Boolean = false):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalPairStream(docs,
+      df => graft.api.Dedup.minhashSignatures(df, idCol, textCol, bands, rows),
+      (c, i) => graft.api.Dedup.incrementalJaccardPairs(c, i, threshold),
+      corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds)
+
+  /** dd8's streaming twin — 64-bit Hamming family (SimHash text sigs,
+    * mm8 perceptual image hashes). Input stream carries PRECOMPUTED
+    * signatures (idCol, sigCol); seed the asset with the same (id, sig)
+    * projection of the corpus. */
+  def incrementalHammingStream(sigs: DataFrame, idCol: String, sigCol: String,
+      corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
+      maxHamming: Int = 3, assertDisjointIds: Boolean = false):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalPairStream(sigs,
+      df => df.select(col(idCol).as("doc_id"), col(sigCol).as("sig")),
+      (c, i) => graft.api.Dedup.incrementalHammingPairs(
+        c, i, "doc_id", "sig", maxHamming),
+      corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds)
+
+  /** dd9's streaming twin — hyperplane-LSH/cosine family. Seed the
+    * asset with [[graft.api.Dedup.lshSignatureTable]] output of the
+    * same (tables, planes) geometry. */
+  def incrementalEmbeddingStream(vecs: DataFrame, idCol: String, vecCol: String,
+      corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
+      tables: Int, planes: Int, threshold: Double, probes: Int = 0,
+      assertDisjointIds: Boolean = false):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalPairStream(vecs,
+      df => graft.api.Dedup.lshSignatureTable(df, idCol, vecCol, tables, planes),
+      (c, i) => graft.api.Dedup.incrementalEmbeddingPairs(c, i, threshold, probes),
+      corpusSigDir, pairsOutDir, checkpointDir, "vec_id", assertDisjointIds)
 
   /** Idempotent micro-batch sink: foreachBatch + deterministic
     * per-batch output paths, the standard exactly-once-to-storage

@@ -1,0 +1,109 @@
+package graft.api
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Signature-asset lifecycle: generation-aware reads and compaction
+  * (Dedup.readSignatureAsset / compactSignatureAsset). The invariant
+  * under test everywhere: the ROWS the reader returns never change
+  * across compactions, crashed compaction attempts, or cleanup — only
+  * the directory layout does. */
+class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
+
+  private def sigRows(dir: String): Set[(Long, Int)] =
+    Dedup.readSignatureAsset(spark, dir)
+      .select(col("doc_id"), col("nh"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  private def subdirs(dir: String): Set[String] =
+    new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+
+  test("compaction folds incs into a generation without changing the rows") {
+    val docs = Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-asset").toString
+    try {
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", 8, 4).write.parquet(s"$root/base")
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", 8, 4).write.parquet(s"$root/inc_0")
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", 8, 4).write.parquet(s"$root/inc_1")
+      val before = sigRows(root)
+      assert(before.nonEmpty)
+
+      // a crashed compaction attempt (data landed, no _manifest) is
+      // invisible to the reader
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === 0).limit(5),
+        "doc_id", "text", 8, 4).write.parquet(s"$root/base_gen1")
+      assert(sigRows(root) == before, "incomplete generation must be ignored")
+
+      // real compaction overwrites the crashed attempt; rows unchanged
+      assert(Dedup.compactSignatureAsset(spark, root) == 2)
+      assert(sigRows(root) == before)
+      assert(subdirs(root) == Set("base_gen1"),
+        s"seed + folded incs cleaned up, got ${subdirs(root)}")
+      assert(new java.io.File(s"$root/base_gen1/_manifest").exists())
+
+      // nothing left to fold
+      assert(Dedup.compactSignatureAsset(spark, root) == 0)
+      assert(sigRows(root) == before)
+
+      // a later increment lands, reads merge it, next compaction chains
+      // the generations (gen2 folds gen1 + inc_2)
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 3 === 0).limit(7),
+        "doc_id", "text", 8, 4)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .write.parquet(s"$root/inc_2")
+      val withInc = sigRows(root)
+      assert(withInc.size == before.size + 7)
+      assert(Dedup.compactSignatureAsset(spark, root) == 1)
+      assert(sigRows(root) == withInc)
+      assert(subdirs(root) == Set("base_gen2"))
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
+
+  test("reader excludes a named inc subdir (streaming retry idempotence)") {
+    val docs = Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-asset2").toString
+    try {
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", 8, 4).write.parquet(s"$root/base")
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", 8, 4).write.parquet(s"$root/inc_3")
+      val all = sigRows(root)
+      val excl = Dedup.readSignatureAsset(spark, root, excludeInc = Some("inc_3"))
+        .select(col("doc_id"), col("nh"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(excl.nonEmpty && all != excl)
+      assert(excl.forall { case (id, _) => id % 2 == 0 })
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
+
+  test("unseeded asset fails loud") {
+    val root = java.nio.file.Files.createTempDirectory("graft-asset3").toString
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readSignatureAsset(spark, root)
+    }
+    assert(e.getMessage.contains("unseeded"))
+  }
+
+  test("assertDisjointIds flags a re-ingested id and passes disjoint sets") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "sig")
+    val incBad = Seq((2L, 21L), (3L, 30L)).toDF("doc_id", "sig")
+    val incOk = Seq((3L, 30L)).toDF("doc_id", "sig")
+    Dedup.assertDisjointIds(corpus, incOk, "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.assertDisjointIds(corpus, incBad, "doc_id")
+    }
+    assert(e.getMessage.contains("corpus ids"))
+  }
+}

@@ -100,6 +100,189 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("signature-asset compaction mid-stream preserves the discovered pairs") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    val work = Files.createTempDirectory("graft-compactstream")
+    val sigDir = s"$work/sigs"
+    val pairsDir = s"$work/pairs"
+    val ckpt = s"$work/ckpt"
+    val landing = Files.createTempDirectory("graft-compactstream-landing")
+    def land(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = work.resolve(s"stage_$name")
+      inc.filter(pred).coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get
+      Files.copy(part, landing.resolve(name))
+    }
+    try {
+      graft.api.Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4)
+        .write.parquet(s"$sigDir/base")
+      // run 1: first half of the increment
+      land(col("doc_id") % 20 === 0, "inc0.parquet")
+      val q1 = StreamingOps.incrementalDedupStream(
+        spark.readStream.schema(docs.schema).parquet(landing.toString),
+        "doc_id", "text", sigDir, pairsDir, ckpt, 8, 4, 0.8)
+      assert(q1.awaitTermination(180000), "run 1 did not stop")
+      // compact while the stream is quiesced: inc_0 folds into a new gen
+      assert(graft.api.Dedup.compactSignatureAsset(spark, sigDir) == 1)
+      assert(!new java.io.File(s"$sigDir/inc_0").exists())
+      assert(new java.io.File(s"$sigDir/base_gen1/_manifest").exists())
+      // run 2: second half, SAME checkpoint — batchIds continue
+      land(col("doc_id") % 20 =!= 0, "inc1.parquet")
+      val q2 = StreamingOps.incrementalDedupStream(
+        spark.readStream.schema(docs.schema).parquet(landing.toString),
+        "doc_id", "text", sigDir, pairsDir, ckpt, 8, 4, 0.8)
+      assert(q2.awaitTermination(180000), "run 2 did not stop")
+      val gotDf = spark.read.parquet(pairsDir)
+      val got = gotDf.select("doc_a", "doc_b", "jac")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.size == gotDf.count(), "pair discovered twice across batches")
+      val expected = graft.api.Dedup.incrementalJaccardPairs(
+          graft.api.Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4),
+          graft.api.Dedup.minhashSignatures(inc, "doc_id", "text", 8, 4), 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, "compaction changed the discovered pair set")
+      assert(got.nonEmpty)
+      val names = new java.io.File(sigDir).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(names("base_gen1") && !names("base") && names("inc_1"),
+        s"expected compacted gen + run-2 inc only, got $names")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
+
+  test("asset lineage guard: a fresh checkpoint against a populated asset fails loud") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sf0001)
+    val work = Files.createTempDirectory("graft-lineage")
+    val sigDir = s"$work/sigs"
+    val landing = Files.createTempDirectory("graft-lineage-landing")
+    try {
+      graft.api.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 8, 4)
+        .write.parquet(s"$sigDir/base")
+      val tmp = work.resolve("stage")
+      docs.filter(col("doc_id") % 10 === 0).coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get
+      Files.copy(part, landing.resolve("inc.parquet"))
+      def run(ckpt: String) = {
+        val q = StreamingOps.incrementalDedupStream(
+          spark.readStream.schema(docs.schema).parquet(landing.toString),
+          "doc_id", "text", sigDir, s"$work/pairs", ckpt, 8, 4, 0.8)
+        q.awaitTermination(180000)
+      }
+      assert(run(s"$work/ckptA"), "first run did not stop")
+      // same checkpoint restarts fine (nothing new to process)
+      assert(run(s"$work/ckptA"), "same-lineage restart did not stop")
+      // a DIFFERENT checkpoint would restart batchIds at 0 and clobber
+      // inc_0 — the guard must turn that into a loud failure
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run(s"$work/ckptB")
+      }
+      def causes(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("lineage")),
+        s"expected the lineage guard, got $e")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
+
+  test("incremental hamming stream: union of micro-batch pairs equals batch dd8") {
+    import java.nio.file.Files
+    graft.functions.HashFunctions.register(spark)
+    val docs = Tables.documents(spark, sf0001)
+    def sigsOf(pred: org.apache.spark.sql.Column) = docs.filter(pred)
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.simhashText(col("text")).as("sig"))
+    val corpus = sigsOf(col("doc_id") % 10 =!= 0)
+    val inc = sigsOf(col("doc_id") % 10 === 0)
+    val work = Files.createTempDirectory("graft-hamstream")
+    val landing = Files.createTempDirectory("graft-hamstream-landing")
+    try {
+      corpus.write.parquet(s"$work/sigs/base")
+      Seq(col("doc_id") % 20 === 0, col("doc_id") % 20 =!= 0).zipWithIndex.foreach {
+        case (pred, i) =>
+          val tmp = work.resolve(s"half$i")
+          inc.filter(pred).coalesce(1).write.parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get
+          Files.copy(part, landing.resolve(s"inc$i.parquet"))
+      }
+      val q = StreamingOps.incrementalHammingStream(
+        spark.readStream.schema(inc.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+        "doc_id", "sig", s"$work/sigs", s"$work/pairs", s"$work/ckpt", 3)
+      assert(q.awaitTermination(180000), "AvailableNow query did not stop")
+      val gotDf = spark.read.parquet(s"$work/pairs")
+      assert(gotDf.select("batch").distinct().count() == 2)
+      val got = gotDf.select("doc_a", "doc_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got.size == gotDf.count(), "pair discovered twice across batches")
+      val expected = graft.api.Dedup.incrementalHammingPairs(
+          corpus, inc, "doc_id", "sig", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected)
+      assert(got.nonEmpty, "fixture should hold inc-touching hamming pairs")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
+
+  test("incremental embedding stream: union of micro-batch pairs equals batch dd9") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sf0001)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val inc = emb.filter(col("vec_id") % 10 === 0)
+    val work = Files.createTempDirectory("graft-embstream")
+    val landing = Files.createTempDirectory("graft-embstream-landing")
+    try {
+      graft.api.Dedup.lshSignatureTable(corpus, "vec_id", "embedding", 8, 6)
+        .write.parquet(s"$work/sigs/base")
+      Seq(col("vec_id") % 20 === 0, col("vec_id") % 20 =!= 0).zipWithIndex.foreach {
+        case (pred, i) =>
+          val tmp = work.resolve(s"half$i")
+          inc.filter(pred).coalesce(1).write.parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get
+          Files.copy(part, landing.resolve(s"inc$i.parquet"))
+      }
+      val q = StreamingOps.incrementalEmbeddingStream(
+        spark.readStream.schema(inc.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+        "vec_id", "embedding", s"$work/sigs", s"$work/pairs", s"$work/ckpt",
+        8, 6, 0.3, probes = 6)
+      assert(q.awaitTermination(180000), "AvailableNow query did not stop")
+      val gotDf = spark.read.parquet(s"$work/pairs")
+      assert(gotDf.select("batch").distinct().count() == 2)
+      val got = gotDf.select("vec_a", "vec_b", "cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.size == gotDf.count(), "pair discovered twice across batches")
+      val expected = graft.api.Dedup.incrementalEmbeddingPairs(
+          graft.api.Dedup.lshSignatureTable(corpus, "vec_id", "embedding", 8, 6),
+          graft.api.Dedup.lshSignatureTable(inc, "vec_id", "embedding", 8, 6),
+          0.3, probes = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected)
+      assert(got.nonEmpty, "fixture should hold inc-touching embedding pairs")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
+
   test("watermark finalizes windows and drops late data (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
