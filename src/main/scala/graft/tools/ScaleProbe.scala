@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf0.1 → sf1 scaling probe for the heavy-hitter queries (judge's
+  * round-9 task #5): measures how wall-clock grows when the documents
+  * corpus grows 10×, to back the "survives 100×" design claim with
+  * observed exponents rather than plan-shape arguments.
+  *
+  * There is no driver-generated sf1 fixture, so the probe builds one
+  * under target/sf1: `SPARK_GRAFT_SCALE_REPS` (default 10) replicas of
+  * the sf0.1 documents table, ids offset per replica and the TEXT run
+  * through a per-replica Caesar cipher on letters (replica 0 is the
+  * identity — the original corpus). A bijective letter map preserves
+  * every length and every within-replica character-equality relation
+  * EXACTLY — shingle-set intersections, winnow run structure, and
+  * token multiplicities per replica are isomorphic to sf0.1's (hash
+  * VALUES differ, which is just a reseed) — while cross-replica
+  * n-grams almost never collide (a shifted word is not a vocabulary
+  * word), so pair outputs scale ~linearly (10× docs → ~10× pairs),
+  * the regime the banded-join designs claim. Naive alternatives
+  * measure the fixture, not the engine: verbatim replicas gain 9
+  * exact copies per doc (quadratic pair blowup), and a per-token
+  * suffix salt changes token-length statistics (chars-per-shingle
+  * shifts, collapsing fingerprint overlap ~25×: observed).
+  *
+  * Per query: one cold run at each scale, then `min` of 2 warm runs;
+  * the printed exponent is log10(t_sf1 / t_sf01) — 1.0 = linear in
+  * data, <1 sublinear, >1 superlinear. Run with SPARK_DRIVER_MEM=16g.
+  */
+object ScaleProbe {
+  private val Probes = Seq("q32_substring_overlap", "dd2_ngram_jaccard",
+    "dd4_simhash", "dd6_dup_groups", "q31_decontaminate",
+    "p2_clean_corpus_transitive")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf1Dir = "target/sf1"
+    val docsOut = new java.io.File(s"$sf1Dir/documents.parquet")
+    if (!docsOut.exists()) {
+      val docs = graft.Tables.documents(spark, src)
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      def rot(s: String, r: Int) = s.drop(r % 26) + s.take(r % 26)
+      val salted = (0 until reps).map { r =>
+        docs.select(
+          (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+          translate(col("text"), lower + upper, rot(lower, r) + rot(upper, r))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ union _)
+      salted.repartition(32)
+        .write.mode("overwrite").parquet(docsOut.toString)
+      println(s"[probe] built $sf1Dir: ${reps}x ${src} documents, letter-ciphered per replica")
+    }
+
+    def time(name: String, dir: String): Double = {
+      val fn = graft.Registry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val rows = Probes.map { name =>
+      val cold01 = time(name, src)
+      val warm01 = (1 to 2).map(_ => time(name, src)).min
+      val cold1 = time(name, sf1Dir)
+      val warm1 = (1 to 2).map(_ => time(name, sf1Dir)).min
+      val exp = math.log10(warm1 / warm01) // data grew 10×: log10 ratio
+      println(f"[probe] $name%-28s sf0.1 warm $warm01%7.2fs  sf1 warm $warm1%7.2fs  exponent $exp%5.2f (cold $cold01%6.2f → $cold1%6.2f)")
+      (name, warm01, warm1, exp)
+    }
+    val qs = rows.map { case (n, a, b, e) =>
+      s""""$n":{"sf01_warm":$a,"sf1_warm":$b,"exponent":$e}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","reps":$reps,"queries":$qs}""")
+    spark.stop()
+  }
+}
