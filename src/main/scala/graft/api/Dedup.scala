@@ -625,21 +625,100 @@ object Dedup {
       return 0
     }
     require(gen.nonEmpty, s"signature asset at $dir has no seed generation")
-    val nextK = gen.head.getName match {
+    writeGeneration(fs, root, nextGen(gen),
+      spark.read.parquet((gen ++ incs).map(_.toString): _*),
+      folded ++ incs.map(_.getName), stale0 ++ gen ++ incs)
+    incs.size
+  }
+
+  private def nextGen(gen: Seq[org.apache.hadoop.fs.Path]): Int =
+    gen.headOption.map(_.getName match {
       case GenRe(k) => k.toInt + 1
       case _ => 1 // seed generation 0
-    }
-    val target = new org.apache.hadoop.fs.Path(root, s"base_gen$nextK")
-    spark.read.parquet((gen ++ incs).map(_.toString): _*)
-      .write.mode("overwrite").parquet(target.toString)
-    // completion marker LAST: the gen is invisible to readers until the
-    // manifest (cumulative fold list) exists
+    }).getOrElse(1)
+
+  /** Write `df` as generation `base_gen<k>` with its completion marker
+    * LAST (the gen is invisible to readers until the `_manifest` — the
+    * cumulative fold list — exists), then delete the superseded dirs
+    * (safe: readers already ignore them). */
+  private def writeGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, k: Int, df: DataFrame,
+      manifest: Set[String],
+      superseded: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    val target = new org.apache.hadoop.fs.Path(root, s"base_gen$k")
+    df.write.mode("overwrite").parquet(target.toString)
     val out = fs.create(new org.apache.hadoop.fs.Path(target, "_manifest"), true)
-    try out.write((folded ++ incs.map(_.getName)).toSeq.sorted
+    try out.write(manifest.toSeq.sorted
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // superseded: everything the new generation replaces + older leftovers
-    (stale0 ++ gen ++ incs).foreach(p => fs.delete(p, true))
+    superseded.foreach(p => fs.delete(p, true))
+  }
+
+  /** Read the (doc_id, group_id) GROUPS asset at `dir` — same layout
+    * as the signature asset, but inc_* dirs are UPSERTS (dd10 output:
+    * all members of the components a batch touched), not appends:
+    * the resolved view takes, per doc, the row from the
+    * highest-numbered inc, falling back to the base generation.
+    * Resolution is the 100 TB merge-on-read shape: the (small)
+    * increment updates resolve among themselves with one window over
+    * broadcastable rows, then the base generation is STREAMED through
+    * a broadcast anti-join on the updated ids — the corpus-sized side
+    * is never shuffled. Compaction folds the upserts away entirely. */
+  def readGroupsAsset(spark: org.apache.spark.sql.SparkSession, dir: String,
+      excludeInc: Option[String] = None): DataFrame = {
+    val (fs, root) = assetFs(spark, dir)
+    val (gen, _, incs0, _) = scanAsset(fs, root)
+    val incs = incs0.filterNot(i => excludeInc.contains(i.getName))
+      .sortBy(p => p.getName.stripPrefix("inc_").toLong)
+    require(gen.nonEmpty || incs.nonEmpty,
+      s"groups asset at $dir is unseeded — write duplicateGroups output " +
+        "(e.g. under base/) first")
+    val updLatest =
+      if (incs.isEmpty) None
+      else Some {
+        val u = incs.map { p =>
+          spark.read.parquet(p.toString)
+            .select(col("doc_id"), col("group_id"),
+              lit(p.getName.stripPrefix("inc_").toLong).as("_ord"))
+        }.reduce(_ union _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("_ord").desc)
+        Barrier(u.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("doc_id"), col("group_id")))
+      }
+    val base =
+      if (gen.isEmpty) None
+      else Some(spark.read.parquet(gen.map(_.toString): _*)
+        .select(col("doc_id"), col("group_id")))
+    (base, updLatest) match {
+      case (Some(b), Some(u)) =>
+        b.join(broadcast(u.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+          .union(u)
+      case (Some(b), None) => b
+      case (None, Some(u)) => u
+      case _ => throw new IllegalStateException("unreachable: require above")
+    }
+  }
+
+  /** Fold the groups asset's accumulated upsert dirs into a new
+    * RESOLVED generation — same crash-idempotence contract as
+    * [[compactSignatureAsset]] (generation invisible until `_manifest`
+    * lands; cleanup safe after), but the fold is latest-wins
+    * resolution rather than plain union. Safe between micro-batches
+    * of a quiesced stream; returns the number of upsert dirs folded. */
+  def compactGroupsAsset(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val (fs, root) = assetFs(spark, dir)
+    val (gen, folded, incs, stale0) = scanAsset(fs, root)
+    if (incs.isEmpty) { // nothing to fold; still clear earlier leftovers
+      stale0.foreach(p => fs.delete(p, true))
+      return 0
+    }
+    Barrier.scoped {
+      writeGeneration(fs, root, nextGen(gen), readGroupsAsset(spark, dir),
+        folded ++ incs.map(_.getName), stale0 ++ gen ++ incs)
+    }
     incs.size
   }
 

@@ -160,11 +160,25 @@ object StreamingOps {
     * document. WITHOUT the flag a collision is SILENT corruption, not an
     * error: the verification union holds both rows and the batch emits
     * duplicate/incorrect pairs ([[graft.api.Dedup.assertDisjointIds]]). */
+  /** `groupsAsset = Some((dir, aCol, bCol))` additionally maintains a
+    * CONTINUOUS (doc_id, group_id) asset — dd10's streaming twin: per
+    * batch, the batch's pairs run through
+    * [[graft.api.Dedup.incrementalGroups]] against the resolved groups
+    * asset and the touched components' rows land as upsert dir
+    * `inc_<batchId>` (latest-wins merge-on-read via
+    * [[graft.api.Dedup.readGroupsAsset]];
+    * [[graft.api.Dedup.compactGroupsAsset]] folds the upserts away).
+    * Seed the groups dir (e.g. `base/`) with [[graft.api.Dedup
+    * .duplicateGroups]] output over the corpus pairs. The resolved
+    * asset after N batches equals ONE batch `duplicateGroups` over
+    * corpus ∪ all processed increments — the FULL table, not just
+    * touched components (StreamingSpec pins the equality). */
   def incrementalPairStream(docs: DataFrame,
       sigFn: DataFrame => DataFrame,
       pairFn: (DataFrame, DataFrame) => DataFrame,
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
-      idCol: String = "doc_id", assertDisjointIds: Boolean = false):
+      idCol: String = "doc_id", assertDisjointIds: Boolean = false,
+      groupsAsset: Option[(String, String, String)] = None):
       org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -172,6 +186,8 @@ object StreamingOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         requireLineage(s, corpusSigDir, checkpointDir)
+        groupsAsset.foreach { case (gDir, _, _) =>
+          requireLineage(s, gDir, checkpointDir) }
         val corpusSigs = graft.api.Dedup.readSignatureAsset(
           s, corpusSigDir, excludeInc = Some(s"inc_$batchId"))
         graft.api.Barrier.scoped {
@@ -180,6 +196,18 @@ object StreamingOps {
             graft.api.Dedup.assertDisjointIds(corpusSigs, incSigs, idCol)
           pairFn(corpusSigs, incSigs)
             .write.mode("overwrite").parquet(s"$pairsOutDir/batch=$batchId")
+          groupsAsset.foreach { case (gDir, aCol, bCol) =>
+            // read back the just-written pairs (deterministic, avoids
+            // recomputing the band join) and upsert the touched
+            // components; the groups read excludes this batch's own
+            // upsert so a replayed batch resolves the same base state
+            val batchPairs = s.read.parquet(s"$pairsOutDir/batch=$batchId")
+            graft.api.Dedup.incrementalGroups(
+                graft.api.Dedup.readGroupsAsset(
+                  s, gDir, excludeInc = Some(s"inc_$batchId")),
+                batchPairs, aCol, bCol)
+              .write.mode("overwrite").parquet(s"$gDir/inc_$batchId")
+          }
           incSigs.write.mode("overwrite").parquet(s"$corpusSigDir/inc_$batchId")
         }
         ()
@@ -216,16 +244,20 @@ object StreamingOps {
   /** dd7's streaming twin — MinHash/Jaccard family. `corpusSigDir` must
     * be seeded (e.g. subdir `base/`) with
     * [[graft.api.Dedup.minhashSignatures]] output of the same
-    * (bands, rows) geometry. */
+    * (bands, rows) geometry. `groupsDir` (optional) additionally
+    * maintains the continuous (doc_id, group_id) asset — see
+    * [[incrementalPairStream]]. */
   def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
       bands: Int, rows: Int, threshold: Double,
-      assertDisjointIds: Boolean = false):
+      assertDisjointIds: Boolean = false,
+      groupsDir: Option[String] = None):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(docs,
       df => graft.api.Dedup.minhashSignatures(df, idCol, textCol, bands, rows),
       (c, i) => graft.api.Dedup.incrementalJaccardPairs(c, i, threshold),
-      corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds)
+      corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds,
+      groupsDir.map(d => (d, "doc_a", "doc_b")))
 
   /** dd8's streaming twin — 64-bit Hamming family (SimHash text sigs,
     * mm8 perceptual image hashes). Input stream carries PRECOMPUTED

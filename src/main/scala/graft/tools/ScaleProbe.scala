@@ -30,9 +30,14 @@ import org.apache.spark.sql.functions._
   * data, <1 sublinear, >1 superlinear. Run with SPARK_DRIVER_MEM=16g.
   */
 object ScaleProbe {
+  // the six heavy hitters from the round-8 work order, plus the two
+  // incremental verbs (their 100 TB shape — asset streamed, increment
+  // broadcast — is exactly what should show up as a flat exponent; the
+  // replica id offset is a multiple of 10, so the fixture's
+  // doc_id % 10 corpus/increment split carries over to sf1 unchanged)
   private val Probes = Seq("q32_substring_overlap", "dd2_ngram_jaccard",
     "dd4_simhash", "dd6_dup_groups", "q31_decontaminate",
-    "p2_clean_corpus_transitive")
+    "p2_clean_corpus_transitive", "dd7_incremental", "dd10_inc_groups")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -86,6 +86,39 @@ class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("groups asset: upserts resolve latest-wins over the base, compaction folds them") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-groups").toString
+    try {
+      Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L)).toDF("doc_id", "group_id")
+        .write.parquet(s"$root/base")
+      // batch 0 merges {3} into group 1; batch 1 re-touches doc 3 and
+      // adds a new doc 100 — doc 3's batch-1 row must win over batch 0's
+      Seq((3L, 1L)).toDF("doc_id", "group_id").write.parquet(s"$root/inc_0")
+      Seq((3L, 2L), (100L, 2L)).toDF("doc_id", "group_id")
+        .write.parquet(s"$root/inc_1")
+      def resolved() = Dedup.readGroupsAsset(spark, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = Set((1L, 1L), (2L, 1L), (3L, 2L), (4L, 4L), (100L, 2L))
+      assert(resolved() == expected)
+      // excludeInc: a replayed batch 1 must resolve pre-batch-1 state
+      val pre = Dedup.readGroupsAsset(spark, root, excludeInc = Some("inc_1"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pre == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)))
+      // compaction folds both upserts into a resolved generation
+      assert(Dedup.compactGroupsAsset(spark, root) == 2)
+      assert(resolved() == expected)
+      val names = new java.io.File(root).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(names == Set("base_gen1"), s"got $names")
+      assert(Dedup.compactGroupsAsset(spark, root) == 0)
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
+
   test("unseeded asset fails loud") {
     val root = java.nio.file.Files.createTempDirectory("graft-asset3").toString
     val e = intercept[IllegalArgumentException] {

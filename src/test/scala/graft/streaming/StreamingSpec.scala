@@ -157,6 +157,61 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("continuous group maintenance: resolved groups asset equals batch dd6 over corpus ∪ increment") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    val work = Files.createTempDirectory("graft-groupstream")
+    val landing = Files.createTempDirectory("graft-groupstream-landing")
+    try {
+      graft.api.Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4)
+        .write.parquet(s"$work/sigs/base")
+      // seed the groups asset: dd6 over the corpus's own pairs
+      graft.api.Dedup.duplicateGroups(
+          graft.api.Dedup.jaccardPairs(corpus, "doc_id", "text", 8, 4, 0.8),
+          "doc_a", "doc_b")
+        .write.parquet(s"$work/groups/base")
+      Seq(col("doc_id") % 20 === 0, col("doc_id") % 20 =!= 0).zipWithIndex.foreach {
+        case (pred, i) =>
+          val tmp = work.resolve(s"half$i")
+          inc.filter(pred).coalesce(1).write.parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get
+          Files.copy(part, landing.resolve(s"inc$i.parquet"))
+      }
+      val q = StreamingOps.incrementalDedupStream(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+        "doc_id", "text", s"$work/sigs", s"$work/pairs", s"$work/ckpt",
+        8, 4, 0.8, groupsDir = Some(s"$work/groups"))
+      assert(q.awaitTermination(180000), "AvailableNow query did not stop")
+      assert(new java.io.File(s"$work/groups").list()
+        .count(_.startsWith("inc_")) == 2, "one upsert dir per batch")
+      def resolved() = graft.api.Dedup.readGroupsAsset(spark, s"$work/groups")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = resolved()
+      // the strong pin: resolved streaming state ≡ one batch dd6 over
+      // the WHOLE table (untouched corpus components included)
+      val expected = graft.api.Dedup.duplicateGroups(
+          graft.api.Dedup.jaccardPairs(docs, "doc_id", "text", 8, 4, 0.8),
+          "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+      assert(got.exists { case (id, _) => id % 10 == 0 },
+        "increment docs must appear in the resolved asset")
+      // compaction folds the upserts without changing the resolved view
+      assert(graft.api.Dedup.compactGroupsAsset(spark, s"$work/groups") == 2)
+      assert(resolved() == expected, "compaction changed the resolved groups")
+      assert(graft.api.Dedup.compactGroupsAsset(spark, s"$work/groups") == 0)
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
+
   test("asset lineage guard: a fresh checkpoint against a populated asset fails loud") {
     import java.nio.file.Files
     val docs = Tables.documents(spark, sf0001)
