@@ -265,13 +265,15 @@ object StreamingOps {
     * projection of the corpus. */
   def incrementalHammingStream(sigs: DataFrame, idCol: String, sigCol: String,
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
-      maxHamming: Int = 3, assertDisjointIds: Boolean = false):
+      maxHamming: Int = 3, assertDisjointIds: Boolean = false,
+      groupsDir: Option[String] = None):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(sigs,
       df => df.select(col(idCol).as("doc_id"), col(sigCol).as("sig")),
       (c, i) => graft.api.Dedup.incrementalHammingPairs(
         c, i, "doc_id", "sig", maxHamming),
-      corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds)
+      corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds,
+      groupsDir.map(d => (d, "doc_a", "doc_b")))
 
   /** dd9's streaming twin — hyperplane-LSH/cosine family. Seed the
     * asset with [[graft.api.Dedup.lshSignatureTable]] output of the
@@ -279,12 +281,14 @@ object StreamingOps {
   def incrementalEmbeddingStream(vecs: DataFrame, idCol: String, vecCol: String,
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
       tables: Int, planes: Int, threshold: Double, probes: Int = 0,
-      assertDisjointIds: Boolean = false):
+      assertDisjointIds: Boolean = false,
+      groupsDir: Option[String] = None):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(vecs,
       df => graft.api.Dedup.lshSignatureTable(df, idCol, vecCol, tables, planes),
       (c, i) => graft.api.Dedup.incrementalEmbeddingPairs(c, i, threshold, probes),
-      corpusSigDir, pairsOutDir, checkpointDir, "vec_id", assertDisjointIds)
+      corpusSigDir, pairsOutDir, checkpointDir, "vec_id", assertDisjointIds,
+      groupsDir.map(d => (d, "vec_a", "vec_b")))
 
   /** Idempotent micro-batch sink: foreachBatch + deterministic
     * per-batch output paths, the standard exactly-once-to-storage

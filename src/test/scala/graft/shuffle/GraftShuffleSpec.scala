@@ -50,6 +50,12 @@ class GraftShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.hadoop.fs.graftfs.impl", classOf[graft.mr.GraftObjectFs].getName)
       .config("spark.hadoop.fs.graftfs.impl.disable.cache", "true")
       .config("spark.sql.shuffle.partitions", "7")
+      // this suite asserts on the ON-DISK shuffle objects: the
+      // GC-driven ContextCleaner must not race the assertions by
+      // removing an earlier test's shuffle dirs mid-Files.walk
+      // (observed as a flaky NoSuchFileException in removeShuffle's
+      // listing); explicit cleanup is exercised via removeShuffle
+      .config("spark.cleaner.referenceTracking", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
