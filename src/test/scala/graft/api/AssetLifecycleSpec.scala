@@ -119,6 +119,29 @@ class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("readGroupsAsset streams the base: broadcast anti-join, no sort-merge") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-groupsplan").toString
+    try {
+      Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "group_id")
+        .write.parquet(s"$root/base")
+      Seq((3L, 1L)).toDF("doc_id", "group_id").write.parquet(s"$root/inc_0")
+      val df = Dedup.readGroupsAsset(spark, root)
+      df.collect() // materialize so AQE's final plan is in place
+      val plan = df.queryExecution.executedPlan.toString
+      // the corpus-sized base side must NEVER shuffle: resolution is a
+      // broadcast anti-join on the (small) updated-id set
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"expected a broadcast anti-join resolution, got:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"base side shuffled through a sort-merge join:\n$plan")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
+
   test("unseeded asset fails loud") {
     val root = java.nio.file.Files.createTempDirectory("graft-asset3").toString
     val e = intercept[IllegalArgumentException] {

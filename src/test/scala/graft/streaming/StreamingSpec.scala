@@ -305,6 +305,13 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     try {
       graft.api.Dedup.lshSignatureTable(corpus, "vec_id", "embedding", 8, 6)
         .write.parquet(s"$work/sigs/base")
+      // groups asset seeded from the corpus's own embedding pairs —
+      // exercises the vec_a/vec_b wiring of the wrapper's groupsDir
+      graft.api.Dedup.duplicateGroups(
+          graft.api.Dedup.embeddingPairs(corpus, "vec_id", "embedding",
+            8, 6, 0.3, probes = 6),
+          "vec_a", "vec_b")
+        .write.parquet(s"$work/groups/base")
       Seq(col("vec_id") % 20 === 0, col("vec_id") % 20 =!= 0).zipWithIndex.foreach {
         case (pred, i) =>
           val tmp = work.resolve(s"half$i")
@@ -318,7 +325,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         spark.readStream.schema(inc.schema)
           .option("maxFilesPerTrigger", "1").parquet(landing.toString),
         "vec_id", "embedding", s"$work/sigs", s"$work/pairs", s"$work/ckpt",
-        8, 6, 0.3, probes = 6)
+        8, 6, 0.3, probes = 6, groupsDir = Some(s"$work/groups"))
       assert(q.awaitTermination(180000), "AvailableNow query did not stop")
       val gotDf = spark.read.parquet(s"$work/pairs")
       assert(gotDf.select("batch").distinct().count() == 2)
@@ -332,6 +339,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == expected)
       assert(got.nonEmpty, "fixture should hold inc-touching embedding pairs")
+      // the embedding-family group pin: resolved streaming groups ≡
+      // one batch dd6 over the full embedding pair set
+      val gotGroups = graft.api.Dedup.readGroupsAsset(spark, s"$work/groups")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expectedGroups = graft.api.Dedup.duplicateGroups(
+          graft.api.Dedup.embeddingPairs(emb, "vec_id", "embedding",
+            8, 6, 0.3, probes = 6),
+          "vec_a", "vec_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotGroups == expectedGroups)
+      assert(gotGroups.nonEmpty)
     } finally {
       import scala.sys.process._
       Seq("rm", "-rf", work.toString, landing.toString).!
