@@ -557,6 +557,9 @@ object Dedup {
       root: org.apache.hadoop.fs.Path):
       (Seq[org.apache.hadoop.fs.Path], Set[String],
         Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path]) = {
+    require(fs.exists(root),
+      s"asset root $root does not exist — create it and seed a generation " +
+        "(e.g. base/) first")
     val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filterNot(_.getName.startsWith("_")).toSeq
     val (incs, genDirs) = dirs.partition(_.getName.startsWith("inc_"))
@@ -668,8 +671,14 @@ object Dedup {
       excludeInc: Option[String] = None): DataFrame = {
     val (fs, root) = assetFs(spark, dir)
     val (gen, _, incs0, _) = scanAsset(fs, root)
-    val incs = incs0.filterNot(i => excludeInc.contains(i.getName))
-      .sortBy(p => p.getName.stripPrefix("inc_").toLong)
+    def ord(p: org.apache.hadoop.fs.Path): Long = {
+      val suffix = p.getName.stripPrefix("inc_")
+      require(suffix.forall(_.isDigit) && suffix.nonEmpty,
+        s"groups asset upsert dir '${p.getName}' is not inc_<batchId> — " +
+          "upsert precedence is by numeric batch id")
+      suffix.toLong
+    }
+    val incs = incs0.filterNot(i => excludeInc.contains(i.getName)).sortBy(ord)
     require(gen.nonEmpty || incs.nonEmpty,
       s"groups asset at $dir is unseeded — write duplicateGroups output " +
         "(e.g. under base/) first")
@@ -678,8 +687,7 @@ object Dedup {
       else Some {
         val u = incs.map { p =>
           spark.read.parquet(p.toString)
-            .select(col("doc_id"), col("group_id"),
-              lit(p.getName.stripPrefix("inc_").toLong).as("_ord"))
+            .select(col("doc_id"), col("group_id"), lit(ord(p)).as("_ord"))
         }.reduce(_ union _)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("_ord").desc)
