@@ -18,6 +18,13 @@ import org.apache.spark.sql.SparkSession
   * steady-state number to compare against the reference. A
   * `contended` sentinel flags measurements to distrust: warm composite
   * slower than cold, or any query's warm min > 2× its own cold time.
+  * Heavy hitters (warm min ≥ 3 s) automatically get a third warm pass
+  * when `SPARK_GRAFT_BENCH_WARM_PASSES` < 3 — their run-to-run spread
+  * dominates the composite's noise. The artifact carries per-query
+  * `warm_spread` (max/min over successful passes); spread > 2 lists
+  * the query under `noise_suspect` — read those rows as variance, not
+  * regression. Per-query bytes come from the pass that produced the
+  * min time (the first pass may have failed or not be the headline's).
   * Warm passes wrap each query in Metrics.track, so the JSON line also
   * carries per-query bytesRead / shuffleWrite (reference F22 parity,
   * `/root/reference/driver.go:246-249`'s per-job byte log lines).
@@ -57,41 +64,63 @@ object Bench {
     // N warm passes; the headline is the per-query MIN across them.
     val warmPasses = math.max(2,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_PASSES", "2").toInt)
-    val passes = (1 to warmPasses).map { _ =>
-      SparkEntry.benchQueries.map { name =>
+    def runPass(names: Seq[String]): Map[String, (Double, Long, Long, Long)] =
+      names.map { name =>
         val fn = SparkEntry.queries(name)
         try {
           val (_, snap) = Metrics.track(spark)(fn(spark, sfDir).count())
-          (name, snap.wallClockSec,
-            math.max(snap.bytesRead, snap.fsBytesRead), snap.shuffleBytesWritten,
-            snap.fsBytesRead)
+          name -> ((snap.wallClockSec,
+            math.max(snap.bytesRead, snap.fsBytesRead),
+            snap.shuffleBytesWritten, snap.fsBytesRead))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           // failed queries are marked -1.0 instead of masquerading as timings
-          (name, -1.0, 0L, 0L, 0L)
+          name -> ((-1.0, 0L, 0L, 0L))
         }
-      }
+      }.toMap
+    val names = SparkEntry.benchQueries
+    val basePasses = (1 to warmPasses).map(_ => runPass(names))
+    // heavy hitters (warm min >= 3 s) get at least 3 passes: their
+    // run-to-run spread dominates the composite's noise, and extra
+    // min-of-N samples are the cheapest variance reduction available
+    val HeavySec = 3.0
+    val MinHeavyPasses = 3
+    val heavy = names.filter { n =>
+      val ts = basePasses.flatMap(_.get(n)).map(_._1).filter(_ >= 0)
+      ts.nonEmpty && ts.min >= HeavySec
     }
+    val passes = basePasses ++ (
+      if (heavy.isEmpty || warmPasses >= MinHeavyPasses) Seq.empty
+      else (warmPasses until MinHeavyPasses).map(_ => runPass(heavy)))
     // per-query min over the warm passes (a query that failed every
-    // pass stays -1.0); bytes come from the first pass — reads are
-    // deterministic, so byte counts don't vary across warm passes
-    val results = passes.head.indices.map { i =>
-      val name = passes.head(i)._1
-      val times = passes.map(_(i)._2).filter(_ >= 0)
-      val best = if (times.isEmpty) -1.0 else times.min
-      val (_, _, r, s, f) = passes.head(i)
-      (name, best, r, s, f)
+    // pass stays -1.0); bytes come from the pass that PRODUCED the min
+    // (the first pass may have failed, or not be the headline's pass);
+    // spread = max/min over successful passes — > 2 marks the row as
+    // noise-suspect (run-to-run variance, not a plan property)
+    val results = names.map { name =>
+      val ms = passes.flatMap(_.get(name))
+      val ok = ms.filter(_._1 >= 0)
+      val best = if (ok.isEmpty) -1.0 else ok.map(_._1).min
+      val (_, r, s, f) = if (ok.isEmpty) ms.head else ok.minBy(_._1)
+      val spread = if (ok.size >= 2) ok.map(_._1).max / ok.map(_._1).min else 1.0
+      (name, best, r, s, f, spread)
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // bytesRead is task-level (counts each consumer's read of a
     // barrier/cached block AGAIN); fsBytesRead is the storage-layer
     // truth — see tools/BarrierBytes for the per-mode attribution
     val bytes = results
-      .map { case (k, _, r, s, f) =>
+      .map { case (k, _, r, s, f, _) =>
         s""""$k":{"bytesRead":$r,"fsBytesRead":$f,"shuffleWrite":$s}""" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val spreads = results
+      .map { case (k, _, _, _, _, sp) => "\"" + k + "\":" + f"$sp%.3f" }
+      .mkString("{", ",", "}")
+    val noiseSuspect = results
+      .collect { case (k, _, _, _, _, sp) if sp > 2.0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
     val qsCold = cold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val totalCold = cold.collect { case (_, v) if v >= 0 => v }.sum
     // Contention sentinel: a warm min composite slower than the cold
@@ -100,12 +129,12 @@ object Bench {
     // measurement, not a regression (round-8 postmortem).
     val coldByName = cold.toMap
     val contended = (totalCold > 0 && total > totalCold) ||
-      results.exists { case (k, v, _, _, _) =>
+      results.exists { case (k, v, _, _, _, _) =>
         val c = coldByName.getOrElse(k, -1.0); c > 0 && v > 2 * c }
     val passDetail = passes.map(p =>
-      p.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+      names.flatMap(n => p.get(n).map(m => "\"" + n + "\":" + m._1))
         .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"queries":$qs,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","sf":"$sfDir"}"""
     println(line)
     // stdout of an sbt run gets interleaved/truncated by the harness —
     // persist the full line so the round artifact always parses
@@ -122,7 +151,7 @@ object Bench {
     // sets Global/showSuccess := false so sbt's "[success] Total time"
     // banner doesn't land AFTER this line — r8's tail showed the banner
     // as the true last line, which is what a last-line parser chokes on.)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"noise_suspect":$noiseSuspect,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

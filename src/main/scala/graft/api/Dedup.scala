@@ -534,14 +534,26 @@ object Dedup {
   //     incremental streams)
   //   base_gen<k>/     compacted generation k: the union of the
   //     previous generation and the inc_* dirs folded into it.
-  //     COMPLETE iff its `_manifest` file exists (written strictly
-  //     after the parquet data) — readers ignore incomplete gens, so a
-  //     crashed compaction is invisible and a retry overwrites it.
+  //     COMPLETE iff its `_manifest` file exists AND parses to a
+  //     non-empty fold list. The manifest is published by atomic
+  //     rename strictly after the parquet data, so a crashed
+  //     compaction can never leave a truncated manifest masquerading
+  //     as complete; an empty manifest (a legitimate fold always
+  //     covers >= 1 dir) is likewise treated as a crashed attempt.
   //   _*               ignored (markers, in-flight work)
   //
   // The reader takes the newest COMPLETE generation plus every inc_*
   // dir not listed in that generation's manifest — never a folded inc
   // (double rows) and never an incomplete gen (partial data).
+  //
+  // Retention: superseded dirs are NOT deleted at the compaction that
+  // supersedes them — they linger `keepSuperseded` further compactions
+  // (default 1), so a concurrent ad-hoc reader that planned its file
+  // list against the previous generation still finds those files.
+  // Manifests record every folded dir name (seeds included), so a
+  // lingering dir is always attributable; a non-lifecycle dir dropped
+  // into a compacted asset root fails loud instead of being silently
+  // destroyed at the next compaction.
   // ------------------------------------------------------------------
 
   private val GenRe = "base_gen(\\d+)".r
@@ -551,12 +563,29 @@ object Dedup {
     (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
-  /** (generation dirs of the newest complete generation, inc names that
-    * generation folded, live inc_* dirs, superseded dirs safe to delete). */
+  /** Asset-root inventory: `gen` = dirs of the newest complete
+    * generation (the seed dirs when none exists), `genK` = its number
+    * (0 = seeds), `folded` = its manifest (every dir name ever folded),
+    * `liveIncs` = un-folded inc_* dirs, `stale` = superseded dirs
+    * tagged with the generation that superseded them (Int.MinValue =
+    * crashed attempt, deletable immediately). */
+  private final case class AssetScan(
+      gen: Seq[org.apache.hadoop.fs.Path],
+      genK: Int,
+      folded: Set[String],
+      liveIncs: Seq[org.apache.hadoop.fs.Path],
+      stale: Seq[(org.apache.hadoop.fs.Path, Int)])
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      gen: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(gen, "_manifest"))
+    try scala.io.Source.fromInputStream(in)
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
   private def scanAsset(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path):
-      (Seq[org.apache.hadoop.fs.Path], Set[String],
-        Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path]) = {
+      root: org.apache.hadoop.fs.Path): AssetScan = {
     require(fs.exists(root),
       s"asset root $root does not exist — create it and seed a generation " +
         "(e.g. base/) first")
@@ -564,28 +593,51 @@ object Dedup {
       .filterNot(_.getName.startsWith("_")).toSeq
     val (incs, genDirs) = dirs.partition(_.getName.startsWith("inc_"))
     val (compacted, seeds) = genDirs.partition(p => GenRe.matches(p.getName))
-    val complete = compacted
+    val numbered = compacted
       .map { p => val GenRe(k) = p.getName: @unchecked; (k.toInt, p) }
+    val complete = numbered
       .filter { case (_, p) =>
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_manifest")) }
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_manifest")) &&
+          readManifest(fs, p).nonEmpty }
       .sortBy(_._1)
     complete.lastOption match {
-      case Some((k, p)) =>
-        val in = fs.open(new org.apache.hadoop.fs.Path(p, "_manifest"))
-        val folded =
-          try scala.io.Source.fromInputStream(in)
-            .getLines().map(_.trim).filter(_.nonEmpty).toSet
-          finally in.close()
-        val stale = seeds ++ complete.init.map(_._2) ++
-          compacted.collect { // incomplete attempts at or below k
-            case q if { val GenRe(j) = q.getName: @unchecked; j.toInt <= k } &&
-              !complete.exists(_._2 == q) => q } ++
-          incs.filter(i => folded.contains(i.getName))
-        (Seq(p), folded, incs.filterNot(i => folded.contains(i.getName)), stale)
+      case Some((k, newest)) =>
+        val folded = readManifest(fs, newest).toSet
+        // first generation that folded each name — manifests are
+        // cumulative, so lingering manifests date every superseded dir
+        val firstFold = scala.collection.mutable.Map[String, Int]()
+        complete.foreach { case (j, p) =>
+          readManifest(fs, p).foreach(n =>
+            if (!firstFold.contains(n)) firstFold(n) = j) }
+        val unrecognized = seeds.filterNot(s => folded.contains(s.getName))
+        require(unrecognized.isEmpty,
+          s"asset at $root holds director(ies) the lifecycle did not " +
+            s"create and no generation folded: " +
+            s"${unrecognized.map(_.getName).mkString(", ")} — a compacted " +
+            "asset only manages inc_* and base_gen* dirs; ingest new data " +
+            "as an inc_* dir (or seed a fresh asset root) instead")
+        val staleSeeds = seeds.map(p => (p, firstFold(p.getName)))
+        val staleGens = complete.init.map { case (j, p) =>
+          (p, complete.find(_._1 > j).get._1) } // superseded by the next gen
+        val crashed = numbered.collect { // failed attempts at or below k
+          case (j, p) if j <= k && !complete.exists(_._2 == p) =>
+            (p, Int.MinValue) }
+        val (foldedIncs, liveIncs) =
+          incs.partition(i => folded.contains(i.getName))
+        AssetScan(Seq(newest), k, folded, liveIncs,
+          staleSeeds ++ staleGens ++ crashed ++
+            foldedIncs.map(p => (p, firstFold(p.getName))))
       case None =>
-        (seeds, Set.empty, incs, Seq.empty)
+        AssetScan(seeds, 0, Set.empty, incs, Seq.empty)
     }
   }
+
+  /** Delete every stale dir superseded at or before generation
+    * `maxGen` (crashed attempts carry Int.MinValue: always eligible). */
+  private def deleteAged(fs: org.apache.hadoop.fs.FileSystem,
+      stale: Seq[(org.apache.hadoop.fs.Path, Int)], maxGen: Int): Unit =
+    stale.collect { case (p, j) if j <= maxGen => p }
+      .foreach(p => fs.delete(p, true))
 
   /** Read the signature asset at `dir` per the layout contract above:
     * newest complete generation + un-folded inc_* dirs, minus
@@ -595,8 +647,9 @@ object Dedup {
   def readSignatureAsset(spark: org.apache.spark.sql.SparkSession, dir: String,
       excludeInc: Option[String] = None): DataFrame = {
     val (fs, root) = assetFs(spark, dir)
-    val (gen, _, incs, _) = scanAsset(fs, root)
-    val parts = (gen ++ incs.filterNot(i => excludeInc.contains(i.getName)))
+    val scan = scanAsset(fs, root)
+    val parts = (scan.gen ++
+        scan.liveIncs.filterNot(i => excludeInc.contains(i.getName)))
       .map(_.toString)
     require(parts.nonEmpty,
       s"signature asset at $dir is unseeded — write minhashSignatures / " +
@@ -617,44 +670,55 @@ object Dedup {
     * run between micro-batches of a live stream — but not concurrently
     * with one (a replayed batch whose inc dir was just folded would
     * re-pair against its own signatures); quiesce the stream first.
-    * Returns the number of inc dirs folded (0 = nothing to do; stale
-    * dirs from earlier compactions are still cleaned up). */
+    *
+    * Retention: the dirs THIS compaction supersedes stay on disk for
+    * `keepSuperseded` further compactions (default 1) before being
+    * deleted, so an ad-hoc reader that planned its scan against the
+    * previous generation — listing the asset just before the new
+    * manifest landed — still finds every file it planned.
+    * `keepSuperseded = 0` restores immediate deletion (safe only when
+    * no reader can be in flight). Returns the number of inc dirs
+    * folded (0 = nothing to do; dirs whose retention has expired are
+    * still cleaned up). */
   def compactSignatureAsset(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Int = {
+      dir: String, keepSuperseded: Int = 1): Int = {
+    require(keepSuperseded >= 0,
+      s"keepSuperseded must be non-negative, got $keepSuperseded")
     val (fs, root) = assetFs(spark, dir)
-    val (gen, folded, incs, stale0) = scanAsset(fs, root)
-    if (incs.isEmpty) { // nothing to fold; still clear earlier leftovers
-      stale0.foreach(p => fs.delete(p, true))
+    val scan = scanAsset(fs, root)
+    if (scan.liveIncs.isEmpty) { // nothing to fold; still expire leftovers
+      deleteAged(fs, scan.stale, scan.genK - keepSuperseded)
       return 0
     }
-    require(gen.nonEmpty, s"signature asset at $dir has no seed generation")
-    writeGeneration(fs, root, nextGen(gen),
-      spark.read.parquet((gen ++ incs).map(_.toString): _*),
-      folded ++ incs.map(_.getName), stale0 ++ gen ++ incs)
-    incs.size
+    require(scan.gen.nonEmpty, s"signature asset at $dir has no seed generation")
+    val k = scan.genK + 1
+    writeGeneration(fs, root, k,
+      spark.read.parquet((scan.gen ++ scan.liveIncs).map(_.toString): _*),
+      scan.folded ++ (scan.gen ++ scan.liveIncs).map(_.getName))
+    deleteAged(fs, scan.stale ++ (scan.gen ++ scan.liveIncs).map((_, k)),
+      k - keepSuperseded)
+    scan.liveIncs.size
   }
 
-  private def nextGen(gen: Seq[org.apache.hadoop.fs.Path]): Int =
-    gen.headOption.map(_.getName match {
-      case GenRe(k) => k.toInt + 1
-      case _ => 1 // seed generation 0
-    }).getOrElse(1)
-
   /** Write `df` as generation `base_gen<k>` with its completion marker
-    * LAST (the gen is invisible to readers until the `_manifest` — the
-    * cumulative fold list — exists), then delete the superseded dirs
-    * (safe: readers already ignore them). */
+    * LAST: the gen is invisible to readers until the `_manifest` — the
+    * cumulative fold list, seed and generation names included — exists,
+    * and the manifest itself is published by write-to-temp + atomic
+    * rename, so a crash mid-write can never expose a truncated manifest
+    * as a complete generation. Deleting superseded dirs is the CALLER's
+    * job (the retention policy lives there). */
   private def writeGeneration(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, k: Int, df: DataFrame,
-      manifest: Set[String],
-      superseded: Seq[org.apache.hadoop.fs.Path]): Unit = {
+      manifest: Set[String]): Unit = {
     val target = new org.apache.hadoop.fs.Path(root, s"base_gen$k")
     df.write.mode("overwrite").parquet(target.toString)
-    val out = fs.create(new org.apache.hadoop.fs.Path(target, "_manifest"), true)
+    val tmp = new org.apache.hadoop.fs.Path(target, "_manifest.tmp")
+    val out = fs.create(tmp, true)
     try out.write(manifest.toSeq.sorted
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    superseded.foreach(p => fs.delete(p, true))
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(target, "_manifest")),
+      s"failed to publish manifest under $target")
   }
 
   /** Read the (doc_id, group_id) GROUPS asset at `dir` — same layout
@@ -670,7 +734,8 @@ object Dedup {
   def readGroupsAsset(spark: org.apache.spark.sql.SparkSession, dir: String,
       excludeInc: Option[String] = None): DataFrame = {
     val (fs, root) = assetFs(spark, dir)
-    val (gen, _, incs0, _) = scanAsset(fs, root)
+    val scan = scanAsset(fs, root)
+    val (gen, incs0) = (scan.gen, scan.liveIncs)
     def ord(p: org.apache.hadoop.fs.Path): Long = {
       val suffix = p.getName.stripPrefix("inc_")
       require(suffix.forall(_.isDigit) && suffix.nonEmpty,
@@ -714,20 +779,27 @@ object Dedup {
     * [[compactSignatureAsset]] (generation invisible until `_manifest`
     * lands; cleanup safe after), but the fold is latest-wins
     * resolution rather than plain union. Safe between micro-batches
-    * of a quiesced stream; returns the number of upsert dirs folded. */
+    * of a quiesced stream; same `keepSuperseded` retention contract as
+    * [[compactSignatureAsset]]; returns the number of upsert dirs
+    * folded. */
   def compactGroupsAsset(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Int = {
+      dir: String, keepSuperseded: Int = 1): Int = {
+    require(keepSuperseded >= 0,
+      s"keepSuperseded must be non-negative, got $keepSuperseded")
     val (fs, root) = assetFs(spark, dir)
-    val (gen, folded, incs, stale0) = scanAsset(fs, root)
-    if (incs.isEmpty) { // nothing to fold; still clear earlier leftovers
-      stale0.foreach(p => fs.delete(p, true))
+    val scan = scanAsset(fs, root)
+    if (scan.liveIncs.isEmpty) { // nothing to fold; still expire leftovers
+      deleteAged(fs, scan.stale, scan.genK - keepSuperseded)
       return 0
     }
+    val k = scan.genK + 1
     Barrier.scoped {
-      writeGeneration(fs, root, nextGen(gen), readGroupsAsset(spark, dir),
-        folded ++ incs.map(_.getName), stale0 ++ gen ++ incs)
+      writeGeneration(fs, root, k, readGroupsAsset(spark, dir),
+        scan.folded ++ (scan.gen ++ scan.liveIncs).map(_.getName))
     }
-    incs.size
+    deleteAged(fs, scan.stale ++ (scan.gen ++ scan.liveIncs).map((_, k)),
+      k - keepSuperseded)
+    scan.liveIncs.size
   }
 
   /** Opt-in precondition check for the incremental operators: corpus

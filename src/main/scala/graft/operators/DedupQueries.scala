@@ -45,8 +45,8 @@ object DedupQueries {
   //   dd3:  8 bands × 4 rows → ~0.59 (tuned for jac ≥ 0.8)
   private val DD2Bands = 16
   private val DD2Rows = K / DD2Bands
-  private val DD3Bands = 8
-  private val DD3Rows = K / DD3Bands
+  private[operators] val DD3Bands = 8
+  private[operators] val DD3Rows = K / DD3Bands
 
   /** DuckDB twin of [[graft.api.Dedup.jaccardPairs]]. */
   private def bandSql(bands: Int, rows: Int, thr: Double): String =
@@ -135,7 +135,7 @@ object DedupQueries {
   // is dd3's band CTE restricted to inc-touching pairs, which
   // dd7(corpus, inc) equals exactly (same candidates, same
   // verification; property-pinned in DedupSimilaritySpec).
-  private val IncMod = 10
+  private[operators] val IncMod = 10
 
   private def incremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -283,6 +283,46 @@ object DedupQueries {
     graft.api.Dedup.incrementalGroups(asset, incremental(s, dir), "doc_a", "doc_b")
   }
 
+  // -- dd10p: production-shaped dd10 — the operator at its OWN cost ----
+  // dd10_inc_groups is the oracle-friendly fixture binding: it rebuilds
+  // the corpus groups asset in-query (dd6 over corpus pairs + dd7)
+  // before the incremental step, so its wall-clock is ~80% fixture.
+  // This binding is the capacity-planner's number: both inputs are
+  // pre-seeded parquet assets (written once per JVM under target/ —
+  // the cold bench pass pays the seeding, warm passes only read), and
+  // the timed plan is ONLY incrementalGroups — the asset streamed
+  // against broadcasts, CC fixpoint over the contracted label graph.
+  // Same oracle as dd10: identical semantics, different input shape.
+  private val seededRoots = scala.collection.mutable.Set[String]()
+
+  private def seedDd10Assets(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val root = s"target/graft_bench/dd10p/$key"
+    synchronized {
+      if (!seededRoots.contains(root)) {
+        val corpus = Tables.documents(s, dir).filter(col("doc_id") % IncMod =!= 0)
+        graft.api.Barrier.scoped {
+          graft.api.Dedup.duplicateGroups(
+              graft.api.Dedup.jaccardPairs(
+                corpus, "doc_id", "text", DD3Bands, DD3Rows, 0.8),
+              "doc_a", "doc_b")
+            .write.mode("overwrite").parquet(s"$root/groups_asset")
+          incremental(s, dir)
+            .write.mode("overwrite").parquet(s"$root/inc_pairs")
+        }
+        seededRoots += root
+      }
+    }
+    root
+  }
+
+  private def incrementalCCAsset(s: SparkSession, dir: String): DataFrame = {
+    val root = seedDd10Assets(s, dir)
+    graft.api.Dedup.incrementalGroups(
+      s.read.parquet(s"$root/groups_asset"),
+      s.read.parquet(s"$root/inc_pairs"), "doc_a", "doc_b")
+  }
+
   private val incrementalCCSql =
     s"""WITH RECURSIVE ${bandCtes(DD3Bands, DD3Rows)},
        |pairs AS (SELECT doc_a, doc_b FROM cand WHERE jac >= 0.8),
@@ -337,10 +377,11 @@ object DedupQueries {
     QueryDef("dd7_incremental", incremental, Some(incrementalSql), bench = true),
     QueryDef("dd8_inc_simhash", incrementalSimhash, Some(incSimhashSql), bench = true),
     QueryDef("dd9_inc_embed", incrementalEmbed, Some(incEmbedSql), bench = true),
-    // dd10's bench number measures the FIXTURE (it rebuilds the corpus
-    // asset in-query — dd6 over corpus pairs — before the incremental
-    // step); it is benched anyway so the contracted-CC plan is a
-    // measured regression surface, with the caveat recorded in STATUS
-    QueryDef("dd10_inc_groups", incrementalCC, Some(incrementalCCSql), bench = true),
+    // dd10's in-query fixture rebuild (~80% of its wall-clock) made its
+    // bench row measure the fixture, not the operator — dd10p below is
+    // the measured regression surface for the contracted-CC plan
+    QueryDef("dd10_inc_groups", incrementalCC, Some(incrementalCCSql)),
+    QueryDef("dd10p_inc_groups_asset", incrementalCCAsset,
+      Some(incrementalCCSql), bench = true),
   )
 }

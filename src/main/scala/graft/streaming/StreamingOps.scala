@@ -172,15 +172,23 @@ object StreamingOps {
     * .duplicateGroups]] output over the corpus pairs. The resolved
     * asset after N batches equals ONE batch `duplicateGroups` over
     * corpus ∪ all processed increments — the FULL table, not just
-    * touched components (StreamingSpec pins the equality). */
+    * touched components (StreamingSpec pins the equality).
+    *
+    * `compactOnFinish = true` makes the call BLOCK until the
+    * AvailableNow drain terminates, then folds both assets' inc dirs
+    * ([[graft.api.Dedup.compactSignatureAsset]] /
+    * [[graft.api.Dedup.compactGroupsAsset]], default retention) — the
+    * stream's natural quiesce point, so the fold can never race a
+    * micro-batch. */
   def incrementalPairStream(docs: DataFrame,
       sigFn: DataFrame => DataFrame,
       pairFn: (DataFrame, DataFrame) => DataFrame,
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
       idCol: String = "doc_id", assertDisjointIds: Boolean = false,
-      groupsAsset: Option[(String, String, String)] = None):
-      org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      groupsAsset: Option[(String, String, String)] = None,
+      compactOnFinish: Boolean = false):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -213,31 +221,64 @@ object StreamingOps {
         ()
       }
       .start()
+    // Compaction at the stream's natural quiesce point: AvailableNow
+    // drains the source and terminates, so after awaitTermination no
+    // batch can be in flight — exactly the window the compaction
+    // contract requires. Opting in makes this call BLOCK until the
+    // drain completes; both assets then fold their inc dirs (retention
+    // defaults apply). A failed stream skips compaction — the exception
+    // surfaces from awaitTermination untouched.
+    if (compactOnFinish) {
+      query.awaitTermination()
+      val s = docs.sparkSession
+      graft.api.Dedup.compactSignatureAsset(s, corpusSigDir)
+      groupsAsset.foreach { case (gDir, _, _) =>
+        graft.api.Dedup.compactGroupsAsset(s, gDir) }
+    }
+    query
+  }
 
   /** Couple the asset's lifecycle to ONE checkpoint lineage: batchIds
     * are only unique within a checkpoint, and `inc_<batchId>` names key
     * the asset's retry idempotence. First batch stamps the marker;
-    * later batches (and restarts from the same checkpoint) verify it. */
-  private def requireLineage(s: SparkSession, corpusSigDir: String,
+    * later batches (and restarts from the same checkpoint) verify it.
+    * Both sides compare FS-QUALIFIED (scheme + absolute, slash-
+    * normalized), so the same checkpoint passed as relative vs
+    * absolute, with a trailing slash, or through an explicit file:
+    * scheme never false-fails a legitimate restart. The first stamp is
+    * create-if-absent (overwrite = false): two streams adopting a
+    * fresh asset concurrently race to one winner, and the loser
+    * verifies against the winner's stamp instead of clobbering it. */
+  private[streaming] def requireLineage(s: SparkSession, corpusSigDir: String,
       checkpointDir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    def qualified(d: String): String = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }
     val marker = new org.apache.hadoop.fs.Path(corpusSigDir, "_lineage")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) {
+    val fs = marker.getFileSystem(conf)
+    val mine = qualified(checkpointDir)
+    def verify(): Unit = {
       val in = fs.open(marker)
       val prior =
         try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
-      require(prior == checkpointDir,
+      require(qualified(prior) == mine,
         s"signature asset at $corpusSigDir belongs to checkpoint lineage " +
           s"'$prior' but this query runs under '$checkpointDir' — a fresh " +
           "checkpoint restarts batchIds at 0 and would silently overwrite " +
           "inc_0. Reuse the original checkpoint dir, or delete the " +
           "_lineage marker to intentionally adopt the asset.")
-    } else {
-      val out = fs.create(marker, true)
-      try out.write((checkpointDir + "\n")
+    }
+    if (fs.exists(marker)) verify()
+    else try {
+      val out = fs.create(marker, false) // atomic first-stamp
+      try out.write((mine + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+    } catch { // lost the stamp race: hold this stream to the winner's lineage
+      case _: java.io.IOException => verify()
     }
   }
 
@@ -251,13 +292,14 @@ object StreamingOps {
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
       bands: Int, rows: Int, threshold: Double,
       assertDisjointIds: Boolean = false,
-      groupsDir: Option[String] = None):
+      groupsDir: Option[String] = None,
+      compactOnFinish: Boolean = false):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(docs,
       df => graft.api.Dedup.minhashSignatures(df, idCol, textCol, bands, rows),
       (c, i) => graft.api.Dedup.incrementalJaccardPairs(c, i, threshold),
       corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds,
-      groupsDir.map(d => (d, "doc_a", "doc_b")))
+      groupsDir.map(d => (d, "doc_a", "doc_b")), compactOnFinish)
 
   /** dd8's streaming twin — 64-bit Hamming family (SimHash text sigs,
     * mm8 perceptual image hashes). Input stream carries PRECOMPUTED
@@ -266,14 +308,15 @@ object StreamingOps {
   def incrementalHammingStream(sigs: DataFrame, idCol: String, sigCol: String,
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
       maxHamming: Int = 3, assertDisjointIds: Boolean = false,
-      groupsDir: Option[String] = None):
+      groupsDir: Option[String] = None,
+      compactOnFinish: Boolean = false):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(sigs,
       df => df.select(col(idCol).as("doc_id"), col(sigCol).as("sig")),
       (c, i) => graft.api.Dedup.incrementalHammingPairs(
         c, i, "doc_id", "sig", maxHamming),
       corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds,
-      groupsDir.map(d => (d, "doc_a", "doc_b")))
+      groupsDir.map(d => (d, "doc_a", "doc_b")), compactOnFinish)
 
   /** dd9's streaming twin — hyperplane-LSH/cosine family. Seed the
     * asset with [[graft.api.Dedup.lshSignatureTable]] output of the
@@ -282,13 +325,14 @@ object StreamingOps {
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
       tables: Int, planes: Int, threshold: Double, probes: Int = 0,
       assertDisjointIds: Boolean = false,
-      groupsDir: Option[String] = None):
+      groupsDir: Option[String] = None,
+      compactOnFinish: Boolean = false):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(vecs,
       df => graft.api.Dedup.lshSignatureTable(df, idCol, vecCol, tables, planes),
       (c, i) => graft.api.Dedup.incrementalEmbeddingPairs(c, i, threshold, probes),
       corpusSigDir, pairsOutDir, checkpointDir, "vec_id", assertDisjointIds,
-      groupsDir.map(d => (d, "vec_a", "vec_b")))
+      groupsDir.map(d => (d, "vec_a", "vec_b")), compactOnFinish)
 
   /** Idempotent micro-batch sink: foreachBatch + deterministic
     * per-batch output paths, the standard exactly-once-to-storage

@@ -42,6 +42,12 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    // the cipher keyspace is the 26 letter rotations; replica r and
+    // r+26 would be VERBATIM copies — the quadratic pair blowup the
+    // cipher exists to avoid — so an off-contract reps fails loud
+    // instead of silently corrupting the measured exponents
+    require(reps >= 1 && reps <= 26,
+      s"SPARK_GRAFT_SCALE_REPS must be in [1, 26], got $reps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -39,14 +39,16 @@ class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
       assert(sigRows(root) == before, "incomplete generation must be ignored")
 
       // real compaction overwrites the crashed attempt; rows unchanged
-      assert(Dedup.compactSignatureAsset(spark, root) == 2)
+      // (keepSuperseded = 0 pins the immediate-cleanup layout; the
+      // retention default has its own test below)
+      assert(Dedup.compactSignatureAsset(spark, root, keepSuperseded = 0) == 2)
       assert(sigRows(root) == before)
       assert(subdirs(root) == Set("base_gen1"),
         s"seed + folded incs cleaned up, got ${subdirs(root)}")
       assert(new java.io.File(s"$root/base_gen1/_manifest").exists())
 
       // nothing left to fold
-      assert(Dedup.compactSignatureAsset(spark, root) == 0)
+      assert(Dedup.compactSignatureAsset(spark, root, keepSuperseded = 0) == 0)
       assert(sigRows(root) == before)
 
       // a later increment lands, reads merge it, next compaction chains
@@ -57,7 +59,7 @@ class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
         .write.parquet(s"$root/inc_2")
       val withInc = sigRows(root)
       assert(withInc.size == before.size + 7)
-      assert(Dedup.compactSignatureAsset(spark, root) == 1)
+      assert(Dedup.compactSignatureAsset(spark, root, keepSuperseded = 0) == 1)
       assert(sigRows(root) == withInc)
       assert(subdirs(root) == Set("base_gen2"))
     } finally {
@@ -107,12 +109,12 @@ class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(pre == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)))
       // compaction folds both upserts into a resolved generation
-      assert(Dedup.compactGroupsAsset(spark, root) == 2)
+      assert(Dedup.compactGroupsAsset(spark, root, keepSuperseded = 0) == 2)
       assert(resolved() == expected)
       val names = new java.io.File(root).listFiles()
         .filter(_.isDirectory).map(_.getName).toSet
       assert(names == Set("base_gen1"), s"got $names")
-      assert(Dedup.compactGroupsAsset(spark, root) == 0)
+      assert(Dedup.compactGroupsAsset(spark, root, keepSuperseded = 0) == 0)
     } finally {
       import scala.sys.process._
       Seq("rm", "-rf", root).!
@@ -136,6 +138,108 @@ class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
         s"expected a broadcast anti-join resolution, got:\n$plan")
       assert(!plan.contains("SortMergeJoin"),
         s"base side shuffled through a sort-merge join:\n$plan")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
+
+  test("retention: a reader holding the previous generation's file list survives a compaction") {
+    val docs = Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-retention").toString
+    def sigs(pred: org.apache.spark.sql.Column) =
+      Dedup.minhashSignatures(docs.filter(pred), "doc_id", "text", 8, 4)
+    try {
+      sigs(col("doc_id") % 3 === 0).write.parquet(s"$root/base")
+      sigs(col("doc_id") % 3 === 1).write.parquet(s"$root/inc_0")
+      // compaction 1 (default retention): gen1 lands, the seed and
+      // inc_0 it folded LINGER one more cycle
+      assert(Dedup.compactSignatureAsset(spark, root) == 1)
+      assert(subdirs(root) == Set("base", "inc_0", "base_gen1"),
+        s"superseded dirs must linger one compaction, got ${subdirs(root)}")
+      val afterGen1 = sigRows(root)
+
+      // an ad-hoc reader plans its scan NOW (file list = gen1 + inc_1)
+      sigs(col("doc_id") % 3 === 2).write.parquet(s"$root/inc_1")
+      val inFlight = Dedup.readSignatureAsset(spark, root)
+      val expected = sigRows(root)
+
+      // compaction 2 supersedes gen1 + inc_1 (kept) and expires the
+      // cycle-1 leftovers (base, inc_0 deleted)
+      assert(Dedup.compactSignatureAsset(spark, root) == 1)
+      assert(subdirs(root) == Set("base_gen1", "inc_1", "base_gen2"),
+        s"got ${subdirs(root)}")
+      // the in-flight reader's planned files all still exist
+      val got = inFlight.select(col("doc_id"), col("nh"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == expected,
+        "a reader that planned before compaction must still see its rows")
+      assert(sigRows(root) == expected)
+      assert(afterGen1.subsetOf(expected))
+
+      // a no-op compaction only expires dirs whose retention has passed
+      // (gen1/inc_1 were superseded at gen2 = the newest gen: kept)
+      assert(Dedup.compactSignatureAsset(spark, root) == 0)
+      assert(subdirs(root) == Set("base_gen1", "inc_1", "base_gen2"))
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
+
+  test("an empty or truncated _manifest marks the generation incomplete, not empty-folded") {
+    val docs = Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    try {
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", 8, 4).write.parquet(s"$root/base")
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", 8, 4).write.parquet(s"$root/inc_0")
+      val before = sigRows(root)
+      // a crashed pre-rename writer look-alike: generation data landed
+      // and a ZERO-BYTE _manifest exists. Treating it as complete with
+      // an empty fold list would return gen rows PLUS the already-
+      // folded inc — duplicate signatures.
+      Dedup.minhashSignatures(docs.limit(3), "doc_id", "text", 8, 4)
+        .write.parquet(s"$root/base_gen1")
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$root/base_gen1/_manifest"))
+      assert(sigRows(root) == before,
+        "an empty _manifest must not count as a complete generation")
+      // retry folds over the crashed attempt and publishes atomically
+      assert(Dedup.compactSignatureAsset(spark, root, keepSuperseded = 0) == 1)
+      assert(sigRows(root) == before)
+      assert(subdirs(root) == Set("base_gen1"))
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
+
+  test("a non-lifecycle dir in a compacted asset fails loud instead of being deleted") {
+    val docs = Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-unrec").toString
+    try {
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", 8, 4).write.parquet(s"$root/base")
+      Dedup.minhashSignatures(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", 8, 4).write.parquet(s"$root/inc_0")
+      assert(Dedup.compactSignatureAsset(spark, root, keepSuperseded = 0) == 1)
+      // a user drops new data NOT via the lifecycle: the old code
+      // classified it as a stale seed and the next compaction deleted
+      // it unread — now both read and compaction refuse
+      Dedup.minhashSignatures(docs.limit(4), "doc_id", "text", 8, 4)
+        .withColumn("doc_id", col("doc_id") + 5000000L)
+        .write.parquet(s"$root/base2")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.readSignatureAsset(spark, root)
+      }
+      assert(e.getMessage.contains("base2"))
+      intercept[IllegalArgumentException] {
+        Dedup.compactSignatureAsset(spark, root)
+      }
+      assert(new java.io.File(s"$root/base2").exists(),
+        "off-lifecycle data must never be deleted")
     } finally {
       import scala.sys.process._
       Seq("rm", "-rf", root).!

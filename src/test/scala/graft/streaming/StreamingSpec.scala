@@ -128,7 +128,9 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         "doc_id", "text", sigDir, pairsDir, ckpt, 8, 4, 0.8)
       assert(q1.awaitTermination(180000), "run 1 did not stop")
       // compact while the stream is quiesced: inc_0 folds into a new gen
-      assert(graft.api.Dedup.compactSignatureAsset(spark, sigDir) == 1)
+      // (keepSuperseded = 0: this test pins the immediate-cleanup layout)
+      assert(graft.api.Dedup.compactSignatureAsset(spark, sigDir,
+        keepSuperseded = 0) == 1)
       assert(!new java.io.File(s"$sigDir/inc_0").exists())
       assert(new java.io.File(s"$sigDir/base_gen1/_manifest").exists())
       // run 2: second half, SAME checkpoint — batchIds continue
@@ -209,6 +211,87 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally {
       import scala.sys.process._
       Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
+
+  test("compactOnFinish folds both assets at stream quiesce without changing pairs or groups") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    val work = Files.createTempDirectory("graft-compactfinish")
+    val landing = Files.createTempDirectory("graft-compactfinish-landing")
+    try {
+      graft.api.Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4)
+        .write.parquet(s"$work/sigs/base")
+      graft.api.Dedup.duplicateGroups(
+          graft.api.Dedup.jaccardPairs(corpus, "doc_id", "text", 8, 4, 0.8),
+          "doc_a", "doc_b")
+        .write.parquet(s"$work/groups/base")
+      val tmp = work.resolve("stage")
+      inc.coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get
+      Files.copy(part, landing.resolve("inc.parquet"))
+      // compactOnFinish blocks through the AvailableNow drain, then
+      // folds both assets at the quiesce point
+      val q = StreamingOps.incrementalDedupStream(
+        spark.readStream.schema(docs.schema).parquet(landing.toString),
+        "doc_id", "text", s"$work/sigs", s"$work/pairs", s"$work/ckpt",
+        8, 4, 0.8, groupsDir = Some(s"$work/groups"), compactOnFinish = true)
+      assert(!q.isActive, "compactOnFinish must return after termination")
+      def gens(dir: String) = new java.io.File(dir).listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("base_gen")).toSet
+      assert(gens(s"$work/sigs") == Set("base_gen1"), s"got ${gens(s"$work/sigs")}")
+      assert(gens(s"$work/groups") == Set("base_gen1"))
+      // the folded state is invariant: pairs equal the batch twin, the
+      // resolved groups equal one batch dd6 over corpus ∪ increment
+      val got = spark.read.parquet(s"$work/pairs")
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expectedPairs = graft.api.Dedup.incrementalJaccardPairs(
+          graft.api.Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4),
+          graft.api.Dedup.minhashSignatures(inc, "doc_id", "text", 8, 4), 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expectedPairs && got.nonEmpty)
+      val resolved = graft.api.Dedup.readGroupsAsset(spark, s"$work/groups")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expectedGroups = graft.api.Dedup.duplicateGroups(
+          graft.api.Dedup.jaccardPairs(docs, "doc_id", "text", 8, 4, 0.8),
+          "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(resolved == expectedGroups && resolved.nonEmpty)
+      // the signature asset still reads whole after the fold
+      assert(graft.api.Dedup.readSignatureAsset(spark, s"$work/sigs").count() ==
+        graft.api.Dedup.minhashSignatures(docs, "doc_id", "text", 8, 4).count())
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
+
+  test("lineage guard compares qualified paths and first-stamps atomically") {
+    import java.nio.file.Files
+    val asset = Files.createTempDirectory("graft-lineage-norm").toString
+    try {
+      // stamp with a RELATIVE path (resolved against the fs working dir)
+      StreamingOps.requireLineage(spark, asset, "target/lineage-ckpt")
+      assert(new java.io.File(s"$asset/_lineage").exists())
+      // the same checkpoint as an absolute path, with a trailing slash,
+      // and with an explicit file: scheme must all verify — raw string
+      // comparison false-failed every one of these legitimate restarts
+      val abs = new java.io.File("target/lineage-ckpt").getAbsolutePath
+      StreamingOps.requireLineage(spark, asset, abs)
+      StreamingOps.requireLineage(spark, asset, abs + "/")
+      StreamingOps.requireLineage(spark, asset, "file:" + abs)
+      // a genuinely different checkpoint still fails loud
+      val e = intercept[IllegalArgumentException] {
+        StreamingOps.requireLineage(spark, asset, "target/other-ckpt")
+      }
+      assert(e.getMessage.contains("lineage"))
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", asset).!
     }
   }
 
