@@ -27,7 +27,12 @@ object SimilarityQueries {
   private val K = 5          // neighbors per query
   private val NQueries = 10  // vec_id < 10 are the probe vectors
   private val NCells = 16    // IVF cells (seeded by vec_id < 16)
-  private val NProbe = 2     // IVF cells probed per query
+  // IVF cells probed per query: the measured knee (tools/IvfTune @
+  // sf0.01 vs the s1 exact baseline — recall@5 0.90 at nProbe=1, 0.92
+  // from 2 through 6, 0.94 only at 8 = probing half the cells;
+  // wall-clock flat across the sweep). 2 buys the recall plateau at
+  // 1/8 of the cells; past it the extra candidates are pure cost.
+  private val NProbe = 2
 
   // -- s1: brute-force cosine top-k ------------------------------------
   private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
