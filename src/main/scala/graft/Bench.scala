@@ -30,6 +30,40 @@ import org.apache.spark.sql.SparkSession
   * `/root/reference/driver.go:246-249`'s per-job byte log lines).
   */
 object Bench {
+  /** One warm measurement: (wallClockSec — -1.0 on failure, bytesRead,
+    * shuffleBytesWritten, fsBytesRead). */
+  type Measurement = (Double, Long, Long, Long)
+
+  private[graft] val HeavySec = 3.0
+  private[graft] val MinHeavyPasses = 3
+
+  /** Queries whose warm min over the base passes is ≥ `HeavySec` —
+    * their run-to-run spread dominates the composite's noise, so they
+    * earn extra min-of-N passes. */
+  private[graft] def heavyQueries(names: Seq[String],
+      basePasses: Seq[Map[String, Measurement]]): Seq[String] =
+    names.filter { n =>
+      val ts = basePasses.flatMap(_.get(n)).map(_._1).filter(_ >= 0)
+      ts.nonEmpty && ts.min >= HeavySec
+    }
+
+  /** Per-query aggregation over all passes: (name, min time — -1.0 if
+    * every pass failed, bytes FROM THE PASS THAT PRODUCED THE MIN (the
+    * first pass may have failed, or not be the headline's), spread =
+    * max/min over successful passes — > 2 marks the row noise-suspect:
+    * run-to-run variance, not a plan property). */
+  private[graft] def aggregate(names: Seq[String],
+      passes: Seq[Map[String, Measurement]]):
+      Seq[(String, Double, Long, Long, Long, Double)] =
+    names.map { name =>
+      val ms = passes.flatMap(_.get(name))
+      val ok = ms.filter(_._1 >= 0)
+      val best = if (ok.isEmpty) -1.0 else ok.map(_._1).min
+      val (_, r, s, f) = if (ok.isEmpty) ms.head else ok.minBy(_._1)
+      val spread = if (ok.size >= 2) ok.map(_._1).max / ok.map(_._1).min else 1.0
+      (name, best, r, s, f, spread)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,7 +98,7 @@ object Bench {
     // N warm passes; the headline is the per-query MIN across them.
     val warmPasses = math.max(2,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_PASSES", "2").toInt)
-    def runPass(names: Seq[String]): Map[String, (Double, Long, Long, Long)] =
+    def runPass(names: Seq[String]): Map[String, Measurement] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
         try {
@@ -80,31 +114,13 @@ object Bench {
       }.toMap
     val names = SparkEntry.benchQueries
     val basePasses = (1 to warmPasses).map(_ => runPass(names))
-    // heavy hitters (warm min >= 3 s) get at least 3 passes: their
-    // run-to-run spread dominates the composite's noise, and extra
-    // min-of-N samples are the cheapest variance reduction available
-    val HeavySec = 3.0
-    val MinHeavyPasses = 3
-    val heavy = names.filter { n =>
-      val ts = basePasses.flatMap(_.get(n)).map(_._1).filter(_ >= 0)
-      ts.nonEmpty && ts.min >= HeavySec
-    }
+    // heavy hitters get at least MinHeavyPasses min-of-N samples —
+    // the cheapest variance reduction available
+    val heavy = heavyQueries(names, basePasses)
     val passes = basePasses ++ (
       if (heavy.isEmpty || warmPasses >= MinHeavyPasses) Seq.empty
       else (warmPasses until MinHeavyPasses).map(_ => runPass(heavy)))
-    // per-query min over the warm passes (a query that failed every
-    // pass stays -1.0); bytes come from the pass that PRODUCED the min
-    // (the first pass may have failed, or not be the headline's pass);
-    // spread = max/min over successful passes — > 2 marks the row as
-    // noise-suspect (run-to-run variance, not a plan property)
-    val results = names.map { name =>
-      val ms = passes.flatMap(_.get(name))
-      val ok = ms.filter(_._1 >= 0)
-      val best = if (ok.isEmpty) -1.0 else ok.map(_._1).min
-      val (_, r, s, f) = if (ok.isEmpty) ms.head else ok.minBy(_._1)
-      val spread = if (ok.size >= 2) ok.map(_._1).max / ok.map(_._1).min else 1.0
-      (name, best, r, s, f, spread)
-    }
+    val results = aggregate(names, passes)
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // bytesRead is task-level (counts each consumer's read of a

@@ -34,10 +34,15 @@ object ScaleProbe {
   // incremental verbs (their 100 TB shape — asset streamed, increment
   // broadcast — is exactly what should show up as a flat exponent; the
   // replica id offset is a multiple of 10, so the fixture's
-  // doc_id % 10 corpus/increment split carries over to sf1 unchanged)
+  // doc_id % 10 corpus/increment split carries over to sf1 unchanged).
+  // The group step probes the production-shaped dd10p binding: its
+  // cold run pays the one-time asset seeding, the warm min times ONLY
+  // incrementalGroups — the exponent a capacity planner needs (dd10's
+  // in-query fixture rebuild measured the fixture's exponent instead)
   private val Probes = Seq("q32_substring_overlap", "dd2_ngram_jaccard",
     "dd4_simhash", "dd6_dup_groups", "q31_decontaminate",
-    "p2_clean_corpus_transitive", "dd7_incremental", "dd10_inc_groups")
+    "p2_clean_corpus_transitive", "dd7_incremental",
+    "dd10p_inc_groups_asset")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-function contract of Bench's pass aggregation: per-query min,
+  * bytes attributed to the pass that produced the min, max/min spread,
+  * failure handling, and heavy-query selection. (The measurement loop
+  * itself is the `graft.Bench` main — these pin the arithmetic the
+  * round artifact's headline numbers come from.) */
+class BenchAggregationSpec extends AnyFunSuite {
+
+  private def m(t: Double, r: Long = 0L, s: Long = 0L, f: Long = 0L) =
+    (t, r, s, f)
+
+  test("min over passes; bytes come from the pass that produced the min") {
+    val passes = Seq(
+      Map("q" -> m(2.0, r = 111L, s = 11L, f = 1L)),
+      Map("q" -> m(1.5, r = 222L, s = 22L, f = 2L)),
+      Map("q" -> m(1.8, r = 333L, s = 33L, f = 3L)))
+    val Seq((name, best, r, s, f, spread)) = Bench.aggregate(Seq("q"), passes)
+    assert(name == "q" && best == 1.5)
+    assert((r, s, f) == ((222L, 22L, 2L)),
+      "bytes must be attributed to the min-time pass, not the first")
+    assert(math.abs(spread - 2.0 / 1.5) < 1e-12)
+  }
+
+  test("a pass-1 failure recovers via pass 2 and reports pass-2 bytes, not zeros") {
+    val passes = Seq(
+      Map("q" -> m(-1.0)), // failed: zero bytes recorded
+      Map("q" -> m(2.5, r = 42L, s = 7L, f = 9L)))
+    val Seq((_, best, r, s, f, spread)) = Bench.aggregate(Seq("q"), passes)
+    assert(best == 2.5)
+    assert((r, s, f) == ((42L, 7L, 9L)),
+      "the old first-pass rule reported 0 bytes for a query with a valid timing")
+    assert(spread == 1.0, "a single successful pass has no spread")
+  }
+
+  test("a query that failed every pass stays -1.0") {
+    val passes = Seq(Map("q" -> m(-1.0)), Map("q" -> m(-1.0)))
+    val Seq((_, best, _, _, _, _)) = Bench.aggregate(Seq("q"), passes)
+    assert(best == -1.0)
+  }
+
+  test("queries absent from extra passes aggregate over their own passes only") {
+    // the heavy-query extra pass runs a SUBSET; light queries must not
+    // be affected by their absence from it
+    val passes = Seq(
+      Map("light" -> m(1.0), "heavy" -> m(5.0)),
+      Map("light" -> m(1.1), "heavy" -> m(4.0)),
+      Map("heavy" -> m(6.0))) // extra pass: heavy only
+    val res = Bench.aggregate(Seq("light", "heavy"), passes).map(t => t._1 -> t).toMap
+    assert(res("light")._2 == 1.0)
+    assert(math.abs(res("light")._6 - 1.1) < 1e-12)
+    assert(res("heavy")._2 == 4.0)
+    assert(math.abs(res("heavy")._6 - 6.0 / 4.0) < 1e-12)
+  }
+
+  test("heavy selection: warm min >= HeavySec, failures ignored") {
+    val passes = Seq(
+      Map("a" -> m(2.9), "b" -> m(3.5), "c" -> m(-1.0), "d" -> m(10.0)),
+      Map("a" -> m(3.2), "b" -> m(3.1), "c" -> m(-1.0), "d" -> m(2.0)))
+    // a: min 2.9 < 3 — light; b: min 3.1 — heavy; c: all failed — not
+    // heavy; d: min 2.0 — light (one fast pass disqualifies)
+    assert(Bench.heavyQueries(Seq("a", "b", "c", "d"), passes) == Seq("b"))
+  }
+}

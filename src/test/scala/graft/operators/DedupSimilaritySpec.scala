@@ -130,6 +130,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       "fixture should also hold untouched components dd10 must NOT emit")
   }
 
+  test("dd10 plan: the parquet asset joins via broadcast, never sort-merge") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dd10plan").toString
+    try {
+      Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 3L))
+        .toDF("doc_id", "group_id").write.parquet(s"$tmp/asset")
+      val asset = spark.read.parquet(s"$tmp/asset")
+      val incPairs = Seq((100L, 3L), (100L, 101L)).toDF("doc_a", "doc_b")
+      val df = graft.api.Dedup.incrementalGroups(asset, incPairs, "doc_a", "doc_b")
+      df.collect() // materialize so AQE's final plan is in place
+      val plan = df.queryExecution.executedPlan.toString
+      // the corpus-sized asset must only ever STREAM against broadcasts
+      // of increment-sized sides (endpoints, touched groups, new labels)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast joins over the asset scan, got:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"asset side shuffled through a sort-merge join:\n$plan")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", tmp).!
+    }
+  }
+
   test("dd10 handles the bridge-merge and first-time-paired cases") {
     val s = spark
     import s.implicits._
