@@ -130,8 +130,11 @@ object Bench {
       .map { case (k, _, r, s, f, _) =>
         s""""$k":{"bytesRead":$r,"fsBytesRead":$f,"shuffleWrite":$s}""" }
       .mkString("{", ",", "}")
+    // locale-safe rounding: Double.toString never emits comma decimals,
+    // unlike the f-interpolator under a non-English default locale
     val spreads = results
-      .map { case (k, _, _, _, _, sp) => "\"" + k + "\":" + f"$sp%.3f" }
+      .map { case (k, _, _, _, _, sp) =>
+        "\"" + k + "\":" + math.rint(sp * 1000) / 1000 }
       .mkString("{", ",", "}")
     val noiseSuspect = results
       .collect { case (k, _, _, _, _, sp) if sp > 2.0 => "\"" + k + "\"" }

@@ -576,13 +576,17 @@ object Dedup {
       liveIncs: Seq[org.apache.hadoop.fs.Path],
       stale: Seq[(org.apache.hadoop.fs.Path, Int)])
 
+  /** One manifest read per generation: None = missing or vanished
+    * mid-scan (an expired lingering gen deleted by a concurrent
+    * compaction reads as incomplete instead of crashing the scan). */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      gen: org.apache.hadoop.fs.Path): Seq[String] = {
-    val in = fs.open(new org.apache.hadoop.fs.Path(gen, "_manifest"))
-    try scala.io.Source.fromInputStream(in)
-      .getLines().map(_.trim).filter(_.nonEmpty).toList
-    finally in.close()
-  }
+      gen: org.apache.hadoop.fs.Path): Option[Seq[String]] =
+    try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(gen, "_manifest"))
+      try Some(scala.io.Source.fromInputStream(in)
+        .getLines().map(_.trim).filter(_.nonEmpty).toList)
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
 
   private def scanAsset(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): AssetScan = {
@@ -595,29 +599,33 @@ object Dedup {
     val (compacted, seeds) = genDirs.partition(p => GenRe.matches(p.getName))
     val numbered = compacted
       .map { p => val GenRe(k) = p.getName: @unchecked; (k.toInt, p) }
-    val complete = numbered
-      .filter { case (_, p) =>
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_manifest")) &&
-          readManifest(fs, p).nonEmpty }
-      .sortBy(_._1)
+    // ONE manifest read per candidate generation: completeness, the
+    // fold set, and per-dir superseded-at ages all derive from it (on
+    // an object store each read is a metadata round trip, and scans
+    // run per micro-batch)
+    val complete = numbered.sortBy(_._1)
+      .flatMap { case (j, p) =>
+        readManifest(fs, p).filter(_.nonEmpty).map(m => (j, p, m)) }
     complete.lastOption match {
-      case Some((k, newest)) =>
-        val folded = readManifest(fs, newest).toSet
+      case Some((k, newest, newestManifest)) =>
+        val folded = newestManifest.toSet
         // first generation that folded each name — manifests are
         // cumulative, so lingering manifests date every superseded dir
         val firstFold = scala.collection.mutable.Map[String, Int]()
-        complete.foreach { case (j, p) =>
-          readManifest(fs, p).foreach(n =>
-            if (!firstFold.contains(n)) firstFold(n) = j) }
+        complete.foreach { case (j, _, m) =>
+          m.foreach(n => if (!firstFold.contains(n)) firstFold(n) = j) }
         val unrecognized = seeds.filterNot(s => folded.contains(s.getName))
         require(unrecognized.isEmpty,
           s"asset at $root holds director(ies) the lifecycle did not " +
             s"create and no generation folded: " +
             s"${unrecognized.map(_.getName).mkString(", ")} — a compacted " +
             "asset only manages inc_* and base_gen* dirs; ingest new data " +
-            "as an inc_* dir (or seed a fresh asset root) instead")
+            "as an inc_* dir (or seed a fresh asset root) instead. (If " +
+            "this is a seed dir folded by a pre-manifest-format " +
+            "compaction whose cleanup crashed, confirm its rows are in " +
+            "the newest generation, then delete the dir manually.)")
         val staleSeeds = seeds.map(p => (p, firstFold(p.getName)))
-        val staleGens = complete.init.map { case (j, p) =>
+        val staleGens = complete.init.map { case (j, p, _) =>
           (p, complete.find(_._1 > j).get._1) } // superseded by the next gen
         val crashed = numbered.collect { // failed attempts at or below k
           case (j, p) if j <= k && !complete.exists(_._2 == p) =>

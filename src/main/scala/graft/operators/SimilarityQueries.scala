@@ -24,9 +24,11 @@ import graft.functions.VectorFunctions
   */
 object SimilarityQueries {
 
-  private val K = 5          // neighbors per query
-  private val NQueries = 10  // vec_id < 10 are the probe vectors
-  private val NCells = 16    // IVF cells (seeded by vec_id < 16)
+  // geometry shared with tools/IvfTune so the recall evidence can
+  // never drift from the shipped configuration
+  private[graft] val K = 5          // neighbors per query
+  private[graft] val NQueries = 10  // vec_id < 10 are the probe vectors
+  private[graft] val NCells = 16    // IVF cells (seeded by vec_id < 16)
   // IVF cells probed per query: the measured knee (tools/IvfTune @
   // sf0.01 vs the s1 exact baseline — recall@5 0.90 at nProbe=1, 0.92
   // from 2 through 6, 0.94 only at 8 = probing half the cells;

@@ -264,6 +264,14 @@ object StreamingOps {
       val prior =
         try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
+      // create-then-write is not atomic: an empty marker is either the
+      // stamp race's microsecond window (retry resolves it) or a
+      // stamping stream that crashed mid-write (delete to re-stamp) —
+      // fail with THAT diagnosis, not a Path-from-empty-string error
+      require(prior.nonEmpty,
+        s"empty _lineage marker at $marker — a stamping stream crashed " +
+          "between create and write (or is stamping right now). Retry; " +
+          "if the marker stays empty, delete it to re-stamp.")
       require(qualified(prior) == mine,
         s"signature asset at $corpusSigDir belongs to checkpoint lineage " +
           s"'$prior' but this query runs under '$checkpointDir' — a fresh " +

@@ -23,9 +23,7 @@ object IvfTune {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val K = 5
-    val NQueries = 10
-    val NCells = 16
+    import graft.operators.SimilarityQueries.{K, NCells, NQueries}
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < NQueries)
     val cents = emb.filter(col("vec_id") < NCells)

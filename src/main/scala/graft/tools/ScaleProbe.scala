@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * shifts, collapsing fingerprint overlap ~25×: observed).
   *
   * Per query: one cold run at each scale, then `min` of 2 warm runs;
-  * the printed exponent is log10(t_sf1 / t_sf01) — 1.0 = linear in
+  * the printed exponent is log_reps(t_big / t_sf01) — 1.0 = linear in
   * data, <1 sublinear, >1 superlinear. Run with SPARK_DRIVER_MEM=16g.
   */
 object ScaleProbe {
@@ -51,8 +51,9 @@ object ScaleProbe {
     // r+26 would be VERBATIM copies — the quadratic pair blowup the
     // cipher exists to avoid — so an off-contract reps fails loud
     // instead of silently corrupting the measured exponents
-    require(reps >= 1 && reps <= 26,
-      s"SPARK_GRAFT_SCALE_REPS must be in [1, 26], got $reps")
+    require(reps >= 2 && reps <= 26,
+      s"SPARK_GRAFT_SCALE_REPS must be in [2, 26] (1 measures nothing, " +
+        s"> 26 wraps the cipher into verbatim copies), got $reps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,7 +64,9 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sf1Dir = "target/sf1"
+    // the fixture dir encodes reps: a rerun with a different reps must
+    // build its own fixture, not silently reuse one at the wrong scale
+    val sf1Dir = if (reps == 10) "target/sf1" else s"target/sf1_r$reps"
     val docsOut = new java.io.File(s"$sf1Dir/documents.parquet")
     if (!docsOut.exists()) {
       val docs = graft.Tables.documents(spark, src)
@@ -94,7 +97,8 @@ object ScaleProbe {
       val warm01 = (1 to 2).map(_ => time(name, src)).min
       val cold1 = time(name, sf1Dir)
       val warm1 = (1 to 2).map(_ => time(name, sf1Dir)).min
-      val exp = math.log10(warm1 / warm01) // data grew 10×: log10 ratio
+      // data grew reps×: log base reps (log10 only when reps = 10)
+      val exp = math.log(warm1 / warm01) / math.log(reps.toDouble)
       println(f"[probe] $name%-28s sf0.1 warm $warm01%7.2fs  sf1 warm $warm1%7.2fs  exponent $exp%5.2f (cold $cold01%6.2f → $cold1%6.2f)")
       (name, warm01, warm1, exp)
     }

@@ -187,6 +187,34 @@ class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a lingering generation whose manifest vanishes mid-scan reads as incomplete") {
+    val docs = Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-vanish").toString
+    def sigs(pred: org.apache.spark.sql.Column) =
+      Dedup.minhashSignatures(docs.filter(pred), "doc_id", "text", 8, 4)
+    try {
+      sigs(col("doc_id") % 2 === 0).write.parquet(s"$root/base")
+      sigs(col("doc_id") % 2 === 1).write.parquet(s"$root/inc_0")
+      assert(Dedup.compactSignatureAsset(spark, root) == 1) // gen1; base+inc_0 linger
+      val expected = sigRows(root)
+      // a concurrent compaction's cleanup deletes a lingering gen's
+      // manifest between the reader's listing and its manifest read —
+      // the scan must fall through to the surviving state, not crash
+      sigs(col("doc_id") % 4 === 1).limit(3)
+        .withColumn("doc_id", col("doc_id") + 7000000L)
+        .write.parquet(s"$root/inc_1")
+      assert(Dedup.compactSignatureAsset(spark, root) == 1) // gen2; gen1+inc_1 linger
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$root/base_gen1/_manifest"))
+      val got = sigRows(root)
+      assert(got.size == expected.size + 3,
+        "reader must use gen2 and ignore the manifest-less gen1")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
+
   test("an empty or truncated _manifest marks the generation incomplete, not empty-folded") {
     val docs = Tables.documents(spark, sf0001)
     val root = java.nio.file.Files.createTempDirectory("graft-manifest").toString

@@ -289,6 +289,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         StreamingOps.requireLineage(spark, asset, "target/other-ckpt")
       }
       assert(e.getMessage.contains("lineage"))
+      // a zero-byte marker (stamping stream crashed between create and
+      // write) diagnoses itself instead of crashing on Path("")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$asset/_lineage"), Array.empty[Byte])
+      val e2 = intercept[IllegalArgumentException] {
+        StreamingOps.requireLineage(spark, asset, abs)
+      }
+      assert(e2.getMessage.contains("empty _lineage"))
     } finally {
       import scala.sys.process._
       Seq("rm", "-rf", asset).!
