@@ -159,6 +159,59 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mid-stream compaction under DEFAULT retention: lingering folded incs are never re-read") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    val work = Files.createTempDirectory("graft-retainstream")
+    val sigDir = s"$work/sigs"
+    val landing = Files.createTempDirectory("graft-retainstream-landing")
+    def land(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = work.resolve(s"stage_$name")
+      inc.filter(pred).coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get
+      Files.copy(part, landing.resolve(name))
+    }
+    try {
+      graft.api.Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4)
+        .write.parquet(s"$sigDir/base")
+      land(col("doc_id") % 20 === 0, "inc0.parquet")
+      val q1 = StreamingOps.incrementalDedupStream(
+        spark.readStream.schema(docs.schema).parquet(landing.toString),
+        "doc_id", "text", sigDir, s"$work/pairs", s"$work/ckpt", 8, 4, 0.8)
+      assert(q1.awaitTermination(180000), "run 1 did not stop")
+      // DEFAULT retention: the folded seed and inc_0 LINGER after the
+      // fold — run 2 must skip them via the manifest, not re-pair
+      // against the increment's own folded signatures
+      assert(graft.api.Dedup.compactSignatureAsset(spark, sigDir) == 1)
+      val names = new java.io.File(sigDir).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(names == Set("base", "inc_0", "base_gen1"), s"got $names")
+      land(col("doc_id") % 20 =!= 0, "inc1.parquet")
+      val q2 = StreamingOps.incrementalDedupStream(
+        spark.readStream.schema(docs.schema).parquet(landing.toString),
+        "doc_id", "text", sigDir, s"$work/pairs", s"$work/ckpt", 8, 4, 0.8)
+      assert(q2.awaitTermination(180000), "run 2 did not stop")
+      val gotDf = spark.read.parquet(s"$work/pairs")
+      val got = gotDf.select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.size == gotDf.count(),
+        "a lingering folded inc was re-read: duplicate pairs")
+      val expected = graft.api.Dedup.incrementalJaccardPairs(
+          graft.api.Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4),
+          graft.api.Dedup.minhashSignatures(inc, "doc_id", "text", 8, 4), 0.8)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected && got.nonEmpty)
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
+
   test("continuous group maintenance: resolved groups asset equals batch dd6 over corpus ∪ increment") {
     import java.nio.file.Files
     val docs = Tables.documents(spark, sf0001)
