@@ -60,7 +60,12 @@ object Bench {
       val ok = ms.filter(_._1 >= 0)
       val best = if (ok.isEmpty) -1.0 else ok.map(_._1).min
       val (_, r, s, f) = if (ok.isEmpty) ms.head else ok.minBy(_._1)
-      val spread = if (ok.size >= 2) ok.map(_._1).max / ok.map(_._1).min else 1.0
+      // a 0.0 min would make the division emit Infinity/NaN — a bare
+      // token that breaks the artifact-always-parses contract; a
+      // sub-resolution measurement has no meaningful spread anyway
+      val spread =
+        if (ok.size >= 2 && ok.map(_._1).min > 0) ok.map(_._1).max / ok.map(_._1).min
+        else 1.0
       (name, best, r, s, f, spread)
     }
 

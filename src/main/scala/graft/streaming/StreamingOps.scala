@@ -177,16 +177,19 @@ object StreamingOps {
     * `compactOnFinish = true` makes the call BLOCK until the
     * AvailableNow drain terminates, then folds both assets' inc dirs
     * ([[graft.api.Dedup.compactSignatureAsset]] /
-    * [[graft.api.Dedup.compactGroupsAsset]], default retention) — the
-    * stream's natural quiesce point, so the fold can never race a
-    * micro-batch. */
+    * [[graft.api.Dedup.compactGroupsAsset]]) — the stream's natural
+    * quiesce point, so the fold can never race a micro-batch.
+    * `keepSuperseded` threads through to both folds (same contract as
+    * the Dedup API: 0 = immediate cleanup, default 1 lets a reader
+    * that planned against the previous generation finish). */
   def incrementalPairStream(docs: DataFrame,
       sigFn: DataFrame => DataFrame,
       pairFn: (DataFrame, DataFrame) => DataFrame,
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
       idCol: String = "doc_id", assertDisjointIds: Boolean = false,
       groupsAsset: Option[(String, String, String)] = None,
-      compactOnFinish: Boolean = false):
+      compactOnFinish: Boolean = false,
+      keepSuperseded: Int = 1):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -231,9 +234,9 @@ object StreamingOps {
     if (compactOnFinish) {
       query.awaitTermination()
       val s = docs.sparkSession
-      graft.api.Dedup.compactSignatureAsset(s, corpusSigDir)
+      graft.api.Dedup.compactSignatureAsset(s, corpusSigDir, keepSuperseded)
       groupsAsset.foreach { case (gDir, _, _) =>
-        graft.api.Dedup.compactGroupsAsset(s, gDir) }
+        graft.api.Dedup.compactGroupsAsset(s, gDir, keepSuperseded) }
     }
     query
   }
@@ -301,13 +304,14 @@ object StreamingOps {
       bands: Int, rows: Int, threshold: Double,
       assertDisjointIds: Boolean = false,
       groupsDir: Option[String] = None,
-      compactOnFinish: Boolean = false):
+      compactOnFinish: Boolean = false,
+      keepSuperseded: Int = 1):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(docs,
       df => graft.api.Dedup.minhashSignatures(df, idCol, textCol, bands, rows),
       (c, i) => graft.api.Dedup.incrementalJaccardPairs(c, i, threshold),
       corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds,
-      groupsDir.map(d => (d, "doc_a", "doc_b")), compactOnFinish)
+      groupsDir.map(d => (d, "doc_a", "doc_b")), compactOnFinish, keepSuperseded)
 
   /** dd8's streaming twin — 64-bit Hamming family (SimHash text sigs,
     * mm8 perceptual image hashes). Input stream carries PRECOMPUTED
@@ -317,14 +321,15 @@ object StreamingOps {
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
       maxHamming: Int = 3, assertDisjointIds: Boolean = false,
       groupsDir: Option[String] = None,
-      compactOnFinish: Boolean = false):
+      compactOnFinish: Boolean = false,
+      keepSuperseded: Int = 1):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(sigs,
       df => df.select(col(idCol).as("doc_id"), col(sigCol).as("sig")),
       (c, i) => graft.api.Dedup.incrementalHammingPairs(
         c, i, "doc_id", "sig", maxHamming),
       corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds,
-      groupsDir.map(d => (d, "doc_a", "doc_b")), compactOnFinish)
+      groupsDir.map(d => (d, "doc_a", "doc_b")), compactOnFinish, keepSuperseded)
 
   /** dd9's streaming twin — hyperplane-LSH/cosine family. Seed the
     * asset with [[graft.api.Dedup.lshSignatureTable]] output of the
@@ -334,13 +339,14 @@ object StreamingOps {
       tables: Int, planes: Int, threshold: Double, probes: Int = 0,
       assertDisjointIds: Boolean = false,
       groupsDir: Option[String] = None,
-      compactOnFinish: Boolean = false):
+      compactOnFinish: Boolean = false,
+      keepSuperseded: Int = 1):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(vecs,
       df => graft.api.Dedup.lshSignatureTable(df, idCol, vecCol, tables, planes),
       (c, i) => graft.api.Dedup.incrementalEmbeddingPairs(c, i, threshold, probes),
       corpusSigDir, pairsOutDir, checkpointDir, "vec_id", assertDisjointIds,
-      groupsDir.map(d => (d, "vec_a", "vec_b")), compactOnFinish)
+      groupsDir.map(d => (d, "vec_a", "vec_b")), compactOnFinish, keepSuperseded)
 
   /** Idempotent micro-batch sink: foreachBatch + deterministic
     * per-batch output paths, the standard exactly-once-to-storage

@@ -45,8 +45,13 @@ object IvfTune {
       }
       val recall = if (truth.isEmpty) 1.0
         else got.intersect(truth).size.toDouble / truth.size
-      println(f"| $np | ${got.size}%d | $recall%.3f | ${snap.wallClockSec}%.2f " +
-        f"| ${snap.shuffleBytesWritten}%d |")
+      // Locale.ROOT: the f-interpolator formats under the DEFAULT
+      // locale and emits comma decimals (or non-ASCII digits) on
+      // non-English boxes — the bug class Bench's locale-safe rounding
+      // comment exists to avoid
+      println(String.format(java.util.Locale.ROOT,
+        "| %d | %d | %.3f | %.2f | %d |",
+        np, got.size, recall, snap.wallClockSec, snap.shuffleBytesWritten))
     }
     spark.stop()
   }

@@ -55,6 +55,17 @@ class BenchAggregationSpec extends AnyFunSuite {
     assert(math.abs(res("heavy")._6 - 6.0 / 4.0) < 1e-12)
   }
 
+  test("a 0.0 min yields spread 1.0, never Infinity/NaN in the artifact") {
+    // max/min over a sub-resolution 0.0 measurement would print a bare
+    // Infinity (or NaN for 0/0) token — unparseable JSON
+    val Seq((_, _, _, _, _, zeroMin)) =
+      Bench.aggregate(Seq("q"), Seq(Map("q" -> m(0.0)), Map("q" -> m(0.4))))
+    assert(zeroMin == 1.0)
+    val Seq((_, _, _, _, _, allZero)) =
+      Bench.aggregate(Seq("q"), Seq(Map("q" -> m(0.0)), Map("q" -> m(0.0))))
+    assert(allZero == 1.0)
+  }
+
   test("heavy selection: warm min >= HeavySec, failures ignored") {
     val passes = Seq(
       Map("a" -> m(2.9), "b" -> m(3.5), "c" -> m(-1.0), "d" -> m(10.0)),
