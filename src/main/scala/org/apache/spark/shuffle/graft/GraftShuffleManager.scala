@@ -1,6 +1,6 @@
 package org.apache.spark.shuffle.graft
 
-import java.io.{BufferedInputStream, BufferedOutputStream, OutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, OutputStream}
 
 import scala.util.control.NonFatal
 
@@ -9,8 +9,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.{InterruptibleIterator, SparkConf, SparkEnv, TaskContext}
 import org.apache.spark.deploy.SparkHadoopUtil
 import org.apache.spark.internal.Logging
+import org.apache.spark.network.util.LimitedInputStream
 import org.apache.spark.scheduler.MapStatus
-import org.apache.spark.serializer.SerializationStream
 import org.apache.spark.shuffle.{BaseShuffleHandle, ShuffleBlockResolver, ShuffleHandle, ShuffleManager, ShuffleReadMetricsReporter, ShuffleReader, ShuffleWriteMetricsReporter, ShuffleWriter}
 import org.apache.spark.shuffle.api.{ShuffleDataIO, ShuffleDriverComponents, ShuffleExecutorComponents}
 import org.apache.spark.storage.{BlockId, ShuffleBlockId, ShuffleMergedBlockId}
@@ -26,18 +26,39 @@ import org.apache.spark.util.collection.ExternalSorter
   * backend (`lambda://`, LAMBDA.md §3.4) a lost invocation then costs
   * task retries only — never a map-stage re-run.
   *
-  * Layout mirrors corral's per-bin objects: one object per
-  * (map task, reduce bin) under
-  * `<spark.graft.shuffle.dir>/<appId>/shuffle_<shuffleId>/map_<mapId>_part_<reduceId>.bin`.
-  * `mapId` is Spark's map *task attempt* id, unique per attempt, so
-  * speculative/retried attempts never clobber each other's objects and
-  * only the registered (successful) attempt's objects are ever read.
-  * Writes stream straight to the FS (no local spill copy); an object
-  * store pays one multipart upload per non-empty bin, exactly corral's
-  * write amplification. Reads open each object once, sequentially —
-  * ranged GETs are unnecessary because a bin object contains exactly
-  * one reducer's bytes (corral reads its bins the same way,
-  * `s3_io.go:22-45`).
+  * Layout CONSOLIDATES corral's per-bin objects (`emitter.go:90-120`
+  * writes one part file per (map, bin) — M×N small objects per
+  * shuffle, the small-files pathology its own author concedes for
+  * joins, `examples/amplab3/README.md:15`) into TWO objects per map
+  * task attempt under
+  * `<spark.graft.shuffle.dir>/<appId>/shuffle_<shuffleId>/`:
+  *
+  *   - `map_<mapId>.data` — every reduce bin's bytes, concatenated in
+  *     bin order; each bin is an independently framed (compressed +
+  *     encrypted) segment, so a reducer decodes its segment without
+  *     touching the others
+  *   - `map_<mapId>.idx`  — the per-bin segment lengths (numBins
+  *     longs); prefix sums give each segment's byte offset
+  *
+  * That cuts object creates per shuffle from M×N to 2M — the RPC that
+  * dominates iterative fixpoint queries (dd6/p2/dd10p chain dozens of
+  * tiny stages; at ~2 create round-trips per object on a store like
+  * S3, the old layout paid 32× more of them per stage). Records are
+  * grouped by bin with a spill-safe [[ExternalSorter]] before the
+  * single sequential upload (exactly `SortShuffleWriter`'s shape), so
+  * the write path stays one streaming PUT per map task regardless of
+  * bin count. `mapId` is Spark's map *task attempt* id, unique per
+  * attempt, so speculative/retried attempts never clobber each
+  * other's objects and only the registered (successful) attempt's
+  * objects are ever read.
+  *
+  * Reads: a reducer groups its requested blocks by map, reads the
+  * map's idx object once (cached JVM-wide — on a multi-slot executor
+  * every reduce task after the first hits the cache), opens the data
+  * object once, and seeks to each requested segment (a ranged GET on
+  * an object store; consecutive bins under AQE coalescing are
+  * adjacent byte ranges). No per-block getFileStatus: segment sizes
+  * come from the idx, never a HEAD request.
   *
   * Block bytes go through `SerializerManager.wrapStream`, so
   * `spark.shuffle.compress` (lz4) and IO encryption apply unchanged on
@@ -57,9 +78,7 @@ import org.apache.spark.util.collection.ExternalSorter
   *
   * Scale notes: sizing AQE statistics come from the real per-bin byte
   * lengths in `MapStatus`, so coalescing/skew-split behave exactly as
-  * with local shuffle. M×R small objects is corral's trade too; at
-  * very large R prefer raising `maxPartitionBytes`/AQE target sizes so
-  * bins stay MB-scale. This manager lives in `org.apache.spark.*` only
+  * with local shuffle. This manager lives in `org.apache.spark.*` only
   * for `private[spark]` seams (`MapStatus`, tracker, `ExternalSorter`)
   * — same precedent as the `lambda://` cluster manager.
   */
@@ -129,14 +148,46 @@ class GraftShuffleManager(conf: SparkConf) extends ShuffleManager with Logging {
 object GraftShuffleManager {
   val DirKey = "spark.graft.shuffle.dir"
 
-  private[graft] def binPath(shuffleDir: Path, mapId: Long, reduceId: Int): Path =
-    new Path(shuffleDir, s"map_${mapId}_part_$reduceId.bin")
+  private[graft] def dataPath(shuffleDir: Path, mapId: Long): Path =
+    new Path(shuffleDir, s"map_$mapId.data")
+
+  private[graft] def indexPath(shuffleDir: Path, mapId: Long): Path =
+    new Path(shuffleDir, s"map_$mapId.idx")
+
+  /** JVM-wide idx cache: every reduce task on a multi-slot executor
+    * after the first reads a map's segment table from memory instead
+    * of the FS. Keyed by (shuffle dir, mapId) — the dir embeds the
+    * app id, so sequential SparkContexts in one JVM (tests) can never
+    * alias each other's shuffle 0 / attempt 0. Entries are a few
+    * hundred bytes; the size cap only matters to an app that runs
+    * thousands of shuffles in one JVM, and a dumb full clear is then
+    * cheaper than LRU bookkeeping on every hit. */
+  private val idxCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Long]]()
+  private val IdxCacheMax = 8192
+
+  private[graft] def segmentLengths(fs: FileSystem, shuffleDir: Path,
+      mapId: Long, numBins: Int): Array[Long] = {
+    val key = (shuffleDir.toString, mapId)
+    val hit = idxCache.get(key)
+    if (hit != null && hit.length == numBins) return hit
+    val in = new DataInputStream(
+      new BufferedInputStream(fs.open(indexPath(shuffleDir, mapId))))
+    val lens = try Array.fill(numBins)(in.readLong()) finally in.close()
+    if (idxCache.size() >= IdxCacheMax) idxCache.clear()
+    idxCache.put(key, lens)
+    lens
+  }
 }
 
-/** Per-bin streaming writer: one lazily-opened FS object per non-empty
-  * reduce partition (corral's `emitter.go:90-120` bin layout). */
-private[graft] class GraftShuffleWriter[K, V](
-    handle: BaseShuffleHandle[K, V, _],
+/** Consolidated map-output writer: bins the records with a spill-safe
+  * ExternalSorter (map-side combine included, like SortShuffleWriter),
+  * then streams every non-empty bin as an independently framed segment
+  * of ONE `map_<mapId>.data` object, followed by the `.idx` segment
+  * table. One sequential PUT per map task instead of corral's
+  * one-object-per-bin (`emitter.go:90-120`). */
+private[graft] class GraftShuffleWriter[K, V, C](
+    handle: BaseShuffleHandle[K, V, C],
     mapId: Long,
     context: TaskContext,
     metrics: ShuffleWriteMetricsReporter,
@@ -148,6 +199,8 @@ private[graft] class GraftShuffleWriter[K, V](
   private val lengths = new Array[Long](numBins)
   private val serInstance = dep.serializer.newInstance()
   private val serMgr = SparkEnv.get.serializerManager
+  private var sorter: ExternalSorter[K, V, _] = null
+  private var stopped = false
 
   private final class CountingOutputStream(under: OutputStream) extends OutputStream {
     var count = 0L
@@ -159,63 +212,80 @@ private[graft] class GraftShuffleWriter[K, V](
     override def close(): Unit = under.close()
   }
 
-  private val counters = new Array[CountingOutputStream](numBins)
-  private val bins = new Array[SerializationStream](numBins)
-  private var stopped = false
-
-  private def binFor(p: Int): SerializationStream = {
-    if (bins(p) == null) {
-      val raw = fs.create(GraftShuffleManager.binPath(shuffleDir, mapId, p), true)
-      val counting = new CountingOutputStream(raw)
-      // compression/encryption identical to local shuffle blocks
-      val wrapped = serMgr.wrapStream(
-        ShuffleBlockId(dep.shuffleId, mapId, p),
-        new BufferedOutputStream(counting, 64 * 1024))
-      counters(p) = counting
-      bins(p) = serInstance.serializeStream(wrapped)
-    }
-    bins(p)
+  /** close() flushes but does not propagate: each bin segment's codec
+    * stream must terminate (compression trailer flushed) while the
+    * single underlying FS object stream stays open for the next bin. */
+  private final class CloseShieldOutputStream(under: OutputStream) extends OutputStream {
+    override def write(b: Int): Unit = under.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      under.write(b, off, len)
+    override def flush(): Unit = under.flush()
+    override def close(): Unit = under.flush()
   }
 
   override def write(records: Iterator[Product2[K, V]]): Unit = {
     val start = System.nanoTime()
-    // map-side combine before partitioning, like SortShuffleWriter
-    val iter: Iterator[Product2[K, _]] =
-      if (dep.mapSideCombine) {
-        require(dep.aggregator.isDefined, "mapSideCombine without aggregator")
-        dep.aggregator.get.combineValuesByKey(records, context)
-      } else records
+    if (!records.hasNext) {
+      // nothing to shuffle: no objects at all — readers skip zero-size
+      // blocks from the MapStatus and never look for the files
+      metrics.incWriteTime(System.nanoTime() - start)
+      return
+    }
+    // group records by reduce bin (and map-side combine) spill-safely
+    // before the single sequential upload — SortShuffleWriter's shape
+    sorter = if (dep.mapSideCombine) {
+      require(dep.aggregator.isDefined, "mapSideCombine without aggregator")
+      new ExternalSorter[K, V, C](
+        context, dep.aggregator, Some(dep.partitioner), None, dep.serializer)
+    } else {
+      new ExternalSorter[K, V, V](
+        context, None, Some(dep.partitioner), None, dep.serializer)
+    }
+    sorter.insertAll(records)
     var n = 0L
-    while (iter.hasNext) {
-      val rec = iter.next()
-      val s = binFor(dep.partitioner.getPartition(rec._1))
-      s.writeKey[Any](rec._1)
-      s.writeValue[Any](rec._2)
-      n += 1
-    }
-    var p = 0
-    while (p < numBins) {
-      if (bins(p) != null) { bins(p).close(); lengths(p) = counters(p).count }
-      p += 1
-    }
+    val counting = new CountingOutputStream(
+      fs.create(GraftShuffleManager.dataPath(shuffleDir, mapId), true))
+    try {
+      sorter.partitionedIterator.foreach { case (pid, iter) =>
+        if (iter.hasNext) {
+          val segStart = counting.count
+          // compression/encryption identical to local shuffle blocks,
+          // framed per bin so each segment decodes independently
+          val stream = serInstance.serializeStream(serMgr.wrapStream(
+            ShuffleBlockId(dep.shuffleId, mapId, pid),
+            new BufferedOutputStream(new CloseShieldOutputStream(counting), 64 * 1024)))
+          while (iter.hasNext) {
+            val rec = iter.next()
+            stream.writeKey[Any](rec._1)
+            stream.writeValue[Any](rec._2)
+            n += 1
+          }
+          stream.close()
+          lengths(pid) = counting.count - segStart
+        }
+      }
+    } finally counting.close()
+    val idx = new DataOutputStream(new BufferedOutputStream(
+      fs.create(GraftShuffleManager.indexPath(shuffleDir, mapId), true)))
+    try lengths.foreach(idx.writeLong) finally idx.close()
     metrics.incRecordsWritten(n)
-    metrics.incBytesWritten(lengths.sum)
+    metrics.incBytesWritten(counting.count + 8L * numBins)
     metrics.incWriteTime(System.nanoTime() - start)
   }
 
   override def stop(success: Boolean): Option[MapStatus] = {
     if (stopped) return None
     stopped = true
+    if (sorter != null) { sorter.stop(); sorter = null } // frees memory + spills
     if (success) {
       Some(MapStatus(SparkEnv.get.blockManager.blockManagerId, lengths, mapId))
     } else {
-      // failed/aborted attempt: close any open streams, drop its objects
-      // (attempt-unique names mean nothing else can be reading them)
-      (0 until numBins).foreach { p =>
-        if (bins(p) != null) { try bins(p).close() catch { case NonFatal(_) => } }
-        try fs.delete(GraftShuffleManager.binPath(shuffleDir, mapId, p), false)
-        catch { case NonFatal(_) => }
-      }
+      // failed/aborted attempt: drop its objects (attempt-unique names
+      // mean nothing else can be reading them)
+      try fs.delete(GraftShuffleManager.dataPath(shuffleDir, mapId), false)
+      catch { case NonFatal(_) => }
+      try fs.delete(GraftShuffleManager.indexPath(shuffleDir, mapId), false)
+      catch { case NonFatal(_) => }
       None
     }
   }
@@ -223,11 +293,12 @@ private[graft] class GraftShuffleWriter[K, V](
   override def getPartitionLengths(): Array[Long] = lengths
 }
 
-/** Reads the bin objects for `[startPartition, endPartition)` of the
-  * maps `[startMapIndex, endMapIndex)` straight from the FS — the
-  * writing executor does not need to be alive. Which (map, bin)
-  * objects exist and are non-empty comes from the driver's
-  * MapOutputTracker, same as local shuffle. */
+/** Reads the requested bins of maps `[startMapIndex, endMapIndex)`
+  * straight from the FS — the writing executor does not need to be
+  * alive. Blocks are grouped by map: one idx read (JVM-cached) + one
+  * data-object open per map, then a seek per requested segment.
+  * Which (map, bin) blocks exist and are non-empty comes from the
+  * driver's MapOutputTracker, same as local shuffle. */
 private[graft] class GraftShuffleReader[K, C](
     handle: BaseShuffleHandle[K, _, C],
     startMapIndex: Int,
@@ -244,31 +315,67 @@ private[graft] class GraftShuffleReader[K, C](
   override def read(): Iterator[Product2[K, C]] = {
     val serInstance = dep.serializer.newInstance()
     val serMgr = SparkEnv.get.serializerManager
-    val blocks: Iterator[(BlockId, Long)] = SparkEnv.get.mapOutputTracker
+    val numBins = dep.partitioner.numPartitions
+    // requested non-empty bins, grouped by map in tracker order
+    val byMap = new java.util.LinkedHashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+    SparkEnv.get.mapOutputTracker
       .getMapSizesByExecutorId(
         dep.shuffleId, startMapIndex, endMapIndex, startPartition, endPartition)
-      .flatMap { case (_, blockSizes) =>
-        blockSizes.map { case (bid, size, _) => (bid, size) }
+      .foreach { case (_, blockSizes) =>
+        blockSizes.foreach {
+          case (ShuffleBlockId(_, blockMapId, reduceId), size, _) =>
+            if (size > 0) { // zero survives MapStatus compression exactly
+              var bins = byMap.get(blockMapId)
+              if (bins == null) {
+                bins = new scala.collection.mutable.ArrayBuffer[Int]()
+                byMap.put(blockMapId, bins)
+              }
+              bins += reduceId
+            }
+          case (other, _, _) =>
+            // batch/merged ids come from fetch-protocol paths this
+            // manager never engages; fail loud rather than mis-read
+            throw new UnsupportedOperationException(
+              s"unexpected shuffle block id under GraftShuffleManager: $other")
+        }
       }
-    val recordIter: Iterator[(Any, Any)] = blocks
-      .filter(_._2 > 0) // empty bins wrote no object
-      .flatMap {
-        case (bid @ ShuffleBlockId(_, blockMapId, reduceId), size) =>
-          val path = GraftShuffleManager.binPath(shuffleDir, blockMapId, reduceId)
+    // one data object open at a time; closed when its segments are
+    // exhausted, with a task-completion backstop for interrupted tasks
+    var current: java.io.Closeable = null
+    context.addTaskCompletionListener[Unit] { _ =>
+      val c = current
+      current = null
+      if (c != null) { try c.close() catch { case NonFatal(_) => } }
+    }
+    import scala.jdk.CollectionConverters._
+    val recordIter: Iterator[(Any, Any)] = byMap.entrySet().iterator().asScala
+      .flatMap { entry =>
+        val blockMapId = entry.getKey
+        val bins = entry.getValue.sorted // ascending = forward seeks only
+        val lens = GraftShuffleManager.segmentLengths(
+          fs, shuffleDir, blockMapId, numBins)
+        val offsets = lens.scanLeft(0L)(_ + _)
+        val in = fs.open(GraftShuffleManager.dataPath(shuffleDir, blockMapId))
+        current = in
+        val segments: Iterator[(Any, Any)] = bins.iterator.flatMap { r =>
+          in.seek(offsets(r))
           metrics.incRemoteBlocksFetched(1)
-          // Size comes from the MapOutputTracker's registered MapStatus —
-          // no per-block getFileStatus (on an object store that would be
-          // one HEAD request per (map, bin) object per reduce task).
-          metrics.incRemoteBytesRead(size)
-          val in = serMgr.wrapStream(bid,
-            new BufferedInputStream(fs.open(path), 64 * 1024))
-          // asKeyValueIterator closes the stream at EOF
-          serInstance.deserializeStream(in).asKeyValueIterator
-        case (other, _) =>
-          // batch/merged ids come from fetch-protocol paths this manager
-          // never engages; fail loud rather than mis-read
-          throw new UnsupportedOperationException(
-            s"unexpected shuffle block id under GraftShuffleManager: $other")
+          // exact segment size from the idx — never a per-block
+          // getFileStatus (a HEAD request per block on an object store)
+          metrics.incRemoteBytesRead(lens(r))
+          // the LimitedInputStream bounds the segment and does NOT
+          // close `in` when the codec stream hits EOF and closes up
+          serInstance.deserializeStream(serMgr.wrapStream(
+            ShuffleBlockId(dep.shuffleId, blockMapId, r),
+            new BufferedInputStream(
+              new LimitedInputStream(in, lens(r), false), 64 * 1024)))
+            .asKeyValueIterator
+        }
+        segments ++ {
+          if (current eq in) current = null
+          in.close()
+          Iterator.empty
+        }
       }
       .map { r => metrics.incRecordsRead(1); r }
 

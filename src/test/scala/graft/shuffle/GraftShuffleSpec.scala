@@ -28,9 +28,10 @@ class StageCounter extends SparkListener {
 
 /** The object-store shuffle (task: corral's S3 bin shuffle,
   * `/root/reference/emitter.go:90-120`) running a real workload mix:
-  * every byte of shuffle in this suite moves through per-bin objects on
-  * the `graftfs://` FileSystem — the same registered-scheme stand-in for
-  * S3 that FsSchemeSpec uses — never through executor-local disk.
+  * every byte of shuffle in this suite moves through consolidated
+  * per-map data+idx objects on the `graftfs://` FileSystem — the same
+  * registered-scheme stand-in for S3 that FsSchemeSpec uses — never
+  * through executor-local disk.
   * Runs in its own forked JVM (build.sbt testGrouping): the shuffle
   * manager is a static conf on the SparkContext. */
 class GraftShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -66,10 +67,11 @@ class GraftShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def binFiles(): Seq[java.nio.file.Path] = {
+  private def shuffleObjects(): Seq[java.nio.file.Path] = {
     if (!Files.exists(base)) return Seq.empty
     val s = Files.walk(base)
-    try s.iterator().asScala.toList.filter(_.getFileName.toString.matches("map_\\d+_part_\\d+\\.bin"))
+    try s.iterator().asScala.toList
+      .filter(_.getFileName.toString.matches("map_\\d+\\.(data|idx)"))
     finally s.close()
   }
 
@@ -95,8 +97,17 @@ class GraftShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // k=0 group exactly: 0 + 97 + 194 + ...
     val zeros = (0L until n by 97L)
     assert(agg(0L) == (zeros.sum, zeros.size.toLong))
-    val bins = binFiles()
-    assert(bins.nonEmpty, s"no shuffle bin objects under $base")
+    val objs = shuffleObjects()
+    assert(objs.nonEmpty, s"no shuffle objects under $base")
+    // consolidation pin (round-11 task #1): exactly ONE data + ONE idx
+    // object per map task that produced output — never one per
+    // (map, bin) (the old M×N layout this round replaced; with 7
+    // reduce bins it wrote 7× the objects per map)
+    val byKind = objs.groupBy(_.getFileName.toString.split("\\.").last)
+    val dataIds = byKind("data").map(_.getFileName.toString).toSet
+    val idxIds = byKind("idx").map(_.getFileName.toString
+      .stripSuffix(".idx") + ".data").toSet
+    assert(dataIds == idxIds, "every data object must have exactly one idx twin")
   }
 
   test("SQL sort-merge join through AQE partition ranges is exact") {
