@@ -1,0 +1,141 @@
+package graft.shuffle
+
+import java.nio.file.Files
+
+import graft.api.Dedup
+import graft.lambda.LambdaClusterManager
+import org.apache.spark.graft.SchedulerBackdoor
+import org.apache.spark.scheduler.cluster.lambda.LambdaSchedulerBackend
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The deployment dress rehearsal (round-11 task #4): the composed
+  * daily-increment pipeline — p4's exact verb sequence (seed assets →
+  * ingest → dd7 pairs → dd10 groups → upsert → compact → keep/drop) —
+  * running on the ACTUAL north-star configuration for the first time:
+  * `lambda://local-sim` leased process executors (F18,
+  * `/root/reference/lambda.go:100-145` rescheduling parity) with the
+  * object-store shuffle manager (corral's S3 shuffle,
+  * `emitter.go:90-120`), one invocation killed mid-pipeline.
+  *
+  * What the kill exercises, composed: task rescheduling onto the
+  * surviving lease, `supportsReliableStorage` keeping the dead
+  * invocation's map output readable from the shared FS (no map-stage
+  * re-run), `persist`-mode barriers recomputing lost cache blocks from
+  * lineage, and the asset lifecycle's overwrite-idempotent writes —
+  * the result must be byte-equal to the clean run.
+  *
+  * Own SparkContext (lambda master + static shuffle-manager conf), so
+  * it lives in the forked `graft-shuffle` JVM group (build.sbt). */
+class GraftShuffleDailyRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    val shuffleDir = Files.createTempDirectory("graft-dress-shuffle")
+    spark = SparkSession.builder()
+      .master("lambda://" + LambdaClusterManager.LOCAL_SIM)
+      .appName("graft-daily-dress")
+      .config("spark.executor.instances", "2")
+      .config("spark.executor.cores", "1")
+      .config("spark.executor.memory", "700m")
+      .config("spark.driver.host", "localhost")
+      .config("spark.driver.bindAddress", "localhost")
+      .config("spark.shuffle.manager",
+        "org.apache.spark.shuffle.graft.GraftShuffleManager")
+      .config("spark.shuffle.sort.io.plugin.class",
+        "org.apache.spark.shuffle.graft.GraftShuffleDataIO")
+      .config(org.apache.spark.shuffle.graft.GraftShuffleManager.DirKey,
+        "file:" + shuffleDir.toString)
+      .config("spark.sql.shuffle.partitions", "4")
+      // elastic-backend barrier mode: lineage kept, lost blocks
+      // recompute (localCheckpoint would fail the job on the kill)
+      .config(graft.api.Barrier.ConfKey, "persist")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def backend: LambdaSchedulerBackend =
+    SchedulerBackdoor.backend(spark.sparkContext)
+      .asInstanceOf[LambdaSchedulerBackend]
+
+  private def eventually[A](timeoutSec: Int)(body: => A): A = {
+    val deadline = System.nanoTime() + timeoutSec * 1000000000L
+    var last: Throwable = null
+    while (System.nanoTime() < deadline) {
+      try return body
+      catch { case e: Throwable => last = e; Thread.sleep(250) }
+    }
+    throw new AssertionError(s"condition not met within ${timeoutSec}s", last)
+  }
+
+  // p4's composition on the sf0.001 fixture (same geometry as the
+  // oracle-gated binding: 8 bands × 4 rows, threshold 0.8, doc_id % 10
+  // split). Returns the surviving doc ids after keep/drop.
+  private def runDaily(root: String): Set[Long] = {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    graft.api.Barrier.scoped {
+      Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4)
+        .write.mode("overwrite").parquet(s"$root/sigs/base")
+      Dedup.duplicateGroups(
+          Dedup.jaccardPairs(corpus, "doc_id", "text", 8, 4, 0.8),
+          "doc_a", "doc_b")
+        .write.mode("overwrite").parquet(s"$root/groups/base")
+      Dedup.minhashSignatures(inc, "doc_id", "text", 8, 4)
+        .write.mode("overwrite").parquet(s"$root/sigs/inc_0")
+      Dedup.incrementalJaccardPairs(
+          Dedup.readSignatureAsset(spark, s"$root/sigs",
+            excludeInc = Some("inc_0")),
+          spark.read.parquet(s"$root/sigs/inc_0"), 0.8)
+        .write.mode("overwrite").parquet(s"$root/pairs")
+      Dedup.incrementalGroups(
+          Dedup.readGroupsAsset(spark, s"$root/groups",
+            excludeInc = Some("inc_0")),
+          spark.read.parquet(s"$root/pairs"), "doc_a", "doc_b")
+        .write.mode("overwrite").parquet(s"$root/groups/inc_0")
+      Dedup.compactSignatureAsset(spark, s"$root/sigs")
+      Dedup.compactGroupsAsset(spark, s"$root/groups")
+    }
+    val losers = Dedup.readGroupsAsset(spark, s"$root/groups")
+      .filter(col("doc_id") =!= col("group_id")).select("doc_id")
+    docs.join(losers, Seq("doc_id"), "leftanti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("daily pipeline on lambda://local-sim + FS shuffle survives an invocation kill") {
+    eventually(90)(assert(backend.liveInvocationIds.size == 2))
+
+    // clean run: the expected survivor set AND the clock for the kill
+    val cleanRoot = Files.createTempDirectory("graft-dress-clean").toString
+    val t0 = System.nanoTime()
+    val expected = runDaily(cleanRoot)
+    val cleanNanos = System.nanoTime() - t0
+    assert(expected.nonEmpty && expected.size < 500,
+      s"survivors ${expected.size} of 500 — the fixture must drop some docs")
+
+    // second run against fresh assets with one of the two leases
+    // killed mid-pipeline (~1/3 in)
+    val killRoot = Files.createTempDirectory("graft-dress-kill").toString
+    val killer = new Thread(() => {
+      Thread.sleep(math.max(cleanNanos / 3000000L, 200L))
+      val live = backend.liveInvocationIds
+      if (live.nonEmpty) backend.killInvocation(live.min)
+    })
+    killer.start()
+    val got = runDaily(killRoot)
+    killer.join()
+    assert(got == expected,
+      s"kill run diverged: missing=${(expected -- got).take(5)} " +
+        s"extra=${(got -- expected).take(5)}")
+
+    // the supervisor restores the lease count afterwards
+    eventually(90)(assert(backend.liveInvocationIds.size == 2))
+  }
+}
