@@ -179,10 +179,89 @@ object PipelineQueries {
        |SELECT d.doc_id FROM documents d
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
 
+  // -- p4p: the composed daily verb at its OWN cost ---------------------
+  // p4 proves increment ≡ recompute but re-seeds its scratch assets
+  // every run, so its wall-clock is ~80% seeding — it carries no
+  // measured number for the verb a capacity planner sizes a day
+  // around. p4p is that number: yesterday's assets are seeded ONCE per
+  // JVM (dd10p's pattern — the cold bench pass pays it, warm passes
+  // only read), and the timed plan is exactly the daily composition
+  //
+  //   increment-ingest (signatures land as inc_0)
+  //   → dd7 pairs (asset streamed once, increment broadcast)
+  //   → dd10 groups (fixpoint over contracted labels only)
+  //   → upsert (touched components land as a groups-asset inc dir)
+  //   → keep/drop (corpus anti-joins the broadcastable loser set)
+  //
+  // with NO seeding and NO compaction (compaction is the quiesce-point
+  // maintenance verb, not part of the daily latency path). Every write
+  // is the replay-idempotent shape the streaming twin uses — overwrite
+  // mode to a fixed inc_0 name, asset reads excluding the batch's own
+  // dir — so warm passes replay the same day deterministically against
+  // the pristine seeded base. The final merge-on-read group table
+  // equals p4's post-compaction one, so p4's batch-global oracle gates
+  // this binding unchanged.
+  private val seededP4Roots = scala.collection.mutable.Set[String]()
+
+  private def seedP4Assets(s: SparkSession, dir: String): String = {
+    import DedupQueries.{DD3Bands, DD3Rows, IncMod}
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val root = s"target/graft_bench/p4p/$key"
+    synchronized {
+      if (!seededP4Roots.contains(root)) {
+        // a leftover root from a previous JVM may hold inc dirs from a
+        // different fixture state; re-seed from scratch
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val corpus = Tables.documents(s, dir).filter(col("doc_id") % IncMod =!= 0)
+        graft.api.Barrier.scoped {
+          graft.api.Dedup.minhashSignatures(
+              corpus, "doc_id", "text", DD3Bands, DD3Rows)
+            .write.parquet(s"$root/sigs/base")
+          graft.api.Dedup.duplicateGroups(
+              graft.api.Dedup.jaccardPairs(
+                corpus, "doc_id", "text", DD3Bands, DD3Rows, 0.8),
+              "doc_a", "doc_b")
+            .write.parquet(s"$root/groups/base")
+        }
+        seededP4Roots += root
+      }
+    }
+    root
+  }
+
+  private def dailyIncrementAsset(s: SparkSession, dir: String): DataFrame = {
+    import DedupQueries.{DD3Bands, DD3Rows, IncMod}
+    val root = seedP4Assets(s, dir)
+    val docs = Tables.documents(s, dir)
+    val inc = docs.filter(col("doc_id") % IncMod === 0)
+    graft.api.Barrier.scoped {
+      graft.api.Dedup.minhashSignatures(
+          inc, "doc_id", "text", DD3Bands, DD3Rows)
+        .write.mode("overwrite").parquet(s"$root/sigs/inc_0")
+      graft.api.Dedup.incrementalJaccardPairs(
+          graft.api.Dedup.readSignatureAsset(
+            s, s"$root/sigs", excludeInc = Some("inc_0")),
+          s.read.parquet(s"$root/sigs/inc_0"), 0.8)
+        .write.mode("overwrite").parquet(s"$root/pairs")
+      graft.api.Dedup.incrementalGroups(
+          graft.api.Dedup.readGroupsAsset(
+            s, s"$root/groups", excludeInc = Some("inc_0")),
+          s.read.parquet(s"$root/pairs"), "doc_a", "doc_b")
+        .write.mode("overwrite").parquet(s"$root/groups/inc_0")
+    }
+    val losers = graft.api.Dedup.readGroupsAsset(s, s"$root/groups")
+      .filter(col("doc_id") =!= col("group_id")).select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "leftanti").select(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("p1_clean_corpus", cleanCorpus, Some(cleanCorpusSql), bench = true),
     QueryDef("p2_clean_corpus_transitive", cleanCorpusTransitive,
       Some(cleanCorpusTransitiveSql), bench = true),
     QueryDef("p4_daily_increment", dailyIncrement, Some(dailyIncrementSql)),
+    QueryDef("p4p_daily_increment_asset", dailyIncrementAsset,
+      Some(dailyIncrementSql), bench = true),
   )
 }
