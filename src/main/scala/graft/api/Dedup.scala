@@ -558,6 +558,9 @@ object Dedup {
 
   private val GenRe = "base_gen(\\d+)".r
 
+  /** See [[readGroupsAsset]]'s `maxUpsertDirs`. */
+  val DefaultMaxUpsertDirs = 64
+
   private def assetFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val root = new org.apache.hadoop.fs.Path(dir)
     (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
@@ -738,12 +741,34 @@ object Dedup {
     * increment updates resolve among themselves with one window over
     * broadcastable rows, then the base generation is STREAMED through
     * a broadcast anti-join on the updated ids — the corpus-sized side
-    * is never shuffled. Compaction folds the upserts away entirely. */
+    * is never shuffled. Compaction folds the upserts away entirely.
+    *
+    * That resolution ASSUMES the un-compacted upserts stay small (they
+    * union into one windowed frame whose update-id set is broadcast):
+    * a stream that never compacts silently grows both until the
+    * broadcast build side OOMs an executor at scale. `maxUpsertDirs`
+    * turns that silent degradation into the lifecycle's standard
+    * fail-loud: more live inc_* dirs than the threshold refuses the
+    * read and names the fix ([[compactGroupsAsset]] — which itself
+    * reads without the guard: the fix must never be blocked by the
+    * condition it fixes). The default (64) is far above any sane
+    * compaction cadence (a daily stream that compacts weekly holds
+    * ≤ 7) while still far below where dir-count itself hurts an
+    * object-store listing; raise it explicitly only to ride out a
+    * missed maintenance window. */
   def readGroupsAsset(spark: org.apache.spark.sql.SparkSession, dir: String,
-      excludeInc: Option[String] = None): DataFrame = {
+      excludeInc: Option[String] = None,
+      maxUpsertDirs: Int = DefaultMaxUpsertDirs): DataFrame = {
     val (fs, root) = assetFs(spark, dir)
     val scan = scanAsset(fs, root)
     val (gen, incs0) = (scan.gen, scan.liveIncs)
+    require(incs0.size <= maxUpsertDirs,
+      s"groups asset at $dir holds ${incs0.size} un-compacted upsert dirs " +
+        s"(> maxUpsertDirs = $maxUpsertDirs) — merge-on-read resolution " +
+        "assumes the accumulated upserts stay broadcastable, and a stream " +
+        "that never compacts breaks that assumption silently at scale. " +
+        "Run compactGroupsAsset (at a quiesce point) to fold them; raise " +
+        "maxUpsertDirs only to ride out a missed maintenance window")
     def ord(p: org.apache.hadoop.fs.Path): Long = {
       val suffix = p.getName.stripPrefix("inc_")
       require(suffix.forall(_.isDigit) && suffix.nonEmpty,
@@ -802,7 +827,10 @@ object Dedup {
     }
     val k = scan.genK + 1
     Barrier.scoped {
-      writeGeneration(fs, root, k, readGroupsAsset(spark, dir),
+      // unguarded read (maxUpsertDirs = MaxValue): compaction IS the
+      // fix for upsert accumulation and must never refuse it
+      writeGeneration(fs, root, k,
+        readGroupsAsset(spark, dir, maxUpsertDirs = Int.MaxValue),
         scan.folded ++ (scan.gen ++ scan.liveIncs).map(_.getName))
     }
     deleteAged(fs, scan.stale ++ (scan.gen ++ scan.liveIncs).map((_, k)),

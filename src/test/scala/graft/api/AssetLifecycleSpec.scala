@@ -187,6 +187,111 @@ class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("retention: a CONCURRENT reader paused mid-scan survives the compaction that supersedes its generation") {
+    // The strongest retention pin (round-11 task #5): an actual reader
+    // THREAD, scan already started (first rows consumed), paused while
+    // a compaction supersedes the generation it is scanning AND
+    // retention-expires the previous cycle's dirs under it — then
+    // resumed. With keepSuperseded = 1 (default) every file the reader
+    // planned still exists, so it must produce every planned row.
+    // Boundary (documented, not flaky-tested): keepSuperseded counts
+    // GENERATION-ADVANCING compactions — a reader slow enough to span
+    // N of them needs keepSuperseded = N; within one cycle, 1 suffices.
+    val docs = Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-race").toString
+    def sigs(pred: org.apache.spark.sql.Column) =
+      Dedup.minhashSignatures(docs.filter(pred), "doc_id", "text", 8, 4)
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      sigs(col("doc_id") % 3 === 0).write.parquet(s"$root/base")
+      sigs(col("doc_id") % 3 === 1).write.parquet(s"$root/inc_0")
+      assert(Dedup.compactSignatureAsset(spark, root) == 1) // gen1; base+inc_0 linger
+      sigs(col("doc_id") % 3 === 2).repartition(4).write.parquet(s"$root/inc_1")
+      val expected = sigRows(root)
+
+      // force a multi-partition scan (tiny files otherwise coalesce
+      // into one task and the whole read would finish pre-compaction)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val inFlight = Dedup.readSignatureAsset(spark, root)
+        .select(col("doc_id"), col("nh"))
+      assert(inFlight.rdd.getNumPartitions > 1,
+        "the scan must span several tasks for a mid-scan pause to mean anything")
+
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val compacted = new java.util.concurrent.CountDownLatch(1)
+      val got = scala.collection.mutable.Set[(Long, Int)]()
+      @volatile var readerErr: Throwable = null
+      val reader = new Thread(() => {
+        try {
+          val it = inFlight.toLocalIterator()
+          var n = 0
+          while (it.hasNext) {
+            val r = it.next()
+            got += ((r.getLong(0), r.getInt(1)))
+            n += 1
+            if (n == 3) { // scan underway, most partitions still unread
+              started.countDown()
+              compacted.await(120, java.util.concurrent.TimeUnit.SECONDS)
+            }
+          }
+        } catch { case t: Throwable => readerErr = t }
+      })
+      reader.start()
+      assert(started.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "reader never reached its mid-scan pause")
+      // compaction 2 UNDER the paused reader: supersedes gen1 + inc_1
+      // (the dirs being scanned — kept by retention) and expires the
+      // cycle-1 leftovers (base, inc_0 — deleted NOW)
+      assert(Dedup.compactSignatureAsset(spark, root) == 1)
+      assert(subdirs(root) == Set("base_gen1", "inc_1", "base_gen2"),
+        s"expiry must delete base/inc_0 mid-read, got ${subdirs(root)}")
+      compacted.countDown()
+      reader.join(120000)
+      assert(!reader.isAlive, "reader thread hung")
+      if (readerErr != null) throw readerErr
+      assert(got == expected,
+        "the concurrent reader must see every row it planned: " +
+          s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
+
+  test("groups asset: upsert accumulation past maxUpsertDirs fails loud; compaction is never blocked") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-upguard").toString
+    try {
+      Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "group_id")
+        .write.parquet(s"$root/base")
+      (0 until 4).foreach { i =>
+        Seq((2L, 1L), (100L + i, 1L)).toDF("doc_id", "group_id")
+          .write.parquet(s"$root/inc_$i")
+      }
+      // over the (lowered) threshold: read refuses and names the fix
+      val e = intercept[IllegalArgumentException] {
+        Dedup.readGroupsAsset(spark, root, maxUpsertDirs = 3)
+      }
+      assert(e.getMessage.contains("compactGroupsAsset"))
+      assert(e.getMessage.contains("4 un-compacted upsert dirs"))
+      // at the threshold: reads fine
+      assert(Dedup.readGroupsAsset(spark, root, maxUpsertDirs = 4)
+        .count() == 6)
+      // the fix itself must never be refused by the guard it fixes —
+      // compaction reads unguarded, folds all 4, and the default-guard
+      // read works again
+      assert(Dedup.compactGroupsAsset(spark, root, keepSuperseded = 0) == 4)
+      assert(Dedup.readGroupsAsset(spark, root).count() == 6)
+      // the shipped default is the documented constant
+      assert(Dedup.DefaultMaxUpsertDirs == 64)
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
+
   test("a lingering generation whose manifest vanishes mid-scan reads as incomplete") {
     val docs = Tables.documents(spark, sf0001)
     val root = java.nio.file.Files.createTempDirectory("graft-vanish").toString
