@@ -762,13 +762,6 @@ object Dedup {
     val (fs, root) = assetFs(spark, dir)
     val scan = scanAsset(fs, root)
     val (gen, incs0) = (scan.gen, scan.liveIncs)
-    require(incs0.size <= maxUpsertDirs,
-      s"groups asset at $dir holds ${incs0.size} un-compacted upsert dirs " +
-        s"(> maxUpsertDirs = $maxUpsertDirs) — merge-on-read resolution " +
-        "assumes the accumulated upserts stay broadcastable, and a stream " +
-        "that never compacts breaks that assumption silently at scale. " +
-        "Run compactGroupsAsset (at a quiesce point) to fold them; raise " +
-        "maxUpsertDirs only to ride out a missed maintenance window")
     def ord(p: org.apache.hadoop.fs.Path): Long = {
       val suffix = p.getName.stripPrefix("inc_")
       require(suffix.forall(_.isDigit) && suffix.nonEmpty,
@@ -777,6 +770,15 @@ object Dedup {
       suffix.toLong
     }
     val incs = incs0.filterNot(i => excludeInc.contains(i.getName)).sortBy(ord)
+    // guard counts only the dirs that PARTICIPATE in resolution (an
+    // excluded replayed batch's own dir never unions into the window)
+    require(incs.size <= maxUpsertDirs,
+      s"groups asset at $dir holds ${incs.size} un-compacted upsert dirs " +
+        s"(> maxUpsertDirs = $maxUpsertDirs) — merge-on-read resolution " +
+        "assumes the accumulated upserts stay broadcastable, and a stream " +
+        "that never compacts breaks that assumption silently at scale. " +
+        "Run compactGroupsAsset (at a quiesce point) to fold them; raise " +
+        "maxUpsertDirs only to ride out a missed maintenance window")
     require(gen.nonEmpty || incs.nonEmpty,
       s"groups asset at $dir is unseeded — write duplicateGroups output " +
         "(e.g. under base/) first")

@@ -181,7 +181,14 @@ object StreamingOps {
     * quiesce point, so the fold can never race a micro-batch.
     * `keepSuperseded` threads through to both folds (same contract as
     * the Dedup API: 0 = immediate cleanup, default 1 lets a reader
-    * that planned against the previous generation finish). */
+    * that planned against the previous generation finish).
+    * `maxUpsertDirs` threads to the per-batch groups-asset read
+    * ([[graft.api.Dedup.readGroupsAsset]]'s accumulation guard): a
+    * stream draining a backlog larger than the default 64 batches
+    * between compactions must either raise it here or compact — the
+    * knob must be reachable from the streaming API, or the guard's
+    * documented remedy would be unreachable exactly where batches
+    * accumulate. */
   def incrementalPairStream(docs: DataFrame,
       sigFn: DataFrame => DataFrame,
       pairFn: (DataFrame, DataFrame) => DataFrame,
@@ -189,7 +196,8 @@ object StreamingOps {
       idCol: String = "doc_id", assertDisjointIds: Boolean = false,
       groupsAsset: Option[(String, String, String)] = None,
       compactOnFinish: Boolean = false,
-      keepSuperseded: Int = 1):
+      keepSuperseded: Int = 1,
+      maxUpsertDirs: Int = graft.api.Dedup.DefaultMaxUpsertDirs):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -215,7 +223,8 @@ object StreamingOps {
             val batchPairs = s.read.parquet(s"$pairsOutDir/batch=$batchId")
             graft.api.Dedup.incrementalGroups(
                 graft.api.Dedup.readGroupsAsset(
-                  s, gDir, excludeInc = Some(s"inc_$batchId")),
+                  s, gDir, excludeInc = Some(s"inc_$batchId"),
+                  maxUpsertDirs = maxUpsertDirs),
                 batchPairs, aCol, bCol)
               .write.mode("overwrite").parquet(s"$gDir/inc_$batchId")
           }
@@ -305,13 +314,15 @@ object StreamingOps {
       assertDisjointIds: Boolean = false,
       groupsDir: Option[String] = None,
       compactOnFinish: Boolean = false,
-      keepSuperseded: Int = 1):
+      keepSuperseded: Int = 1,
+      maxUpsertDirs: Int = graft.api.Dedup.DefaultMaxUpsertDirs):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(docs,
       df => graft.api.Dedup.minhashSignatures(df, idCol, textCol, bands, rows),
       (c, i) => graft.api.Dedup.incrementalJaccardPairs(c, i, threshold),
       corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds,
-      groupsDir.map(d => (d, "doc_a", "doc_b")), compactOnFinish, keepSuperseded)
+      groupsDir.map(d => (d, "doc_a", "doc_b")), compactOnFinish,
+      keepSuperseded, maxUpsertDirs)
 
   /** dd8's streaming twin — 64-bit Hamming family (SimHash text sigs,
     * mm8 perceptual image hashes). Input stream carries PRECOMPUTED
@@ -322,14 +333,16 @@ object StreamingOps {
       maxHamming: Int = 3, assertDisjointIds: Boolean = false,
       groupsDir: Option[String] = None,
       compactOnFinish: Boolean = false,
-      keepSuperseded: Int = 1):
+      keepSuperseded: Int = 1,
+      maxUpsertDirs: Int = graft.api.Dedup.DefaultMaxUpsertDirs):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(sigs,
       df => df.select(col(idCol).as("doc_id"), col(sigCol).as("sig")),
       (c, i) => graft.api.Dedup.incrementalHammingPairs(
         c, i, "doc_id", "sig", maxHamming),
       corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds,
-      groupsDir.map(d => (d, "doc_a", "doc_b")), compactOnFinish, keepSuperseded)
+      groupsDir.map(d => (d, "doc_a", "doc_b")), compactOnFinish,
+      keepSuperseded, maxUpsertDirs)
 
   /** dd9's streaming twin — hyperplane-LSH/cosine family. Seed the
     * asset with [[graft.api.Dedup.lshSignatureTable]] output of the
@@ -340,13 +353,15 @@ object StreamingOps {
       assertDisjointIds: Boolean = false,
       groupsDir: Option[String] = None,
       compactOnFinish: Boolean = false,
-      keepSuperseded: Int = 1):
+      keepSuperseded: Int = 1,
+      maxUpsertDirs: Int = graft.api.Dedup.DefaultMaxUpsertDirs):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(vecs,
       df => graft.api.Dedup.lshSignatureTable(df, idCol, vecCol, tables, planes),
       (c, i) => graft.api.Dedup.incrementalEmbeddingPairs(c, i, threshold, probes),
       corpusSigDir, pairsOutDir, checkpointDir, "vec_id", assertDisjointIds,
-      groupsDir.map(d => (d, "vec_a", "vec_b")), compactOnFinish, keepSuperseded)
+      groupsDir.map(d => (d, "vec_a", "vec_b")), compactOnFinish,
+      keepSuperseded, maxUpsertDirs)
 
   /** Idempotent micro-batch sink: foreachBatch + deterministic
     * per-batch output paths, the standard exactly-once-to-storage

@@ -78,9 +78,20 @@ import org.apache.spark.util.collection.ExternalSorter
   *
   * Scale notes: sizing AQE statistics come from the real per-bin byte
   * lengths in `MapStatus`, so coalescing/skew-split behave exactly as
-  * with local shuffle. This manager lives in `org.apache.spark.*` only
-  * for `private[spark]` seams (`MapStatus`, tracker, `ExternalSorter`)
-  * — same precedent as the `lambda://` cluster manager.
+  * with local shuffle. The consolidation TRADES the old layout's
+  * zero-staging writes (per-bin streams straight to the FS, ~64 KB
+  * local footprint) for ExternalSorter staging: a map task's output
+  * now passes through execution memory with overflow spilled to
+  * executor-local scratch before the one sequential upload — the same
+  * profile as stock SortShuffleWriter. On FaaS workers with small
+  * ephemeral storage, size inputs so one map task's output fits the
+  * scratch allowance (`maxPartitionBytes` caps input per map, and
+  * shuffle output is usually ≤ input; Lambda ephemeral storage is
+  * configurable to 10 GB — corral budgets the same way, its emitter
+  * buffers bins in invocation memory). This manager lives in
+  * `org.apache.spark.*` only for `private[spark]` seams (`MapStatus`,
+  * tracker, `ExternalSorter`) — same precedent as the `lambda://`
+  * cluster manager.
   */
 class GraftShuffleManager(conf: SparkConf) extends ShuffleManager with Logging {
   import GraftShuffleManager._
@@ -158,13 +169,17 @@ object GraftShuffleManager {
     * after the first reads a map's segment table from memory instead
     * of the FS. Keyed by (shuffle dir, mapId) — the dir embeds the
     * app id, so sequential SparkContexts in one JVM (tests) can never
-    * alias each other's shuffle 0 / attempt 0. Entries are a few
-    * hundred bytes; the size cap only matters to an app that runs
-    * thousands of shuffles in one JVM, and a dumb full clear is then
-    * cheaper than LRU bookkeeping on every hit. */
+    * alias each other's shuffle 0 / attempt 0. An entry is
+    * 8 × numBins bytes, so the cap is BYTE-based (64 MB), not
+    * entry-based: at 32 bins that is ~250k entries, at 10k reduce
+    * bins still ~800 — the cap can't pin hundreds of MB on a
+    * wide-shuffle executor. Eviction is a dumb full clear: the cache
+    * is a pure optimization (a miss re-reads a tiny idx object), and
+    * clear-on-cap is cheaper than LRU bookkeeping on every hit. */
   private val idxCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Long]]()
-  private val IdxCacheMax = 8192
+  private val idxCacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  private val IdxCacheMaxBytes = 64L << 20
 
   private[graft] def segmentLengths(fs: FileSystem, shuffleDir: Path,
       mapId: Long, numBins: Int): Array[Long] = {
@@ -174,7 +189,10 @@ object GraftShuffleManager {
     val in = new DataInputStream(
       new BufferedInputStream(fs.open(indexPath(shuffleDir, mapId))))
     val lens = try Array.fill(numBins)(in.readLong()) finally in.close()
-    if (idxCache.size() >= IdxCacheMax) idxCache.clear()
+    if (idxCacheBytes.addAndGet(8L * numBins) > IdxCacheMaxBytes) {
+      idxCache.clear()
+      idxCacheBytes.set(8L * numBins)
+    }
     idxCache.put(key, lens)
     lens
   }
@@ -212,17 +230,6 @@ private[graft] class GraftShuffleWriter[K, V, C](
     override def close(): Unit = under.close()
   }
 
-  /** close() flushes but does not propagate: each bin segment's codec
-    * stream must terminate (compression trailer flushed) while the
-    * single underlying FS object stream stays open for the next bin. */
-  private final class CloseShieldOutputStream(under: OutputStream) extends OutputStream {
-    override def write(b: Int): Unit = under.write(b)
-    override def write(b: Array[Byte], off: Int, len: Int): Unit =
-      under.write(b, off, len)
-    override def flush(): Unit = under.flush()
-    override def close(): Unit = under.flush()
-  }
-
   override def write(records: Iterator[Product2[K, V]]): Unit = {
     val start = System.nanoTime()
     if (!records.hasNext) {
@@ -250,10 +257,17 @@ private[graft] class GraftShuffleWriter[K, V, C](
         if (iter.hasNext) {
           val segStart = counting.count
           // compression/encryption identical to local shuffle blocks,
-          // framed per bin so each segment decodes independently
+          // framed per bin so each segment decodes independently; the
+          // close shield lets the codec stream terminate (trailer
+          // flushed through the BufferedOutputStream) while the single
+          // FS object stream stays open for the next bin — the same
+          // commons-io utility Spark's local-disk map-output writer
+          // uses for this exact per-partition framing
           val stream = serInstance.serializeStream(serMgr.wrapStream(
             ShuffleBlockId(dep.shuffleId, mapId, pid),
-            new BufferedOutputStream(new CloseShieldOutputStream(counting), 64 * 1024)))
+            new BufferedOutputStream(
+              org.apache.commons.io.output.CloseShieldOutputStream.wrap(counting),
+              64 * 1024)))
           while (iter.hasNext) {
             val rec = iter.next()
             stream.writeKey[Any](rec._1)
