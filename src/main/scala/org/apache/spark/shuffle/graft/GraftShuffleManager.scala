@@ -43,7 +43,17 @@ import org.apache.spark.util.collection.ExternalSorter
   * That cuts object creates per shuffle from M×N to 2M — the RPC that
   * dominates iterative fixpoint queries (dd6/p2/dd10p chain dozens of
   * tiny stages; at ~2 create round-trips per object on a store like
-  * S3, the old layout paid 32× more of them per stage). Records are
+  * S3, the old layout paid 32× more of them per stage). Two objects,
+  * not one, deliberately: folding the idx into the data object as a
+  * footer would save the second PUT but cost every FIRST reader of a
+  * map a getFileStatus (a HEAD on an object store — the footer's
+  * offset is `length − 8×numBins`, and the length is unknown until
+  * asked) before the ranged GET, i.e. it trades one write-side RPC
+  * for one read-side RPC and loses the JVM-wide idx cache's ability
+  * to skip the data object entirely when a reducer's segments are all
+  * empty. Nor can the offsets ride in `MapStatus`: its per-bin sizes
+  * are lossily compressed (log-bucketed; averaged beyond 2000 bins),
+  * good for scheduling but useless as byte offsets. Records are
   * grouped by bin with a spill-safe [[ExternalSorter]] before the
   * single sequential upload (exactly `SortShuffleWriter`'s shape), so
   * the write path stays one streaming PUT per map task regardless of
