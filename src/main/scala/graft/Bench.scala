@@ -84,12 +84,21 @@ object Bench {
     // SPARK_GRAFT_SHUFFLE_DIR=<uri> benchmarks the object-store shuffle
     // (GraftShuffleManager) instead of local-disk shuffle
     val spark = sys.env.get("SPARK_GRAFT_SHUFFLE_DIR").fold(builder) { dir =>
-      builder
+      val b = builder
         .config("spark.shuffle.manager",
           "org.apache.spark.shuffle.graft.GraftShuffleManager")
         .config("spark.shuffle.sort.io.plugin.class",
           "org.apache.spark.shuffle.graft.GraftShuffleDataIO")
         .config("spark.graft.shuffle.dir", dir)
+      // graftfs:// = the local-backed object-store stand-in
+      // (graft.mr.GraftObjectFs) — register its scheme so the
+      // deployment-shaped leg (FS shuffle over scheme-resolved object
+      // store) runs without external configuration
+      if (dir.startsWith("graftfs:"))
+        b.config("spark.hadoop.fs.graftfs.impl",
+            classOf[graft.mr.GraftObjectFs].getName)
+          .config("spark.hadoop.fs.graftfs.impl.disable.cache", "true")
+      else b
     }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1,24 +1,12 @@
 package graft.mr
 
-import java.net.URI
 import java.nio.file.Files
 import graft.SparkSpec
-import org.apache.hadoop.fs.RawLocalFileSystem
 import org.scalatest.funsuite.AnyFunSuite
 
-/** A Hadoop FileSystem registered under a non-`file:` scheme. Backed by
-  * local disk, but from the engine's point of view it is a foreign
-  * object store: every open/list/rename/delete goes through the Hadoop
-  * FileSystem API resolved from the URI scheme — the same resolution
-  * seam the reference switches on for S3 vs local
-  * (`/root/reference/internal/pkg/corfs/filesys.go:51-65`). s3a:// in
-  * production differs only by which impl class the scheme maps to
-  * (`fs.s3a.impl`); no engine code changes.
-  */
-class GraftObjectFs extends RawLocalFileSystem {
-  override def getScheme: String = "graftfs"
-  override def getUri: URI = URI.create("graftfs:///")
-}
+// GraftObjectFs (the graftfs:// object-store stand-in these cases run
+// over) moved to main sources so graft.Bench can register it for the
+// deployment-shaped FS-shuffle leg — same FQCN, suites unchanged.
 
 /** F15: scheme-parameterized I/O. The reference ships a full S3 backend
   * (`corfs/s3.go`); the sandbox has no S3 endpoint or hadoop-aws jar,
