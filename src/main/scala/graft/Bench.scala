@@ -37,6 +37,33 @@ object Bench {
   private[graft] val HeavySec = 3.0
   private[graft] val MinHeavyPasses = 3
 
+  /** `SPARK_GRAFT_SHUFFLE_DIR=<uri>` switches the session to the
+    * object-store shuffle (`GraftShuffleManager`) instead of
+    * local-disk sort shuffle — the deployment-shaped configuration.
+    * A `graftfs://` URI also registers the local-backed stand-in
+    * FileSystem ([[graft.mr.GraftObjectFs]]) so the leg runs without
+    * external configuration. Shared by Bench and ScaleProbe so the
+    * two measurement mains cannot drift on how the leg is wired. */
+  private[graft] def withShuffleEnv(
+      builder: SparkSession.Builder): SparkSession.Builder =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_DIR").fold(builder) { dir =>
+      val b = builder
+        .config("spark.shuffle.manager",
+          "org.apache.spark.shuffle.graft.GraftShuffleManager")
+        .config("spark.shuffle.sort.io.plugin.class",
+          "org.apache.spark.shuffle.graft.GraftShuffleDataIO")
+        .config("spark.graft.shuffle.dir", dir)
+      if (dir.startsWith("graftfs:"))
+        b.config("spark.hadoop.fs.graftfs.impl",
+            classOf[graft.mr.GraftObjectFs].getName)
+          .config("spark.hadoop.fs.graftfs.impl.disable.cache", "true")
+      else b
+    }
+
+  /** What the artifact's `shuffle` field should say for this run. */
+  private[graft] def shuffleMode: String =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_DIR").fold("local-sort")(d => s"fs:$d")
+
   /** Queries whose warm min over the base passes is ≥ `HeavySec` —
     * their run-to-run spread dominates the composite's noise, so they
     * earn extra min-of-N passes. */
@@ -81,25 +108,7 @@ object Bench {
       // task input metrics and FileSystem statistics (see Metrics)
       .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
       .config("spark.ui.enabled", "false")
-    // SPARK_GRAFT_SHUFFLE_DIR=<uri> benchmarks the object-store shuffle
-    // (GraftShuffleManager) instead of local-disk shuffle
-    val spark = sys.env.get("SPARK_GRAFT_SHUFFLE_DIR").fold(builder) { dir =>
-      val b = builder
-        .config("spark.shuffle.manager",
-          "org.apache.spark.shuffle.graft.GraftShuffleManager")
-        .config("spark.shuffle.sort.io.plugin.class",
-          "org.apache.spark.shuffle.graft.GraftShuffleDataIO")
-        .config("spark.graft.shuffle.dir", dir)
-      // graftfs:// = the local-backed object-store stand-in
-      // (graft.mr.GraftObjectFs) — register its scheme so the
-      // deployment-shaped leg (FS shuffle over scheme-resolved object
-      // store) runs without external configuration
-      if (dir.startsWith("graftfs:"))
-        b.config("spark.hadoop.fs.graftfs.impl",
-            classOf[graft.mr.GraftObjectFs].getName)
-          .config("spark.hadoop.fs.graftfs.impl.disable.cache", "true")
-      else b
-    }.getOrCreate()
+    val spark = withShuffleEnv(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Pass 1: cold, at the target SF (doubles as the warmup for pass 2).
@@ -167,7 +176,7 @@ object Bench {
     val passDetail = passes.map(p =>
       names.flatMap(n => p.get(n).map(m => "\"" + n + "\":" + m._1))
         .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":"${shuffleMode}","sf":"$sfDir"}"""
     println(line)
     // stdout of an sbt run gets interleaved/truncated by the harness —
     // persist the full line so the round artifact always parses
@@ -184,7 +193,7 @@ object Bench {
     // sets Global/showSuccess := false so sbt's "[success] Total time"
     // banner doesn't land AFTER this line — r8's tail showed the banner
     // as the true last line, which is what a last-line parser chokes on.)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"noise_suspect":$noiseSuspect,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":"${shuffleMode}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -64,14 +64,19 @@ object ScaleProbe {
       s"SPARK_GRAFT_SCALE_REPS must be in [2, 26] (1 measures nothing, " +
         s"> 26 wraps the cipher into verbatim copies), got $reps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_SHUFFLE_DIR measures the probe under the
+    // object-store shuffle (same env contract as Bench, same helper) —
+    // the exponents in the DEPLOYMENT-shaped configuration, not just
+    // local sort shuffle
+    val spark = graft.Bench.withShuffleEnv(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(s"[probe] shuffle: ${graft.Bench.shuffleMode}")
 
     // the fixture dir encodes reps: a rerun with a different reps must
     // build its own fixture, not silently reuse one at the wrong scale
@@ -136,7 +141,7 @@ object ScaleProbe {
       .mkString("{", ",", "}")
     val noiseSuspect = rows.collect { case (n, _, _, _, _, _, true) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"scale_probe","reps":$reps,"noise_suspect":$noiseSuspect,"queries":$qs}""")
+    println(s"""{"metric":"scale_probe","reps":$reps,"shuffle":"${graft.Bench.shuffleMode}","noise_suspect":$noiseSuspect,"queries":$qs}""")
     spark.stop()
   }
 }
