@@ -89,6 +89,13 @@ object GraftSession {
         .config("spark.shuffle.sort.io.plugin.class",
           "org.apache.spark.shuffle.graft.GraftShuffleDataIO")
         .config("spark.graft.shuffle.dir", dir)
+      // the graftfs:// object-store stand-in self-registers, same as
+      // in Bench/ScaleProbe/Verify (s3a:// in production registers
+      // itself via hadoop-aws's ServiceLoader entry instead)
+      if (dir.startsWith("graftfs:"))
+        b.config("spark.hadoop.fs.graftfs.impl",
+            classOf[graft.mr.GraftObjectFs].getName)
+          .config("spark.hadoop.fs.graftfs.impl.disable.cache", "true")
     }
     if (local) b.master(s"local[${conf.maxConcurrency}]") else b
   }
