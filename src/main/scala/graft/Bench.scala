@@ -53,10 +53,7 @@ object Bench {
         .config("spark.shuffle.sort.io.plugin.class",
           "org.apache.spark.shuffle.graft.GraftShuffleDataIO")
         .config("spark.graft.shuffle.dir", dir)
-      if (dir.startsWith("graftfs:"))
-        b.config("spark.hadoop.fs.graftfs.impl",
-            classOf[graft.mr.GraftObjectFs].getName)
-          .config("spark.hadoop.fs.graftfs.impl.disable.cache", "true")
+      if (dir.startsWith("graftfs:")) graft.mr.GraftObjectFs.register(b)
       else b
     }
 

@@ -92,10 +92,7 @@ object GraftSession {
       // the graftfs:// object-store stand-in self-registers, same as
       // in Bench/ScaleProbe/Verify (s3a:// in production registers
       // itself via hadoop-aws's ServiceLoader entry instead)
-      if (dir.startsWith("graftfs:"))
-        b.config("spark.hadoop.fs.graftfs.impl",
-            classOf[graft.mr.GraftObjectFs].getName)
-          .config("spark.hadoop.fs.graftfs.impl.disable.cache", "true")
+      if (dir.startsWith("graftfs:")) graft.mr.GraftObjectFs.register(b)
     }
     if (local) b.master(s"local[${conf.maxConcurrency}]") else b
   }
