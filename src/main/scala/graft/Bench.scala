@@ -61,6 +61,16 @@ object Bench {
   private[graft] def shuffleMode: String =
     sys.env.get("SPARK_GRAFT_SHUFFLE_DIR").fold("local-sort")(d => s"fs:$d")
 
+  /** JSON string escape for env-provided values (`shuffle`, `sf`) —
+    * a quote/backslash/control char in a path must not break the
+    * artifact-always-parses contract. */
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** Queries whose warm min over the base passes is ≥ `HeavySec` —
     * their run-to-run spread dominates the composite's noise, so they
     * earn extra min-of-N passes. */
@@ -173,7 +183,7 @@ object Bench {
     val passDetail = passes.map(p =>
       names.flatMap(n => p.get(n).map(m => "\"" + n + "\":" + m._1))
         .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":"${shuffleMode}","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":${jstr(shuffleMode)},"sf":${jstr(sfDir)}}"""
     println(line)
     // stdout of an sbt run gets interleaved/truncated by the harness —
     // persist the full line so the round artifact always parses
@@ -190,7 +200,7 @@ object Bench {
     // sets Global/showSuccess := false so sbt's "[success] Total time"
     // banner doesn't land AFTER this line — r8's tail showed the banner
     // as the true last line, which is what a last-line parser chokes on.)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":"${shuffleMode}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":${jstr(shuffleMode)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
