@@ -105,6 +105,15 @@ object ScaleProbe {
       fn(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Bench's failure convention: a crashed query records -1.0 instead
+    // of aborting the probe — one OOM'd sf1 pass must not discard the
+    // rows already measured (hours of runs) with the artifact unprinted
+    def timeSafe(name: String, dir: String): Double =
+      try time(name, dir) catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"[probe] $name FAILED at $dir: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          -1.0
+      }
 
     // Bench's min-of-N + spread methodology (round-10 verdict #3):
     // output-bound rows get >= 3 warm passes at BOTH scales, every row
@@ -112,19 +121,26 @@ object ScaleProbe {
     // variance annotated in the artifact instead of a single-run
     // exponent swinging between rounds unexplained.
     def warmStats(name: String, dir: String, passes: Int): (Double, Double) = {
-      val ts = (1 to passes).map(_ => time(name, dir))
-      val mn = ts.min
-      (mn, if (mn > 0) ts.max / mn else 1.0)
+      val ts = (1 to passes).map(_ => timeSafe(name, dir)).filter(_ >= 0)
+      if (ts.isEmpty) (-1.0, 1.0)
+      else {
+        val mn = ts.min
+        (mn, if (mn > 0) ts.max / mn else 1.0)
+      }
     }
     val rows = Probes.map { name =>
       val passes = if (OutputBound(name)) 3 else 2
-      val cold01 = time(name, src)
+      val cold01 = timeSafe(name, src)
       val (warm01, spread01) = warmStats(name, src, passes)
-      val cold1 = time(name, sf1Dir)
+      val cold1 = timeSafe(name, sf1Dir)
       val (warm1, spread1) = warmStats(name, sf1Dir, passes)
-      // data grew reps×: log base reps (log10 only when reps = 10)
-      val exp = math.log(warm1 / warm01) / math.log(reps.toDouble)
-      val noise = spread01 > 2.0 || spread1 > 2.0
+      // data grew reps×: log base reps (log10 only when reps = 10).
+      // NaN when either side failed (-1.0) or measured 0 — serialized
+      // as null below, never a bare NaN/Infinity token in the artifact.
+      val exp =
+        if (warm01 > 0 && warm1 > 0) math.log(warm1 / warm01) / math.log(reps.toDouble)
+        else Double.NaN
+      val noise = spread01 > 2.0 || spread1 > 2.0 || warm01 < 0 || warm1 < 0
       // Locale.ROOT: the f-interpolator would emit comma decimals on a
       // non-English default locale (same fix as Bench/IvfTune)
       println(String.format(java.util.Locale.ROOT,
@@ -135,13 +151,17 @@ object ScaleProbe {
       (name, warm01, spread01, warm1, spread1, exp, noise)
     }
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    // a non-finite number (failed row's exponent) must serialize as
+    // null — a bare NaN/Infinity token makes the whole line unparseable
+    def jnum(d: Double): String =
+      if (java.lang.Double.isFinite(d)) d.toString else "null"
     val qs = rows.map { case (n, a, sa, b, sb, e, _) =>
-      s""""$n":{"sf01_warm":$a,"sf01_spread":${r3(sa)},"sf1_warm":$b,""" +
-        s""""sf1_spread":${r3(sb)},"exponent":${r3(e)}}""" }
+      s""""$n":{"sf01_warm":${jnum(a)},"sf01_spread":${jnum(r3(sa))},"sf1_warm":${jnum(b)},""" +
+        s""""sf1_spread":${jnum(r3(sb))},"exponent":${jnum(r3(e))}}""" }
       .mkString("{", ",", "}")
     val noiseSuspect = rows.collect { case (n, _, _, _, _, _, true) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"scale_probe","reps":$reps,"shuffle":"${graft.Bench.shuffleMode}","noise_suspect":$noiseSuspect,"queries":$qs}""")
+    println(s"""{"metric":"scale_probe","reps":$reps,"shuffle":${graft.Bench.jstr(graft.Bench.shuffleMode)},"noise_suspect":$noiseSuspect,"queries":$qs}""")
     spark.stop()
   }
 }
