@@ -191,6 +191,10 @@ object GraftShuffleManager {
   private val idxCacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
   private val IdxCacheMaxBytes = 64L << 20
 
+  /** Test seam: the byte counter the cap compares against. Invariant
+    * (ShuffleIdxCacheSpec): always equals 8 × Σ entry lengths. */
+  private[graft] def idxCacheSizeBytes: Long = idxCacheBytes.get()
+
   private[graft] def segmentLengths(fs: FileSystem, shuffleDir: Path,
       mapId: Long, numBins: Int): Array[Long] = {
     val key = (shuffleDir.toString, mapId)
@@ -199,11 +203,24 @@ object GraftShuffleManager {
     val in = new DataInputStream(
       new BufferedInputStream(fs.open(indexPath(shuffleDir, mapId))))
     val lens = try Array.fill(numBins)(in.readLong()) finally in.close()
-    if (idxCacheBytes.addAndGet(8L * numBins) > IdxCacheMaxBytes) {
-      idxCache.clear()
-      idxCacheBytes.set(8L * numBins)
+    // Insert under a lock so the byte counter exactly tracks the map's
+    // contents (lock-free addAndGet + put let two same-key misses
+    // double-count, and a put racing clear() left entries the counter
+    // had erased). Hits above stay lock-free; a miss already paid an FS
+    // round-trip, so the lock is noise. Two same-key misses race to the
+    // FS read, the loser sees the winner's entry here and skips.
+    idxCache.synchronized {
+      val cur = idxCache.get(key)
+      if (cur == null || cur.length != numBins) {
+        if (cur != null) idxCacheBytes.addAndGet(-8L * cur.length)
+        if (idxCacheBytes.get() + 8L * numBins > IdxCacheMaxBytes) {
+          idxCache.clear()
+          idxCacheBytes.set(0L)
+        }
+        idxCache.put(key, lens)
+        idxCacheBytes.addAndGet(8L * numBins)
+      }
     }
-    idxCache.put(key, lens)
     lens
   }
 }

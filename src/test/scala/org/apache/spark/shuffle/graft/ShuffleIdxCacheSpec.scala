@@ -51,6 +51,22 @@ class ShuffleIdxCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("byte counter tracks contents: concurrent same-key misses count once") {
+    writeIdx(7L, Array(3L, 4L, 5L))
+    val before = GraftShuffleManager.idxCacheSizeBytes
+    // N threads all miss the same uncached key concurrently; exactly
+    // one insert must be accounted (the old lock-free path double-
+    // counted every race, drifting the cap's counter from the contents)
+    val threads = (1 to 8).map(_ => new Thread(() =>
+      GraftShuffleManager.segmentLengths(fs, dir, 7L, 3)))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(GraftShuffleManager.idxCacheSizeBytes == before + 8L * 3)
+    // a stale-entry replacement re-accounts, not double-counts
+    writeIdx(7L, Array(1L, 2L, 3L, 4L, 5L))
+    GraftShuffleManager.segmentLengths(fs, dir, 7L, 5)
+    assert(GraftShuffleManager.idxCacheSizeBytes == before + 8L * 5)
+  }
+
   test("byte cap evicts: a cached entry is gone after 64 MB of inserts") {
     writeIdx(3L, Array(5L, 6L))
     assert(GraftShuffleManager.segmentLengths(fs, dir, 3L, 2).toSeq == Seq(5L, 6L))
