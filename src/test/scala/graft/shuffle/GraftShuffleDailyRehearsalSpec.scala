@@ -112,30 +112,61 @@ class GraftShuffleDailyRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll 
   test("daily pipeline on lambda://local-sim + FS shuffle survives an invocation kill") {
     eventually(90)(assert(backend.liveInvocationIds.size == 2))
 
-    // clean run: the expected survivor set AND the clock for the kill
-    val cleanRoot = Files.createTempDirectory("graft-dress-clean").toString
-    val t0 = System.nanoTime()
-    val expected = runDaily(cleanRoot)
-    val cleanNanos = System.nanoTime() - t0
-    assert(expected.nonEmpty && expected.size < 500,
-      s"survivors ${expected.size} of 500 — the fixture must drop some docs")
+    // The kill is PROGRESS-clocked, not wall-clocked: a listener counts
+    // stage submissions and fires the kill when the second run reaches
+    // ~1/3 of the clean run's stage count. (A wall-clock sleep derived
+    // from the COLD first run let a JIT-warmed second run finish before
+    // the kill landed — a vacuous pass that never exercised anything.)
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var killAtStage = Int.MaxValue // disarmed during the clean run
+    @volatile var killedAtStage = -1
+    @volatile var killedId = ""
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        val n = stages.incrementAndGet()
+        if (n >= killAtStage && killedAtStage < 0) {
+          val live = backend.liveInvocationIds
+          if (live.nonEmpty) {
+            killedId = live.min
+            backend.killInvocation(killedId)
+            killedAtStage = n
+          }
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // clean run: the expected survivor set AND the stage-count clock
+      val cleanRoot = Files.createTempDirectory("graft-dress-clean").toString
+      val expected = runDaily(cleanRoot)
+      assert(expected.nonEmpty && expected.size < 500,
+        s"survivors ${expected.size} of 500 — the fixture must drop some docs")
+      val cleanStages = stages.get()
+      assert(cleanStages >= 6,
+        s"pipeline ran only $cleanStages stages — too coarse to kill mid-run")
 
-    // second run against fresh assets with one of the two leases
-    // killed mid-pipeline (~1/3 in)
-    val killRoot = Files.createTempDirectory("graft-dress-kill").toString
-    val killer = new Thread(() => {
-      Thread.sleep(math.max(cleanNanos / 3000000L, 200L))
-      val live = backend.liveInvocationIds
-      if (live.nonEmpty) backend.killInvocation(live.min)
-    })
-    killer.start()
-    val got = runDaily(killRoot)
-    killer.join()
-    assert(got == expected,
-      s"kill run diverged: missing=${(expected -- got).take(5)} " +
-        s"extra=${(got -- expected).take(5)}")
+      // second run against fresh assets, one of the two leases killed
+      // on the ~cleanStages/3-rd stage submission
+      stages.set(0)
+      killAtStage = math.max(cleanStages / 3, 2)
+      val killRoot = Files.createTempDirectory("graft-dress-kill").toString
+      val got = runDaily(killRoot)
+      // the kill must have actually landed mid-pipeline — a pass where
+      // it never fired (or fired after the last stage) proves nothing
+      assert(killedAtStage >= 0, "the kill never fired — vacuous rehearsal")
+      assert(stages.get() > killedAtStage,
+        s"no stages after the kill (killed at $killedAtStage of ${stages.get()})")
+      assert(got == expected,
+        s"kill run diverged: missing=${(expected -- got).take(5)} " +
+          s"extra=${(got -- expected).take(5)}")
 
-    // the supervisor restores the lease count afterwards
-    eventually(90)(assert(backend.liveInvocationIds.size == 2))
+      // the supervisor restores the lease count with a FRESH invocation
+      // (executor ids never recycle, so the killed lease must be gone)
+      eventually(90) {
+        val live = backend.liveInvocationIds
+        assert(live.size == 2 && !live.contains(killedId))
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
