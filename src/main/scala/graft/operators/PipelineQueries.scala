@@ -122,55 +122,21 @@ object PipelineQueries {
   // dominates wall-clock (the same fixture cost dd10 carries), so the
   // capstone is correctness-gated but not benched; dd10p is the
   // incremental step's measured cost.
+  // The composition itself lives in [[DailyPipeline]] — ONE definition
+  // of the verb sequence and geometry shared with p4p and the
+  // deployment dress rehearsal, so the three bindings can't drift.
   private def dailyIncrement(s: SparkSession, dir: String): DataFrame = {
-    import DedupQueries.{DD3Bands, DD3Rows, IncMod}
     val docs = Tables.documents(s, dir)
-    val corpus = docs.filter(col("doc_id") % IncMod =!= 0)
-    val inc = docs.filter(col("doc_id") % IncMod === 0)
     val root =
       s"target/graft_p4/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    graft.api.Barrier.scoped {
-      // 1. yesterday's state: both assets seeded from the corpus
-      graft.api.Dedup.minhashSignatures(
-          corpus, "doc_id", "text", DD3Bands, DD3Rows)
-        .write.parquet(s"$root/sigs/base")
-      graft.api.Dedup.duplicateGroups(
-          graft.api.Dedup.jaccardPairs(
-            corpus, "doc_id", "text", DD3Bands, DD3Rows, 0.8),
-          "doc_a", "doc_b")
-        .write.parquet(s"$root/groups/base")
-      // 2. today's increment lands as an inc dir on the signature asset
-      graft.api.Dedup.minhashSignatures(
-          inc, "doc_id", "text", DD3Bands, DD3Rows)
-        .write.parquet(s"$root/sigs/inc_0")
-      // 3. dd7: pairs touching the increment, corpus never re-paired
-      //    (the asset read excludes the increment's own dir — the same
-      //    replay-safe shape the streaming twin uses)
-      graft.api.Dedup.incrementalJaccardPairs(
-          graft.api.Dedup.readSignatureAsset(
-            s, s"$root/sigs", excludeInc = Some("inc_0")),
-          s.read.parquet(s"$root/sigs/inc_0"), 0.8)
-        .write.parquet(s"$root/pairs")
-      // 4. dd10: group assignments for the touched components, landed
-      //    as a merge-on-read upsert on the groups asset
-      graft.api.Dedup.incrementalGroups(
-          graft.api.Dedup.readGroupsAsset(
-            s, s"$root/groups", excludeInc = Some("inc_0")),
-          s.read.parquet(s"$root/pairs"), "doc_a", "doc_b")
-        .write.parquet(s"$root/groups/inc_0")
-      // 5. the day's quiesce point: fold both assets
-      graft.api.Dedup.compactSignatureAsset(s, s"$root/sigs")
-      graft.api.Dedup.compactGroupsAsset(s, s"$root/groups")
-    }
-    // 6. keep/drop: a doc survives iff it leads its resolved group (or
-    //    belongs to none) — the corpus-sized side anti-joins a
-    //    broadcastable loser set
-    val losers = graft.api.Dedup.readGroupsAsset(s, s"$root/groups")
-      .filter(col("doc_id") =!= col("group_id")).select(col("doc_id"))
-    docs.join(losers, Seq("doc_id"), "leftanti").select(col("doc_id"))
+    // yesterday's state, then today's increment + quiesce compaction —
+    // determinism comes from recomputation, not reused state
+    DailyPipeline.seedAssets(s, docs, root)
+    DailyPipeline.runIncrement(s, docs, root, compact = true)
+    DailyPipeline.survivors(s, docs, root)
   }
 
   private val dailyIncrementSql =
@@ -204,7 +170,6 @@ object PipelineQueries {
   private val seededP4Roots = scala.collection.mutable.Set[String]()
 
   private def seedP4Assets(s: SparkSession, dir: String): String = {
-    import DedupQueries.{DD3Bands, DD3Rows, IncMod}
     val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val root = s"target/graft_bench/p4p/$key"
     synchronized {
@@ -214,17 +179,7 @@ object PipelineQueries {
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        val corpus = Tables.documents(s, dir).filter(col("doc_id") % IncMod =!= 0)
-        graft.api.Barrier.scoped {
-          graft.api.Dedup.minhashSignatures(
-              corpus, "doc_id", "text", DD3Bands, DD3Rows)
-            .write.parquet(s"$root/sigs/base")
-          graft.api.Dedup.duplicateGroups(
-              graft.api.Dedup.jaccardPairs(
-                corpus, "doc_id", "text", DD3Bands, DD3Rows, 0.8),
-              "doc_a", "doc_b")
-            .write.parquet(s"$root/groups/base")
-        }
+        DailyPipeline.seedAssets(s, Tables.documents(s, dir), root)
         seededP4Roots += root
       }
     }
@@ -232,28 +187,12 @@ object PipelineQueries {
   }
 
   private def dailyIncrementAsset(s: SparkSession, dir: String): DataFrame = {
-    import DedupQueries.{DD3Bands, DD3Rows, IncMod}
     val root = seedP4Assets(s, dir)
     val docs = Tables.documents(s, dir)
-    val inc = docs.filter(col("doc_id") % IncMod === 0)
-    graft.api.Barrier.scoped {
-      graft.api.Dedup.minhashSignatures(
-          inc, "doc_id", "text", DD3Bands, DD3Rows)
-        .write.mode("overwrite").parquet(s"$root/sigs/inc_0")
-      graft.api.Dedup.incrementalJaccardPairs(
-          graft.api.Dedup.readSignatureAsset(
-            s, s"$root/sigs", excludeInc = Some("inc_0")),
-          s.read.parquet(s"$root/sigs/inc_0"), 0.8)
-        .write.mode("overwrite").parquet(s"$root/pairs")
-      graft.api.Dedup.incrementalGroups(
-          graft.api.Dedup.readGroupsAsset(
-            s, s"$root/groups", excludeInc = Some("inc_0")),
-          s.read.parquet(s"$root/pairs"), "doc_a", "doc_b")
-        .write.mode("overwrite").parquet(s"$root/groups/inc_0")
-    }
-    val losers = graft.api.Dedup.readGroupsAsset(s, s"$root/groups")
-      .filter(col("doc_id") =!= col("group_id")).select(col("doc_id"))
-    docs.join(losers, Seq("doc_id"), "leftanti").select(col("doc_id"))
+    // NO compaction: that's the quiesce-point maintenance verb, not
+    // part of the daily latency path this binding measures
+    DailyPipeline.runIncrement(s, docs, root, compact = false)
+    DailyPipeline.survivors(s, docs, root)
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -264,4 +203,81 @@ object PipelineQueries {
     QueryDef("p4p_daily_increment_asset", dailyIncrementAsset,
       Some(dailyIncrementSql), bench = true),
   )
+}
+
+/** The composed daily-increment verb — the ONE definition of the
+  * pipeline's stage sequence, dd3 geometry (8 bands × 4 rows,
+  * jaccard ≥ 0.8), doc_id % 10 corpus/increment split, and
+  * replay-idempotent write protocol (overwrite to a fixed `inc_0`,
+  * asset reads excluding the batch's own dir). Shared by p4 (the
+  * batch-global-oracle correctness capstone), p4p (the bench binding
+  * over pre-seeded assets), and the lambda-sim + FS-shuffle deployment
+  * dress rehearsal (GraftShuffleDailyRehearsalSpec), so a geometry or
+  * protocol change can't leave one binding silently on the old shape.
+  * `private[graft]`: an internal composition seam, not library API —
+  * users compose [[graft.api.Dedup]]'s verbs directly (README's
+  * operating guide). */
+private[graft] object DailyPipeline {
+  import DedupQueries.{DD3Bands, DD3Rows, IncMod}
+  private val Jaccard = 0.8
+
+  private def corpus(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % IncMod =!= 0)
+  private def increment(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % IncMod === 0)
+
+  /** Seed yesterday's state: signature + groups assets from the
+    * corpus (the increment's docs excluded). */
+  def seedAssets(s: SparkSession, docs: DataFrame, root: String): Unit =
+    graft.api.Barrier.scoped {
+      graft.api.Dedup.minhashSignatures(
+          corpus(docs), "doc_id", "text", DD3Bands, DD3Rows)
+        .write.mode("overwrite").parquet(s"$root/sigs/base")
+      graft.api.Dedup.duplicateGroups(
+          graft.api.Dedup.jaccardPairs(
+            corpus(docs), "doc_id", "text", DD3Bands, DD3Rows, Jaccard),
+          "doc_a", "doc_b")
+        .write.mode("overwrite").parquet(s"$root/groups/base")
+    }
+
+  /** The daily latency path over seeded assets:
+    *
+    *   increment-ingest (signatures land as the `inc_0` dir)
+    *   → dd7 pairs   (asset streamed once, increment broadcast;
+    *                  the asset read excludes the batch's own dir —
+    *                  the replay-safe shape the streaming twin uses)
+    *   → dd10 groups (fixpoint over contracted labels only)
+    *   → upsert      (touched components land as a groups-asset inc dir)
+    *
+    * plus, when `compact`, the day's quiesce point: fold both assets. */
+  def runIncrement(s: SparkSession, docs: DataFrame, root: String,
+      compact: Boolean): Unit =
+    graft.api.Barrier.scoped {
+      graft.api.Dedup.minhashSignatures(
+          increment(docs), "doc_id", "text", DD3Bands, DD3Rows)
+        .write.mode("overwrite").parquet(s"$root/sigs/inc_0")
+      graft.api.Dedup.incrementalJaccardPairs(
+          graft.api.Dedup.readSignatureAsset(
+            s, s"$root/sigs", excludeInc = Some("inc_0")),
+          s.read.parquet(s"$root/sigs/inc_0"), Jaccard)
+        .write.mode("overwrite").parquet(s"$root/pairs")
+      graft.api.Dedup.incrementalGroups(
+          graft.api.Dedup.readGroupsAsset(
+            s, s"$root/groups", excludeInc = Some("inc_0")),
+          s.read.parquet(s"$root/pairs"), "doc_a", "doc_b")
+        .write.mode("overwrite").parquet(s"$root/groups/inc_0")
+      if (compact) {
+        graft.api.Dedup.compactSignatureAsset(s, s"$root/sigs")
+        graft.api.Dedup.compactGroupsAsset(s, s"$root/groups")
+      }
+    }
+
+  /** Keep/drop: a doc survives iff it leads its resolved group (or
+    * belongs to none) — the corpus-sized side anti-joins a
+    * broadcastable loser set. */
+  def survivors(s: SparkSession, docs: DataFrame, root: String): DataFrame = {
+    val losers = graft.api.Dedup.readGroupsAsset(s, s"$root/groups")
+      .filter(col("doc_id") =!= col("group_id")).select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "leftanti").select(col("doc_id"))
+  }
 }

@@ -2,12 +2,11 @@ package graft.shuffle
 
 import java.nio.file.Files
 
-import graft.api.Dedup
+import graft.operators.DailyPipeline
 import graft.lambda.LambdaClusterManager
 import org.apache.spark.graft.SchedulerBackdoor
 import org.apache.spark.scheduler.cluster.lambda.LambdaSchedulerBackend
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -74,39 +73,15 @@ class GraftShuffleDailyRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll 
     throw new AssertionError(s"condition not met within ${timeoutSec}s", last)
   }
 
-  // p4's composition on the sf0.001 fixture (same geometry as the
-  // oracle-gated binding: 8 bands × 4 rows, threshold 0.8, doc_id % 10
-  // split). Returns the surviving doc ids after keep/drop.
+  // p4's EXACT composition — the shared DailyPipeline definition the
+  // oracle-gated bindings run, not a hand-copied twin that could drift
+  // from their geometry. Returns the surviving doc ids after keep/drop.
   private def runDaily(root: String): Set[Long] = {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val inc = docs.filter(col("doc_id") % 10 === 0)
-    graft.api.Barrier.scoped {
-      Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 4)
-        .write.mode("overwrite").parquet(s"$root/sigs/base")
-      Dedup.duplicateGroups(
-          Dedup.jaccardPairs(corpus, "doc_id", "text", 8, 4, 0.8),
-          "doc_a", "doc_b")
-        .write.mode("overwrite").parquet(s"$root/groups/base")
-      Dedup.minhashSignatures(inc, "doc_id", "text", 8, 4)
-        .write.mode("overwrite").parquet(s"$root/sigs/inc_0")
-      Dedup.incrementalJaccardPairs(
-          Dedup.readSignatureAsset(spark, s"$root/sigs",
-            excludeInc = Some("inc_0")),
-          spark.read.parquet(s"$root/sigs/inc_0"), 0.8)
-        .write.mode("overwrite").parquet(s"$root/pairs")
-      Dedup.incrementalGroups(
-          Dedup.readGroupsAsset(spark, s"$root/groups",
-            excludeInc = Some("inc_0")),
-          spark.read.parquet(s"$root/pairs"), "doc_a", "doc_b")
-        .write.mode("overwrite").parquet(s"$root/groups/inc_0")
-      Dedup.compactSignatureAsset(spark, s"$root/sigs")
-      Dedup.compactGroupsAsset(spark, s"$root/groups")
-    }
-    val losers = Dedup.readGroupsAsset(spark, s"$root/groups")
-      .filter(col("doc_id") =!= col("group_id")).select("doc_id")
-    docs.join(losers, Seq("doc_id"), "leftanti")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    DailyPipeline.seedAssets(spark, docs, root)
+    DailyPipeline.runIncrement(spark, docs, root, compact = true)
+    DailyPipeline.survivors(spark, docs, root)
+      .collect().map(_.getLong(0)).toSet
   }
 
   test("daily pipeline on lambda://local-sim + FS shuffle survives an invocation kill") {
