@@ -150,9 +150,23 @@ object ScaleProbe {
         if (noise) "  NOISE" else "", cold01, cold1, passes))
       (name, warm01, spread01, warm1, spread1, exp, noise)
     }
+    println(artifactLine(reps, rows))
+    spark.stop()
+  }
+
+  /** One probe row: (name, sf0.1 warm, sf0.1 spread, sf1 warm,
+    * sf1 spread, exponent, noise). Failed sides carry −1.0 and a NaN
+    * exponent. */
+  private[graft] type ProbeRow =
+    (String, Double, Double, Double, Double, Double, Boolean)
+
+  /** The artifact line, separated from measurement so the contract is
+    * unit-testable (ScaleProbeArtifactSpec): always parses as JSON —
+    * non-finite numbers (a failed row's exponent) serialize as null,
+    * never a bare NaN/Infinity token, and the env-derived shuffle mode
+    * is escaped (Bench.jstr), matching Bench's artifact hardening. */
+  private[graft] def artifactLine(reps: Int, rows: Seq[ProbeRow]): String = {
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
-    // a non-finite number (failed row's exponent) must serialize as
-    // null — a bare NaN/Infinity token makes the whole line unparseable
     def jnum(d: Double): String =
       if (java.lang.Double.isFinite(d)) d.toString else "null"
     val qs = rows.map { case (n, a, sa, b, sb, e, _) =>
@@ -161,7 +175,6 @@ object ScaleProbe {
       .mkString("{", ",", "}")
     val noiseSuspect = rows.collect { case (n, _, _, _, _, _, true) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"scale_probe","reps":$reps,"shuffle":${graft.Bench.jstr(graft.Bench.shuffleMode)},"noise_suspect":$noiseSuspect,"queries":$qs}""")
-    spark.stop()
+    s"""{"metric":"scale_probe","reps":$reps,"shuffle":${graft.Bench.jstr(graft.Bench.shuffleMode)},"noise_suspect":$noiseSuspect,"queries":$qs}"""
   }
 }
