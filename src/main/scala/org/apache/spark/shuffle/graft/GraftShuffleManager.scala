@@ -223,6 +223,58 @@ object GraftShuffleManager {
     }
     lens
   }
+
+  /** JVM-wide SMALL data-object cache — the tiny-stage companion to the
+    * idx cache. The iterative fixpoints (dd6/p2/dd10p/p4p) chain dozens
+    * of stages whose whole map output is a few KB, yet every reduce
+    * task on the executor re-opened every map's data object: N opens
+    * per map per executor for bytes that fit in one GET. The idx gives
+    * a map output's TOTAL size before the data object is touched, so a
+    * map whose output is ≤ [[SmallDataMaxBytes]] is fetched whole
+    * exactly once per executor and every co-located reduce task decodes
+    * its segment from memory — data-object opens for a tiny stage drop
+    * from M × (reduce tasks on the executor) to M. Large maps keep the
+    * open-once/seek-per-segment streaming path: caching them would
+    * evict constantly and buffer bytes most reducers don't want.
+    * Same accounting discipline as the idx cache: insert under a lock
+    * so the byte counter exactly tracks contents, stale wrong-length
+    * entries re-accounted, clear-on-cap eviction (a miss just re-reads
+    * one small object). Entries are immutable — attempt-unique object
+    * names and the app-id-embedding dir mean a key can never alias
+    * different bytes; readers hold their own reference, so a clear()
+    * under them is GC-safe. */
+  private[graft] val SmallDataMaxBytes = 4L << 20
+  private val dataCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Byte]]()
+  private val dataCacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  private val DataCacheMaxBytes = 128L << 20
+
+  /** Test seam: invariant (ShuffleDataCacheSpec) — always equals
+    * Σ cached entry lengths. */
+  private[graft] def dataCacheSizeBytes: Long = dataCacheBytes.get()
+
+  private[graft] def smallDataBytes(fs: FileSystem, shuffleDir: Path,
+      mapId: Long, totalLen: Long): Array[Byte] = {
+    val key = (shuffleDir.toString, mapId)
+    val hit = dataCache.get(key)
+    if (hit != null && hit.length == totalLen) return hit
+    val buf = new Array[Byte](totalLen.toInt)
+    val in = fs.open(dataPath(shuffleDir, mapId))
+    try in.readFully(0L, buf) finally in.close()
+    dataCache.synchronized {
+      val cur = dataCache.get(key)
+      if (cur == null || cur.length != totalLen) {
+        if (cur != null) dataCacheBytes.addAndGet(-cur.length.toLong)
+        if (dataCacheBytes.get() + totalLen > DataCacheMaxBytes) {
+          dataCache.clear()
+          dataCacheBytes.set(0L)
+        }
+        dataCache.put(key, buf)
+        dataCacheBytes.addAndGet(totalLen)
+      }
+    }
+    buf
+  }
 }
 
 /** Consolidated map-output writer: bins the records with a spill-safe
