@@ -389,9 +389,13 @@ private[graft] class GraftShuffleWriter[K, V, C](
 /** Reads the requested bins of maps `[startMapIndex, endMapIndex)`
   * straight from the FS — the writing executor does not need to be
   * alive. Blocks are grouped by map: one idx read (JVM-cached) + one
-  * data-object open per map, then a seek per requested segment.
-  * Which (map, bin) blocks exist and are non-empty comes from the
-  * driver's MapOutputTracker, same as local shuffle. */
+  * data-object open per map, then a seek per requested segment; a map
+  * whose TOTAL output is ≤ [[GraftShuffleManager.SmallDataMaxBytes]]
+  * is instead fetched whole through the JVM-wide small-data cache, so
+  * co-located reduce tasks decode their segments from memory without
+  * touching the FS at all. Which (map, bin) blocks exist and are
+  * non-empty comes from the driver's MapOutputTracker, same as local
+  * shuffle. */
 private[graft] class GraftShuffleReader[K, C](
     handle: BaseShuffleHandle[K, _, C],
     startMapIndex: Int,
@@ -448,26 +452,44 @@ private[graft] class GraftShuffleReader[K, C](
         val lens = GraftShuffleManager.segmentLengths(
           fs, shuffleDir, blockMapId, numBins)
         val offsets = lens.scanLeft(0L)(_ + _)
-        val in = fs.open(GraftShuffleManager.dataPath(shuffleDir, blockMapId))
-        current = in
-        val segments: Iterator[(Any, Any)] = bins.iterator.flatMap { r =>
-          in.seek(offsets(r))
-          metrics.incRemoteBlocksFetched(1)
-          // exact segment size from the idx — never a per-block
-          // getFileStatus (a HEAD request per block on an object store)
-          metrics.incRemoteBytesRead(lens(r))
-          // the LimitedInputStream bounds the segment and does NOT
-          // close `in` when the codec stream hits EOF and closes up
-          serInstance.deserializeStream(serMgr.wrapStream(
-            ShuffleBlockId(dep.shuffleId, blockMapId, r),
-            new BufferedInputStream(
-              new LimitedInputStream(in, lens(r), false), 64 * 1024)))
-            .asKeyValueIterator
-        }
-        segments ++ {
-          if (current eq in) current = null
-          in.close()
-          Iterator.empty
+        val total = offsets(numBins)
+        if (total <= GraftShuffleManager.SmallDataMaxBytes) {
+          // tiny map output (the iterative-fixpoint shape): fetch the
+          // whole data object once per executor via the JVM-wide cache
+          // and decode segments from memory — no FS open per reduce task
+          val buf = GraftShuffleManager.smallDataBytes(
+            fs, shuffleDir, blockMapId, total)
+          bins.iterator.flatMap { r =>
+            metrics.incRemoteBlocksFetched(1)
+            metrics.incRemoteBytesRead(lens(r))
+            serInstance.deserializeStream(serMgr.wrapStream(
+              ShuffleBlockId(dep.shuffleId, blockMapId, r),
+              new java.io.ByteArrayInputStream(
+                buf, offsets(r).toInt, lens(r).toInt)))
+              .asKeyValueIterator
+          }
+        } else {
+          val in = fs.open(GraftShuffleManager.dataPath(shuffleDir, blockMapId))
+          current = in
+          val segments: Iterator[(Any, Any)] = bins.iterator.flatMap { r =>
+            in.seek(offsets(r))
+            metrics.incRemoteBlocksFetched(1)
+            // exact segment size from the idx — never a per-block
+            // getFileStatus (a HEAD request per block on an object store)
+            metrics.incRemoteBytesRead(lens(r))
+            // the LimitedInputStream bounds the segment and does NOT
+            // close `in` when the codec stream hits EOF and closes up
+            serInstance.deserializeStream(serMgr.wrapStream(
+              ShuffleBlockId(dep.shuffleId, blockMapId, r),
+              new BufferedInputStream(
+                new LimitedInputStream(in, lens(r), false), 64 * 1024)))
+              .asKeyValueIterator
+          }
+          segments ++ {
+            if (current eq in) current = null
+            in.close()
+            Iterator.empty
+          }
         }
       }
       .map { r => metrics.incRecordsRead(1); r }
