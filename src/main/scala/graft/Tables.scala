@@ -27,15 +27,30 @@ object Tables {
   def ensureNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and convert to microsecond
-    * TimestampType with exact integer division (values ~1.7e18 exceed
-    * double precision, so no float math here). */
+  /** Normalize `events.ts` to session-zoned TimestampType whatever the
+    * fixture generation wrote it as. The driver's generator has shipped
+    * two formats across rounds: parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader only accepts as raw longs
+    * ([[ensureNanosAsLong]]), converted here with exact integer
+    * division (values ~1.7e18 exceed double precision, so no float
+    * math) — and plain TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+    * reads as TIMESTAMP_NTZ and casts value-preserving under the
+    * engine-wide UTC session timezone. Every events reader (batch +
+    * streaming) funnels through this one dispatch so a future format
+    * drift has exactly one place to land. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     ensureNanosAsLong(spark)
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "lineitem")

@@ -375,7 +375,8 @@ object StreamingOps {
   private def rawEventSchema = {
     import org.apache.spark.sql.types._
     StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
   }
@@ -383,18 +384,16 @@ object StreamingOps {
   /** Watch a landing directory (or glob) of event parquet files as a
     * stream — the production file-source shape: upstream drops files
     * into the dir, the query picks them up per trigger (incl.
-    * `Trigger.AvailableNow` for drain-and-stop runs). Reading the
-    * TIMESTAMP(NANOS) fixture requires the same session conf
-    * `Tables.events` uses; that requirement is owned by
-    * [[graft.Tables.ensureNanosAsLong]] (explicit + idempotent), not
-    * mutated here as a hidden side effect. */
-  def eventLanding(spark: SparkSession, dirOrGlob: String): DataFrame = {
-    graft.Tables.ensureNanosAsLong(spark)
-    spark.readStream
-      .schema(rawEventSchema)
-      .parquet(dirOrGlob)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
+    * `Trigger.AvailableNow` for drain-and-stop runs). `ts` lands as
+    * TIMESTAMP_NTZ (the fixture's TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) annotation) and is normalized to the
+    * session-zoned TimestampType by the same one-place dispatch the
+    * batch reader uses ([[graft.Tables.normalizeEventTs]]). */
+  def eventLanding(spark: SparkSession, dirOrGlob: String): DataFrame =
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(rawEventSchema)
+        .parquet(dirOrGlob))
 
   /** The sf events table as a bounded stream: the file-stream source
     * accepts globs (a bare file path fails basePath validation; a glob
