@@ -155,6 +155,7 @@ class GraftShuffleManager(conf: SparkConf) extends ShuffleManager with Logging {
   }
 
   override def unregisterShuffle(shuffleId: Int): Boolean = {
+    GraftShuffleManager.purgeShuffle(shuffleDir(shuffleId).toString)
     try fs.delete(shuffleDir(shuffleId), true)
     catch { case NonFatal(e) => logWarning(s"shuffle $shuffleId cleanup: $e") }
     true
@@ -274,6 +275,38 @@ object GraftShuffleManager {
       }
     }
     buf
+  }
+
+  /** Drop every cached idx/data entry of one shuffle. Called from
+    * `unregisterShuffle` — which the BlockManager's `RemoveShuffle`
+    * handler invokes on every executor, so cluster mode is covered,
+    * not just local[N] — to keep the byte-capped caches holding live
+    * shuffles only instead of waiting for cap eviction. Removal runs
+    * under the same locks the inserts use, so the byte counters stay
+    * exact against concurrent misses; a straggler task re-inserting
+    * after the purge is harmless (entries are immutable and
+    * dir-unique, and the cap clears residue). */
+  private[graft] def purgeShuffle(shuffleDir: String): Unit = {
+    idxCache.synchronized {
+      val it = idxCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == shuffleDir) {
+          idxCacheBytes.addAndGet(-8L * e.getValue.length)
+          it.remove()
+        }
+      }
+    }
+    dataCache.synchronized {
+      val it = dataCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == shuffleDir) {
+          dataCacheBytes.addAndGet(-e.getValue.length.toLong)
+          it.remove()
+        }
+      }
+    }
   }
 }
 

@@ -58,6 +58,31 @@ class ShuffleDataCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftShuffleManager.dataCacheSizeBytes == before + 96L)
   }
 
+  test("purgeShuffle drops only the named dir's entries, counters exact") {
+    val otherDir = new Path(
+      java.nio.file.Files.createTempDirectory("graft-datacache2").toUri.toString)
+    try {
+      // flush any earlier tests' entries under `dir` so the byte delta
+      // below is exactly this test's one entry
+      GraftShuffleManager.purgeShuffle(dir.toString)
+      writeData(11L, Array.fill(40)(4.toByte))
+      val out = fs.create(GraftShuffleManager.dataPath(otherDir, 11L), true)
+      try out.write(Array.fill(48)(5.toByte)) finally out.close()
+      GraftShuffleManager.smallDataBytes(fs, dir, 11L, 40L)
+      GraftShuffleManager.smallDataBytes(fs, otherDir, 11L, 48L)
+      val before = GraftShuffleManager.dataCacheSizeBytes
+      GraftShuffleManager.purgeShuffle(dir.toString)
+      // this dir's entry gone (and its bytes), the other dir's intact
+      assert(GraftShuffleManager.dataCacheSizeBytes == before - 40L)
+      fs.delete(GraftShuffleManager.dataPath(dir, 11L), false)
+      intercept[java.io.FileNotFoundException] {
+        GraftShuffleManager.smallDataBytes(fs, dir, 11L, 40L)
+      }
+      assert(GraftShuffleManager.smallDataBytes(fs, otherDir, 11L, 48L)
+        .forall(_ == 5.toByte))
+    } finally fs.delete(otherDir, true)
+  }
+
   test("byte cap evicts: a cached entry is gone after 128 MB of inserts") {
     val bytes = Array.fill(32)(3.toByte)
     writeData(3L, bytes)
