@@ -44,7 +44,11 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unhandled type $other — the fixture format drifted " +
+          "again; teach Tables.normalizeEventTs the new type (fail-loud " +
+          "here beats four obscure analysis errors downstream)")
     }
   }
 

@@ -372,11 +372,27 @@ object StreamingOps {
       batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
     }
 
-  private def rawEventSchema = {
+  /** The landing schema's `ts` type. A file stream needs its schema up
+    * front, so dispatch-on-observed-type means probing an existing
+    * file's footer: batch-infer if the landing dir already has data
+    * (a stream started on a populated dir — the spec and backfill
+    * shape), else assume the current fixture generation's
+    * TIMESTAMP(MICROS)/NTZ. An old TIMESTAMP(NANOS) file dropped into
+    * a dir probed as NTZ still fails loud at read — format MIXES
+    * within one landing dir are not supported, only drift between
+    * generations. */
+  private def probeTsType(spark: SparkSession, dirOrGlob: String) = {
+    import org.apache.spark.sql.types._
+    graft.Tables.ensureNanosAsLong(spark)
+    try spark.read.parquet(dirOrGlob).schema("ts").dataType
+    catch { case scala.util.control.NonFatal(_) => TimestampNTZType }
+  }
+
+  private def rawEventSchema(tsType: org.apache.spark.sql.types.DataType) = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", TimestampNTZType),
+      StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
   }
@@ -384,15 +400,17 @@ object StreamingOps {
   /** Watch a landing directory (or glob) of event parquet files as a
     * stream — the production file-source shape: upstream drops files
     * into the dir, the query picks them up per trigger (incl.
-    * `Trigger.AvailableNow` for drain-and-stop runs). `ts` lands as
-    * TIMESTAMP_NTZ (the fixture's TIMESTAMP(MICROS,
-    * isAdjustedToUTC=false) annotation) and is normalized to the
-    * session-zoned TimestampType by the same one-place dispatch the
-    * batch reader uses ([[graft.Tables.normalizeEventTs]]). */
+    * `Trigger.AvailableNow` for drain-and-stop runs). `ts`'s physical
+    * type is probed from the landing dir's existing files (see
+    * [[probeTsType]] for the empty-dir fallback and the no-mixed-
+    * formats caveat) and normalized to the session-zoned
+    * TimestampType by the same one-place dispatch the batch reader
+    * uses ([[graft.Tables.normalizeEventTs]]) — nanos-era and
+    * micros-era fixtures both land correctly. */
   def eventLanding(spark: SparkSession, dirOrGlob: String): DataFrame =
     graft.Tables.normalizeEventTs(
       spark.readStream
-        .schema(rawEventSchema)
+        .schema(rawEventSchema(probeTsType(spark, dirOrGlob)))
         .parquet(dirOrGlob))
 
   /** The sf events table as a bounded stream: the file-stream source

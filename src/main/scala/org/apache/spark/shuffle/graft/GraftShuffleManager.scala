@@ -254,11 +254,15 @@ object GraftShuffleManager {
     * Σ cached entry lengths. */
   private[graft] def dataCacheSizeBytes: Long = dataCacheBytes.get()
 
+  /** Returns (bytes, servedFromCache) — the flag lets the reader
+    * account a hit as a LOCAL read and a miss as ONE remote read of
+    * the whole object, so shuffle-read metrics state actual FS
+    * traffic instead of per-reduce-task phantom fetches. */
   private[graft] def smallDataBytes(fs: FileSystem, shuffleDir: Path,
-      mapId: Long, totalLen: Long): Array[Byte] = {
+      mapId: Long, totalLen: Long): (Array[Byte], Boolean) = {
     val key = (shuffleDir.toString, mapId)
     val hit = dataCache.get(key)
-    if (hit != null && hit.length == totalLen) return hit
+    if (hit != null && hit.length == totalLen) return (hit, true)
     val buf = new Array[Byte](totalLen.toInt)
     val in = fs.open(dataPath(shuffleDir, mapId))
     try in.readFully(0L, buf) finally in.close()
@@ -274,7 +278,7 @@ object GraftShuffleManager {
         dataCacheBytes.addAndGet(totalLen)
       }
     }
-    buf
+    (buf, false)
   }
 
   /** Drop every cached idx/data entry of one shuffle. Called from
@@ -489,12 +493,22 @@ private[graft] class GraftShuffleReader[K, C](
         if (total <= GraftShuffleManager.SmallDataMaxBytes) {
           // tiny map output (the iterative-fixpoint shape): fetch the
           // whole data object once per executor via the JVM-wide cache
-          // and decode segments from memory — no FS open per reduce task
-          val buf = GraftShuffleManager.smallDataBytes(
+          // and decode segments from memory — no FS open per reduce
+          // task. Metrics state actual traffic: the miss that fetched
+          // the object reports ONE remote read of the whole object;
+          // cache-served segments count as local reads (stock Spark's
+          // accounting for locally-available blocks).
+          val (buf, fromCache) = GraftShuffleManager.smallDataBytes(
             fs, shuffleDir, blockMapId, total)
-          bins.iterator.flatMap { r =>
+          if (!fromCache) {
             metrics.incRemoteBlocksFetched(1)
-            metrics.incRemoteBytesRead(lens(r))
+            metrics.incRemoteBytesRead(total)
+          }
+          bins.iterator.flatMap { r =>
+            if (fromCache) {
+              metrics.incLocalBlocksFetched(1)
+              metrics.incLocalBytesRead(lens(r))
+            }
             serInstance.deserializeStream(serMgr.wrapStream(
               ShuffleBlockId(dep.shuffleId, blockMapId, r),
               new java.io.ByteArrayInputStream(

@@ -52,6 +52,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("eventLanding dispatches on a nanos-era (long ts) landing dir") {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("graft-landing-nanos")
+    try {
+      // re-materialize the fixture in the OLD generation's shape:
+      // ts as raw epoch-nanos longs (column order = landing schema)
+      Tables.events(spark, sf0001)
+        .select(col("event_id"), (unix_micros(col("ts")) * 1000L).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(landing.toString + "/data")
+      val stream = StreamingOps.eventLanding(spark, landing.toString + "/data")
+      val q = StreamingOps.windowedCounts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("nanos_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+      val streamed = spark.table("nanos_out")
+        .select(col("wstart"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = StreamingOps.windowedCounts(Tables.events(spark, sf0001))
+        .select(col("wstart"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(landing.toFile)
+    }
+  }
+
   test("continuous incremental dedup: union of micro-batch pairs equals batch dd7") {
     import java.nio.file.Files
     val docs = Tables.documents(spark, sf0001)

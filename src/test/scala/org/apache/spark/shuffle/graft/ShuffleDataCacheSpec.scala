@@ -33,12 +33,12 @@ class ShuffleDataCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("second read is served from cache, not the FS") {
     val bytes = Array.tabulate(100)(_.toByte)
     writeData(1L, bytes)
-    assert(GraftShuffleManager.smallDataBytes(fs, dir, 1L, 100L).toSeq ==
-      bytes.toSeq)
+    val (first, hit1) = GraftShuffleManager.smallDataBytes(fs, dir, 1L, 100L)
+    assert(first.toSeq == bytes.toSeq && !hit1)
     // delete the object: a cache hit is the only way this can succeed
     fs.delete(GraftShuffleManager.dataPath(dir, 1L), false)
-    assert(GraftShuffleManager.smallDataBytes(fs, dir, 1L, 100L).toSeq ==
-      bytes.toSeq)
+    val (second, hit2) = GraftShuffleManager.smallDataBytes(fs, dir, 1L, 100L)
+    assert(second.toSeq == bytes.toSeq && hit2)
   }
 
   test("byte counter tracks contents: concurrent same-key misses count once") {
@@ -54,7 +54,7 @@ class ShuffleDataCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a stale wrong-length entry (same key, new total) is re-accounted,
     // not double-counted
     writeData(7L, Array.fill(96)(2.toByte))
-    assert(GraftShuffleManager.smallDataBytes(fs, dir, 7L, 96L).length == 96)
+    assert(GraftShuffleManager.smallDataBytes(fs, dir, 7L, 96L)._1.length == 96)
     assert(GraftShuffleManager.dataCacheSizeBytes == before + 96L)
   }
 
@@ -79,14 +79,14 @@ class ShuffleDataCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
         GraftShuffleManager.smallDataBytes(fs, dir, 11L, 40L)
       }
       assert(GraftShuffleManager.smallDataBytes(fs, otherDir, 11L, 48L)
-        .forall(_ == 5.toByte))
+        ._1.forall(_ == 5.toByte))
     } finally fs.delete(otherDir, true)
   }
 
   test("byte cap evicts: a cached entry is gone after 128 MB of inserts") {
     val bytes = Array.fill(32)(3.toByte)
     writeData(3L, bytes)
-    assert(GraftShuffleManager.smallDataBytes(fs, dir, 3L, 32L).toSeq ==
+    assert(GraftShuffleManager.smallDataBytes(fs, dir, 3L, 32L)._1.toSeq ==
       bytes.toSeq)
     fs.delete(GraftShuffleManager.dataPath(dir, 3L), false)
     // insert > 128 MB of entries (4 MB each — the SmallDataMaxBytes
