@@ -450,6 +450,13 @@ private[graft] class GraftShuffleReader[K, C](
     val serInstance = dep.serializer.newInstance()
     val serMgr = SparkEnv.get.serializerManager
     val numBins = dep.partitioner.numPartitions
+    // `metrics` is a TempShuffleReadMetrics: nothing folds it into the
+    // task's final metrics unless someone calls merge (stock readers do
+    // it via a CompletionIterator; without this, reads shorter than a
+    // heartbeat report ZERO shuffle-read metrics to listeners/the UI)
+    context.addTaskCompletionListener[Unit] { ctx =>
+      ctx.taskMetrics().mergeShuffleReadMetrics()
+    }
     // requested non-empty bins, grouped by map in tracker order
     val byMap = new java.util.LinkedHashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
     SparkEnv.get.mapOutputTracker

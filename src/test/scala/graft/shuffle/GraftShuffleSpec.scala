@@ -161,6 +161,47 @@ class GraftShuffleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sc.removeSparkListener(counter)
   }
 
+  test("tiny-map cache reads account as local, not phantom remote fetches") {
+    val sc = spark.sparkContext
+    val remoteBlocks = new java.util.concurrent.atomic.AtomicLong(0)
+    val localBlocks = new java.util.concurrent.atomic.AtomicLong(0)
+    val remoteBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) {
+          remoteBlocks.addAndGet(t.taskMetrics.shuffleReadMetrics.remoteBlocksFetched)
+          localBlocks.addAndGet(t.taskMetrics.shuffleReadMetrics.localBlocksFetched)
+          remoteBytes.addAndGet(t.taskMetrics.shuffleReadMetrics.remoteBytesRead)
+        }
+    }
+    sc.addSparkListener(listener)
+    try {
+      // ONE tiny map, 7 reduce bins on 4 threads: each reduce task asks
+      // for 1 segment of the same ≤4 MB object. The pre-cache
+      // accounting reported 7 remote fetches (one per segment); the
+      // truthful accounting reports one remote read of the WHOLE
+      // object per cache MISS (first wave, ≤4 concurrent) and a LOCAL
+      // read per cache hit (second wave, ≥3 of 7)
+      val result = sc.parallelize(0 until 10000, 1)
+        .map(i => (i % 7, 1L)).reduceByKey(new HashPartitioner(7), _ + _)
+        .collect().toMap
+      assert(result.values.sum == 10000L)
+      eventually(10) {
+        assert(remoteBlocks.get + localBlocks.get == 7,
+          s"blocks: remote=${remoteBlocks.get} local=${localBlocks.get}")
+      }
+      assert(remoteBlocks.get >= 1 && remoteBlocks.get <= 4,
+        s"misses exceed concurrency: ${remoteBlocks.get}")
+      assert(localBlocks.get >= 3, s"no cache hits accounted local: ${localBlocks.get}")
+      // each accounted remote read is the whole data object, so total
+      // remote bytes = misses x object size exactly
+      val dataObjects = shuffleObjects().filter(_.getFileName.toString.endsWith(".data"))
+      val lastObjSize = Files.size(dataObjects.maxBy(Files.getLastModifiedTime(_)))
+      assert(remoteBytes.get == remoteBlocks.get * lastObjSize,
+        s"remote bytes ${remoteBytes.get} != ${remoteBlocks.get} x $lastObjSize")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("removeShuffle deletes that shuffle's bin objects, leaves others") {
     val shuffleDirs = {
       val s = Files.walk(base)
