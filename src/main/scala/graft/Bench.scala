@@ -53,6 +53,10 @@ object Bench {
         .config("spark.shuffle.sort.io.plugin.class",
           "org.apache.spark.shuffle.graft.GraftShuffleDataIO")
         .config("spark.graft.shuffle.dir", dir)
+        // object-store default codec (see GraftSession.shuffleCodec:
+        // ~2.7× smaller blocks than lz4 on the measured mix, net
+        // wall-clock win; SPARK_GRAFT_SHUFFLE_CODEC overrides)
+        .config("spark.io.compression.codec", GraftSession.shuffleCodec)
       if (dir.startsWith("graftfs:")) graft.mr.GraftObjectFs.register(b)
       else b
     }

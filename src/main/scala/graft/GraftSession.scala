@@ -89,6 +89,7 @@ object GraftSession {
         .config("spark.shuffle.sort.io.plugin.class",
           "org.apache.spark.shuffle.graft.GraftShuffleDataIO")
         .config("spark.graft.shuffle.dir", dir)
+        .config("spark.io.compression.codec", shuffleCodec)
       // the graftfs:// object-store stand-in self-registers, same as
       // in Bench/ScaleProbe/Verify (s3a:// in production registers
       // itself via hadoop-aws's ServiceLoader entry instead)
@@ -96,4 +97,17 @@ object GraftSession {
     }
     if (local) b.master(s"local[${conf.maxConcurrency}]") else b
   }
+
+  /** Codec for shuffle/spill blocks when the OBJECT-STORE shuffle is
+    * on (local sort shuffle keeps Spark's lz4 default). zstd compresses
+    * the measured shuffle mix ~2.7× smaller than lz4 (q32's banded pair
+    * join: 12.7 MB vs 34.7 MB written) for a net wall-clock WIN on the
+    * FS leg (sf0.1 composite 38.9 s vs 42.4 s, every volume-bound row
+    * faster) — on a real object store smaller blocks are also fewer
+    * bytes billed and transferred. Override with
+    * `SPARK_GRAFT_SHUFFLE_CODEC` (any spark.io.compression.codec
+    * value), or an explicit `.config` after the builder (later config
+    * calls win). */
+  private[graft] def shuffleCodec: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "zstd")
 }
