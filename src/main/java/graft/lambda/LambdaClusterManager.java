@@ -22,9 +22,12 @@ import org.apache.spark.scheduler.TaskSchedulerImpl;
  * in-sandbox simulator ({@link LocalProcessFaasClient}: one fresh JVM
  * process per invocation, hosting an executor that dials back to the
  * driver — LAMBDA.md 4's lease contract end to end). Any other function
- * name requires a real AWS/FaaS control plane, which this environment
- * doesn't have, so it fails fast with a pointer to the design doc
- * rather than pretending.
+ * name resolves through the F20 self-deploy path ({@link FaasDeploy}):
+ * the driver deploys its own code package to the configured control
+ * plane on start (corral's deploy-on-start, /root/reference/driver.go:185-187)
+ * and every invocation runs the DEPLOYED package rather than the
+ * driver's classpath; without a configured control plane it fails fast
+ * with a pointer to the design doc rather than pretending.
  *
  * (Java rather than Scala: the SPI is private[spark] at the Scala
  * level but public in bytecode; implementing it from Java keeps this
@@ -56,9 +59,14 @@ public final class LambdaClusterManager implements ExternalClusterManager {
       return new org.apache.spark.scheduler.cluster.lambda.LambdaSchedulerBackend(
           (TaskSchedulerImpl) scheduler, sc, function, new LocalProcessFaasClient());
     }
-    throw new UnsupportedOperationException(
-        "lambda://" + function + " requires a real FaaS endpoint; see LAMBDA.md 4 "
-            + "(use lambda://" + LOCAL_SIM + " for the in-sandbox simulator)");
+    // A named function resolves against a deployed package through the
+    // control-plane seam (F20: deploy-on-start like corral's run(),
+    // /root/reference/driver.go:185-187) — invocations then execute the
+    // DEPLOYED code, not the driver's classpath. Fails loud (inside
+    // clientFor) when no control plane is configured.
+    return new org.apache.spark.scheduler.cluster.lambda.LambdaSchedulerBackend(
+        (TaskSchedulerImpl) scheduler, sc, function,
+        FaasDeploy.clientFor(sc.getConf(), function));
   }
 
   @Override

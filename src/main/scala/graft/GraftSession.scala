@@ -30,7 +30,13 @@ object GraftSession {
       // corral keeps intermediate (shuffle) bins under its S3 working
       // location (emitter.go:90-120); setting this routes Spark's
       // shuffle through GraftShuffleManager at the given FS URI
-      shuffleLocation: Option[String] = None)
+      shuffleLocation: Option[String] = None,
+      // FaaS deployment surface (F20): the function name the driver
+      // deploys/undeploys/runs on (corral `lambdaFunctionName`, default
+      // "corral_function" — config.go:22) and the control-plane root the
+      // deploy verbs talk to (stands in for the AWS account; LAMBDA.md §5)
+      faasFunction: String = "graft_function",
+      faasControlPlane: Option[String] = None)
 
   /** Default `graftrc` search order: `.` then `$HOME/.graft/` (viper's
     * corralrc search path, config.go:8-10). First file found wins. */
@@ -67,7 +73,10 @@ object GraftSession {
       maxConcurrency = layer("GRAFT_MAX_CONCURRENCY", "maxConcurrency").map(_.toInt)
         .getOrElse(d.maxConcurrency),
       workingLocation = layer("GRAFT_WORKING_LOCATION", "workingLocation"),
-      shuffleLocation = layer("GRAFT_SHUFFLE_LOCATION", "shuffleLocation"))
+      shuffleLocation = layer("GRAFT_SHUFFLE_LOCATION", "shuffleLocation"),
+      faasFunction = layer("GRAFT_LAMBDA_FUNCTION_NAME", "lambdaFunctionName")
+        .getOrElse(d.faasFunction),
+      faasControlPlane = layer("GRAFT_FAAS_CONTROL_PLANE", "faasControlPlane"))
   }
 
   def builder(conf: Conf = fromEnv(), local: Boolean = true): SparkSession.Builder = {

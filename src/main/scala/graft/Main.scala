@@ -42,7 +42,12 @@ object Main {
       out: String = "",
       jobs: Seq[String] = Seq("wordcount"),
       bins: Option[Int] = None,
-      verbose: Boolean = false)
+      verbose: Boolean = false,
+      // corral's backend flags (driver.go:218-233): `--lambda` runs the
+      // job on the FaaS backend (deploy-on-start included); `--undeploy`
+      // tears down function + role WITHOUT running the driver
+      lambda: Boolean = false,
+      undeploy: Boolean = false)
 
   def parseArgs(argv: Seq[String]): CliConf = {
     @annotation.tailrec
@@ -51,14 +56,18 @@ object Main {
       case "--job" :: v :: t => loop(t, c.copy(jobs = v.split(",").toSeq))
       case "--bins" :: v :: t => loop(t, c.copy(bins = Some(v.toInt)))
       case ("-v" | "--verbose") :: t => loop(t, c.copy(verbose = true))
+      case "--lambda" :: t => loop(t, c.copy(lambda = true))
+      case "--undeploy" :: t => loop(t, c.copy(undeploy = true))
       case flag :: _ if flag.startsWith("-") =>
         throw new IllegalArgumentException(s"unknown flag: $flag")
       case in :: t => loop(t, c.copy(inputs = c.inputs :+ in))
       case Nil => c
     }
     val c = loop(argv.toList, CliConf())
-    require(c.inputs.nonEmpty, "at least one input path/glob required")
-    require(c.out.nonEmpty, "--out is required")
+    if (!c.undeploy) { // corral's --undeploy returns before input parsing
+      require(c.inputs.nonEmpty, "at least one input path/glob required")
+      require(c.out.nonEmpty, "--out is required")
+    }
     val unknown = c.jobs.filterNot(jobRegistry.contains)
     require(unknown.isEmpty,
       s"unknown job(s): ${unknown.mkString(",")}; known: ${jobRegistry.keys.mkString(",")}")
@@ -83,10 +92,43 @@ object Main {
     TextKV.writeTsvNumbered(jobs.last.run(ds), conf.out)
   }
 
+  /** `--undeploy` (reference driver.go:222-233): tear down the deployed
+    * function and managed role, WITHOUT starting a driver/session.
+    * Returns (functionExisted, roleExisted). */
+  def undeploy(gconf: GraftSession.Conf): (Boolean, Boolean) = {
+    val dir = gconf.faasControlPlane.getOrElse(throw new IllegalArgumentException(
+      "--undeploy needs a control plane: set GRAFT_FAAS_CONTROL_PLANE " +
+        "(or graftrc faasControlPlane)"))
+    val (f, r) = graft.lambda.Deployer.undeploy(
+      new graft.lambda.LocalDirControlPlane(java.nio.file.Paths.get(dir)),
+      gconf.faasFunction)
+    println(s"undeployed function '${gconf.faasFunction}' (existed: $f); " +
+      s"role '${graft.lambda.Deployer.RoleName}' (existed: $r)")
+    (f, r)
+  }
+
+  /** `--lambda` (reference driver.go:246-249): run on the FaaS backend —
+    * master `lambda://<function>` against the configured control plane,
+    * deploy-on-start included (the cluster manager's autoDeploy). */
+  def lambdaBuilder(gconf: GraftSession.Conf): org.apache.spark.sql.SparkSession.Builder = {
+    val dir = gconf.faasControlPlane.getOrElse(throw new IllegalArgumentException(
+      "--lambda needs a control plane: set GRAFT_FAAS_CONTROL_PLANE " +
+        "(or graftrc faasControlPlane)"))
+    GraftSession.builder(gconf, local = false)
+      .master(graft.lambda.LambdaClusterManager.SCHEME + gconf.faasFunction)
+      .config(graft.lambda.FaasDeploy.ControlPlaneDirKey, dir)
+      // FaaS sandboxes dial out to the driver; bind it somewhere routable
+      .config("spark.driver.host", "localhost")
+      .config("spark.driver.bindAddress", "localhost")
+  }
+
   def main(argv: Array[String]): Unit = {
     val conf = parseArgs(argv.toIndexedSeq)
     val gconf = GraftSession.fromEnv()
-    val spark = GraftSession.builder(gconf).appName("graft").getOrCreate()
+    if (conf.undeploy) { undeploy(gconf); return }
+    val builder =
+      if (conf.lambda) lambdaBuilder(gconf) else GraftSession.builder(gconf)
+    val spark = builder.appName("graft").getOrCreate()
     if (!conf.verbose) spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val files = run(spark, conf)

@@ -1,0 +1,423 @@
+package graft.lambda
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, File}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+import java.util.Base64
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import scala.util.control.NonFatal
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Self-deploy / undeploy — reference F20 (`/root/reference/lambda.go:147-183`,
+  * `corlambda/client.go:78-126`, `coriam/client.go:163-196`): the driver
+  * packages ITS OWN code, publishes it as the FaaS function its executors
+  * run, and tears function + role down again. Everything control-plane
+  * specific sits behind [[FaasControlPlane]] — the same seam discipline as
+  * F18's [[FaasClient]] — so the deploy/undeploy verbs and their
+  * create-or-update-by-SHA semantics are fully testable in-sandbox against
+  * [[LocalDirControlPlane]]; a real AWS binding would implement the trait
+  * over the Lambda/IAM SDK calls the reference makes (CreateFunction /
+  * UpdateFunctionCode / UpdateFunctionConfiguration / DeleteFunction,
+  * GetRole / CreateRole / PutRolePolicy).
+  */
+
+/** Function configuration — corlambda's `FunctionConfig`
+  * (`client.go:38-44`). Corral defaults: memory 1500 MB, timeout 180 s,
+  * managed role (`/root/reference/config.go:22-25`). */
+final case class FunctionConfig(
+    name: String,
+    roleArn: String = "",
+    timeoutSeconds: Long = 180L,
+    memoryMb: Long = 1500L)
+
+/** What the control plane reports for a deployed function — the subset of
+  * `GetFunctionOutput.Configuration` the reference's update decisions read
+  * (`client.go:55-64`): role/timeout/memory plus the stored package SHA. */
+final case class DeployedFunction(config: FunctionConfig, codeSha256: String)
+
+/** The control-plane seam: the Lambda + IAM API subset corral's deploy
+  * path drives. `deleteFunction`/`deleteRole` return whether the entity
+  * existed and MUST tolerate absence (corral swallows
+  * `ResourceNotFoundException`, `client.go:111-117`). `ensureRole` is the
+  * reference's `DeployPermissions` verb (`coriam/client.go:163-174`):
+  * create-or-update the execution role + its attached policy, return the
+  * role ARN. */
+trait FaasControlPlane {
+  def getFunction(name: String): Option[DeployedFunction]
+  def createFunction(config: FunctionConfig, pkg: Array[Byte]): Unit
+  def updateFunctionCode(name: String, pkg: Array[Byte]): Unit
+  def updateFunctionConfig(config: FunctionConfig): Unit
+  /** Idempotent: returns false (not an error) when the function is absent. */
+  def deleteFunction(name: String): Boolean
+  /** The `GetFunction` code-location download — the bytes last published
+    * by create/updateFunctionCode. */
+  def downloadPackage(name: String): Array[Byte]
+  def getRole(name: String): Option[String]
+  def ensureRole(name: String): String
+  /** Idempotent: returns false when the role is absent. */
+  def deleteRole(name: String): Boolean
+}
+
+object Deployer {
+
+  /** corral's `corralRoleName = "CorralExecutionRole"`
+    * (`/root/reference/lambda.go:24-25`). */
+  val RoleName = "GraftExecutionRole"
+
+  /** Role trust + permissions documents — the shape of coriam's
+    * `AssumePolicyDocument` / `AttachPolicyDocument` constants
+    * (`coriam/policy.go`): the FaaS runtime may assume the role; the
+    * function may read/write the object store, invoke functions, and
+    * write logs. Stored by the control plane so `ensureRole` can
+    * detect and repair drift (`coriam/client.go:107-124`). */
+  val AssumeRolePolicy: String =
+    """{"Version":"1","Statement":[{"Effect":"Allow","Principal":{"Service":"faas"},"Action":"AssumeRole"}]}"""
+  val AttachPolicy: String =
+    """{"Version":"1","Statement":[{"Effect":"Allow","Action":["storage:*","faas:Invoke","logs:Write"],"Resource":"*"}]}"""
+
+  sealed trait DeployOutcome
+  /** Function did not exist; created fresh (`client.go:104-106`). */
+  case object Created extends DeployOutcome
+  /** Function existed; code and/or config were out of date
+    * (`client.go:86-99`). */
+  final case class Updated(codeChanged: Boolean, configChanged: Boolean)
+      extends DeployOutcome
+  /** Neither code SHA nor config differed — deploy is a no-op
+    * ("Function is already up-to-date", `client.go:98-100`). */
+  case object UpToDate extends DeployOutcome
+
+  /** Base64(SHA-256) of the package — byte-for-byte the comparison key
+    * corral uses against the deployed `CodeSha256`
+    * (`functionNeedsUpdate`, `client.go:55-60`). */
+  def codeSha256(pkg: Array[Byte]): String =
+    Base64.getEncoder.encodeToString(
+      MessageDigest.getInstance("SHA-256").digest(pkg))
+
+  /** Where this build's own code lives (classes directory under sbt, a
+    * jar when assembled) — the JVM analogue of corral cross-compiling
+    * "the current directory" into the function binary
+    * (`crossCompile`, `client.go:124-150`). */
+  def defaultCodeLocation(): File =
+    new File(Deployer.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+
+  // Fixed DOS timestamp (no timezone dependence) so identical code bytes
+  // always zip to identical package bytes: re-deploying an unchanged
+  // build must hash equal and no-op, across machines and locales.
+  private val FixedEntryTime = java.time.LocalDateTime.of(2010, 1, 1, 0, 0)
+
+  /** Deterministic package build — the analogue of `buildPackage`
+    * (`client.go:150-189`): a directory zips as its sorted recursive
+    * file tree, a single file (an assembled jar) as one entry. Entry
+    * order, names, and timestamps are all fixed functions of the
+    * content, so package bytes — and therefore [[codeSha256]] — are
+    * reproducible, which is what makes redeploy-if-changed meaningful. */
+  def buildPackage(codeLocation: File): Array[Byte] = {
+    require(codeLocation.exists(), s"code location does not exist: $codeLocation")
+    val out = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(out, StandardCharsets.UTF_8)
+    try {
+      if (codeLocation.isFile) {
+        writeEntry(zip, codeLocation.getName, Files.readAllBytes(codeLocation.toPath))
+      } else {
+        val root = codeLocation.toPath
+        val files = Files.walk(root)
+        val sorted = try {
+          import scala.jdk.CollectionConverters._
+          files.iterator().asScala
+            .filter(Files.isRegularFile(_))
+            .map(p => root.relativize(p).toString.replace(File.separatorChar, '/'))
+            .toVector.sorted
+        } finally files.close()
+        sorted.foreach { rel =>
+          writeEntry(zip, rel, Files.readAllBytes(root.resolve(rel)))
+        }
+      }
+    } finally zip.close()
+    out.toByteArray
+  }
+
+  private def writeEntry(zip: ZipOutputStream, name: String, bytes: Array[Byte]): Unit = {
+    val e = new ZipEntry(name)
+    e.setTimeLocal(FixedEntryTime)
+    zip.putNextEntry(e)
+    zip.write(bytes)
+    zip.closeEntry()
+  }
+
+  /** Unpack a package into `target` (created if needed). Entry paths are
+    * confined to the target directory — a crafted `../` entry fails loud
+    * rather than escaping the sandbox. */
+  def unzipTo(pkg: Array[Byte], target: Path): Unit = {
+    Files.createDirectories(target)
+    val norm = target.toAbsolutePath.normalize
+    val zin = new ZipInputStream(new ByteArrayInputStream(pkg), StandardCharsets.UTF_8)
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          val dest = norm.resolve(e.getName).normalize
+          require(dest.startsWith(norm),
+            s"package entry escapes the sandbox: ${e.getName}")
+          Files.createDirectories(dest.getParent)
+          Files.copy(zin, dest, StandardCopyOption.REPLACE_EXISTING)
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+  }
+
+  /** `lambdaExecutor.Deploy` + `DeployFunction` (`lambda.go:147-169`,
+    * `client.go:78-106`): ensure the execution role when managed, then
+    * create the function if absent, else update exactly what drifted —
+    * code when the package SHA differs from the deployed `CodeSha256`,
+    * config when role/timeout/memory differ — and no-op when neither
+    * did. */
+  def deploy(
+      cp: FaasControlPlane,
+      config: FunctionConfig,
+      pkg: Array[Byte],
+      manageRole: Boolean = true,
+      roleName: String = RoleName): DeployOutcome = {
+    val roleArn = if (manageRole) cp.ensureRole(roleName) else config.roleArn
+    val cfg = config.copy(roleArn = roleArn)
+    cp.getFunction(cfg.name) match {
+      case Some(existing) =>
+        val codeChanged = codeSha256(pkg) != existing.codeSha256
+        if (codeChanged) cp.updateFunctionCode(cfg.name, pkg)
+        val configChanged = cfg.roleArn != existing.config.roleArn ||
+          cfg.timeoutSeconds != existing.config.timeoutSeconds ||
+          cfg.memoryMb != existing.config.memoryMb
+        if (configChanged) cp.updateFunctionConfig(cfg)
+        if (codeChanged || configChanged) Updated(codeChanged, configChanged)
+        else UpToDate
+      case None =>
+        cp.createFunction(cfg, pkg)
+        Created
+    }
+  }
+
+  /** `lambdaExecutor.Undeploy` (`lambda.go:171-183`): delete the function,
+    * then the managed role; each step tolerates absence and LOGS (not
+    * throws) on failure, so a half-deployed state always tears down as
+    * far as it can. Returns (functionExisted, roleExisted). */
+  def undeploy(
+      cp: FaasControlPlane,
+      functionName: String,
+      roleName: String = RoleName): (Boolean, Boolean) = {
+    val f = try cp.deleteFunction(functionName) catch {
+      case NonFatal(e) =>
+        System.err.println(s"error undeploying function '$functionName': $e")
+        false
+    }
+    val r = try cp.deleteRole(roleName) catch {
+      case NonFatal(e) =>
+        System.err.println(s"error undeploying role '$roleName': $e")
+        false
+    }
+    (f, r)
+  }
+}
+
+/** In-sandbox control plane: the function/role registry as a directory
+  * tree — `functions/<name>/{function.json,package.zip}` and
+  * `roles/<name>.json` — standing in for the Lambda/IAM control plane the
+  * same way `graftfs://` stands in for the object store and
+  * `lambda://local-sim` for the data plane. Metadata publishes by
+  * write-temp + atomic rename (the asset lifecycle's discipline), and
+  * `function.json` is the existence point: a function is deployed iff its
+  * metadata file is readable. */
+final class LocalDirControlPlane(root: Path) extends FaasControlPlane {
+
+  private def functionDir(name: String) = root.resolve("functions").resolve(name)
+  private def functionJson(name: String) = functionDir(name).resolve("function.json")
+  private def packageZip(name: String) = functionDir(name).resolve("package.zip")
+  private def roleJson(name: String) = root.resolve("roles").resolve(s"$name.json")
+
+  private def atomicWrite(path: Path, bytes: Array[Byte]): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def str(v: JValue, field: String): String = v \ field match {
+    case JString(s) => s
+    case other => throw new IllegalArgumentException(s"bad $field: $other")
+  }
+  private def long(v: JValue, field: String): Long = v \ field match {
+    case JInt(n) => n.longValue
+    case other => throw new IllegalArgumentException(s"bad $field: $other")
+  }
+
+  private def writeFunctionJson(config: FunctionConfig, sha: String): Unit =
+    atomicWrite(functionJson(config.name), JsonMethods.compact(JsonMethods.render(
+      JObject(
+        "Name" -> JString(config.name),
+        "RoleArn" -> JString(config.roleArn),
+        "TimeoutSeconds" -> JInt(BigInt(config.timeoutSeconds)),
+        "MemoryMb" -> JInt(BigInt(config.memoryMb)),
+        "CodeSha256" -> JString(sha)))).getBytes(StandardCharsets.UTF_8))
+
+  override def getFunction(name: String): Option[DeployedFunction] = {
+    val p = functionJson(name)
+    if (!Files.isRegularFile(p)) None
+    else {
+      val v = JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      Some(DeployedFunction(
+        FunctionConfig(
+          name = str(v, "Name"),
+          roleArn = str(v, "RoleArn"),
+          timeoutSeconds = long(v, "TimeoutSeconds"),
+          memoryMb = long(v, "MemoryMb")),
+        codeSha256 = str(v, "CodeSha256")))
+    }
+  }
+
+  override def createFunction(config: FunctionConfig, pkg: Array[Byte]): Unit = {
+    require(getFunction(config.name).isEmpty,
+      s"function '${config.name}' already exists (ResourceConflict)")
+    // package first, metadata last: function.json is the publish point
+    atomicWrite(packageZip(config.name), pkg)
+    writeFunctionJson(config, Deployer.codeSha256(pkg))
+  }
+
+  override def updateFunctionCode(name: String, pkg: Array[Byte]): Unit = {
+    val existing = getFunction(name).getOrElse(
+      throw new IllegalStateException(s"function '$name' not found (ResourceNotFound)"))
+    atomicWrite(packageZip(name), pkg)
+    writeFunctionJson(existing.config, Deployer.codeSha256(pkg))
+  }
+
+  override def updateFunctionConfig(config: FunctionConfig): Unit = {
+    val existing = getFunction(config.name).getOrElse(
+      throw new IllegalStateException(s"function '${config.name}' not found (ResourceNotFound)"))
+    writeFunctionJson(config, existing.codeSha256)
+  }
+
+  override def deleteFunction(name: String): Boolean = {
+    val existed = Files.isRegularFile(functionJson(name))
+    // metadata first (unpublish), then the package + dir
+    Files.deleteIfExists(functionJson(name))
+    Files.deleteIfExists(packageZip(name))
+    Files.deleteIfExists(functionDir(name))
+    existed
+  }
+
+  override def downloadPackage(name: String): Array[Byte] = {
+    require(getFunction(name).isDefined,
+      s"function '$name' not found (ResourceNotFound)")
+    Files.readAllBytes(packageZip(name))
+  }
+
+  private def roleArnOf(name: String) = s"arn:graft:iam::role/$name"
+
+  override def getRole(name: String): Option[String] =
+    if (Files.isRegularFile(roleJson(name))) Some(roleArnOf(name)) else None
+
+  /** `DeployPermissions` (`coriam/client.go:163-174`): create the role if
+    * absent; if present with drifted trust/permissions documents, rewrite
+    * them (`deployRole`/`deployPolicy`'s update paths); return the ARN. */
+  override def ensureRole(name: String): String = {
+    val doc = JsonMethods.compact(JsonMethods.render(JObject(
+      "Arn" -> JString(roleArnOf(name)),
+      "AssumeRolePolicy" -> JString(Deployer.AssumeRolePolicy),
+      "AttachedPolicy" -> JString(Deployer.AttachPolicy))))
+    val p = roleJson(name)
+    val current =
+      if (Files.isRegularFile(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      else null
+    if (current != doc) atomicWrite(p, doc.getBytes(StandardCharsets.UTF_8))
+    roleArnOf(name)
+  }
+
+  override def deleteRole(name: String): Boolean =
+    Files.deleteIfExists(roleJson(name))
+}
+
+/** FaaS client whose invocations run the DEPLOYED package, not the
+  * driver's classpath: the function's code comes from the control plane
+  * (downloaded once per package SHA, unpacked into a sandbox directory),
+  * and the launched executor's classpath is that sandbox plus the Spark
+  * runtime — exactly a FaaS sandbox's layout, where the platform provides
+  * the runtime and the deployed zip provides the function. The driver's
+  * own code location is EXCLUDED from the child classpath, so an executor
+  * can only resolve engine classes from the deployed artifact — which is
+  * what makes the self-deploy verb load-bearing rather than decorative
+  * (DeployLambdaSimSpec proves a job runs end-to-end this way). */
+final class DeployedPackageFaasClient(
+    cp: FaasControlPlane,
+    sandboxRoot: Path) extends LocalProcessFaasClient {
+
+  /** Last classpath handed to a launched invocation (test seam). */
+  @volatile private[lambda] var lastClasspath: String = null
+
+  private val unpacked =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  override protected[lambda] def classpathFor(function: String): String = {
+    val fn = cp.getFunction(function).getOrElse(throw new IllegalStateException(
+      s"function '$function' is not deployed; deploy first " +
+        "(Deployer.deploy — reference lambda.go:147-169)"))
+    val safeSha = fn.codeSha256.map(c => if (c.isLetterOrDigit) c else '-')
+    val dir = unpacked.computeIfAbsent(s"$function@${fn.codeSha256}", { _ =>
+      val target = sandboxRoot.resolve(s"$function-$safeSha")
+      Deployer.unzipTo(cp.downloadPackage(function), target)
+      target
+    })
+    val sep = File.pathSeparator
+    val ownCode =
+      try Deployer.defaultCodeLocation().getCanonicalPath
+      catch { case NonFatal(_) => null }
+    val runtime = sys.props("java.class.path").split(sep).filter { e =>
+      e.nonEmpty && (ownCode == null ||
+        (try new File(e).getCanonicalPath != ownCode catch { case NonFatal(_) => true }))
+    }
+    val cpStr = (dir.toAbsolutePath.toString +: runtime.toSeq).mkString(sep)
+    lastClasspath = cpStr
+    cpStr
+  }
+}
+
+/** Wires `--master lambda://<function>` (any name other than `local-sim`)
+  * to a control plane + the deployed-package data plane, with corral's
+  * deploy-on-start behavior (`driver.go:185-187`: the driver deploys
+  * before running whenever the lambda backend is selected; idempotent via
+  * the SHA check). */
+object FaasDeploy extends org.apache.spark.internal.Logging {
+  val ControlPlaneDirKey = "spark.graft.faas.controlPlaneDir"
+  /** Deploy-on-start (reference `run()` always deploys; disable to
+    * require a pre-deployed function). */
+  val AutoDeployKey = "spark.graft.faas.autoDeploy"
+  /** corral `lambdaManageRole` (default true, `config.go:25`). */
+  val ManageRoleKey = "spark.graft.faas.manageRole"
+  /** corral `lambdaRoleARN` — used when the role is NOT managed. */
+  val RoleArnKey = "spark.graft.faas.roleArn"
+
+  def clientFor(conf: org.apache.spark.SparkConf, function: String): FaasClient = {
+    val dir = conf.getOption(ControlPlaneDirKey).getOrElse(
+      throw new IllegalArgumentException(
+        s"lambda://$function needs a FaaS control plane: set $ControlPlaneDirKey " +
+          "to the deployment root (LAMBDA.md §5), or use lambda://local-sim"))
+    val cp = new LocalDirControlPlane(Paths.get(dir))
+    if (conf.getBoolean(AutoDeployKey, defaultValue = true)) {
+      val cfg = FunctionConfig(
+        name = function,
+        roleArn = conf.get(RoleArnKey, ""),
+        // the function's wall-clock budget is the executor lease
+        timeoutSeconds = conf.getInt("spark.graft.lambda.leaseSeconds", 900).toLong,
+        memoryMb = conf.getSizeAsMb("spark.executor.memory", "1g"))
+      val outcome = Deployer.deploy(cp, cfg,
+        Deployer.buildPackage(Deployer.defaultCodeLocation()),
+        manageRole = conf.getBoolean(ManageRoleKey, defaultValue = true))
+      logInfo(s"deployed function '$function': $outcome")
+    }
+    new DeployedPackageFaasClient(cp,
+      Files.createTempDirectory("graft-faas-sandbox-"))
+  }
+}

@@ -53,7 +53,7 @@ object FaasClient {
   * boundary is the point: executors come and go per-invocation, share
   * nothing with the driver JVM, and die when killed, so the backend's
   * lease/replace/retry logic is exercised end to end in-sandbox. */
-final class LocalProcessFaasClient extends FaasClient {
+class LocalProcessFaasClient extends FaasClient {
 
   private final class ProcessInvocation(val executorId: String,
       proc: Process, startNanos: Long) extends FaasInvocation {
@@ -62,6 +62,12 @@ final class LocalProcessFaasClient extends FaasClient {
     override def ageSeconds: Long =
       (System.nanoTime() - startNanos) / 1000000000L
   }
+
+  /** What the sandbox JVM loads. Default: the driver's own classpath
+    * (simulator convenience). [[DeployedPackageFaasClient]] overrides
+    * this with the DEPLOYED package + runtime — the real FaaS layout. */
+  protected[lambda] def classpathFor(function: String): String =
+    sys.props("java.class.path")
 
   override def invoke(function: String, payload: String): FaasInvocation = {
     val lease = Protocol.leaseFromJson(payload)
@@ -72,7 +78,7 @@ final class LocalProcessFaasClient extends FaasClient {
       .defaultModuleOptions().split(" ").toSeq.filter(_.nonEmpty)
     val cmd = Seq(javaBin) ++ moduleOpts ++ Seq(
       s"-Xmx${lease.memoryMb}m",
-      "-cp", sys.props("java.class.path"),
+      "-cp", classpathFor(function),
       "org.apache.spark.executor.CoarseGrainedExecutorBackend",
       "--driver-url", lease.driverUrl,
       "--executor-id", lease.executorId,

@@ -201,6 +201,10 @@ class LambdaSchedulerBackend(
 
   // -- test/diagnostic surface -------------------------------------------
 
+  /** The invoke client this backend leases through (e.g. to assert the
+    * deployed-package data plane is in use). */
+  def faasClient: FaasClient = client
+
   /** Executor ids with a live function invocation (including leases
     * winding down under decommission). */
   def liveInvocationIds: Set[String] =

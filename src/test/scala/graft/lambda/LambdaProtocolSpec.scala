@@ -61,10 +61,14 @@ class LambdaProtocolSpec extends AnyFunSuite {
     assert(LambdaClusterManager.functionName("lambda://wordcount-fn") == "wordcount-fn")
   }
 
-  test("scheduler backend fails fast without a FaaS endpoint") {
-    val cm = new LambdaClusterManager
-    val e = intercept[UnsupportedOperationException](
-      cm.createSchedulerBackend(null, "lambda://fn", null))
+  test("a named function without a control plane fails fast (F20 path)") {
+    // any non-local-sim function resolves through self-deploy; with no
+    // control plane configured that must fail loud, naming both the
+    // missing key and the local-sim alternative
+    val e = intercept[IllegalArgumentException](
+      FaasDeploy.clientFor(new org.apache.spark.SparkConf(false), "fn"))
+    assert(e.getMessage.contains(FaasDeploy.ControlPlaneDirKey))
+    assert(e.getMessage.contains("local-sim"))
     assert(e.getMessage.contains("LAMBDA.md"))
   }
 }
