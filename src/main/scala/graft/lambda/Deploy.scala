@@ -355,7 +355,7 @@ final class DeployedPackageFaasClient(
     sandboxRoot: Path) extends LocalProcessFaasClient {
 
   /** Last classpath handed to a launched invocation (test seam). */
-  @volatile private[lambda] var lastClasspath: String = null
+  @volatile private[graft] var lastClasspath: String = null
 
   private val unpacked =
     new java.util.concurrent.ConcurrentHashMap[String, Path]()

@@ -13,11 +13,15 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The deployment dress rehearsal (round-11 task #4): the composed
   * daily-increment pipeline — p4's exact verb sequence (seed assets →
   * ingest → dd7 pairs → dd10 groups → upsert → compact → keep/drop) —
-  * running on the ACTUAL north-star configuration for the first time:
-  * `lambda://local-sim` leased process executors (F18,
-  * `/root/reference/lambda.go:100-145` rescheduling parity) with the
-  * object-store shuffle manager (corral's S3 shuffle,
-  * `emitter.go:90-120`), one invocation killed mid-pipeline.
+  * running on the ACTUAL north-star configuration: a SELF-DEPLOYED
+  * function (F20: the session packages this build and publishes it to
+  * the control plane on start, corral's deploy-on-start,
+  * `/root/reference/driver.go:185-187`) whose leased process executors
+  * (F18, `/root/reference/lambda.go:100-145` rescheduling parity) run
+  * the DEPLOYED package — the driver's own code location is excluded
+  * from every invocation's classpath — with the object-store shuffle
+  * manager (corral's S3 shuffle, `emitter.go:90-120`), one invocation
+  * killed mid-pipeline.
   *
   * What the kill exercises, composed: task rescheduling onto the
   * surviving lease, `supportsReliableStorage` keeping the dead
@@ -31,11 +35,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftShuffleDailyRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
+  private val controlPlaneDir =
+    Files.createTempDirectory("graft-dress-control-plane-")
 
   override def beforeAll(): Unit = {
     val shuffleDir = Files.createTempDirectory("graft-dress-shuffle")
     spark = SparkSession.builder()
-      .master("lambda://" + LambdaClusterManager.LOCAL_SIM)
+      .master(LambdaClusterManager.SCHEME + "graft-dress-fn")
+      .config(graft.lambda.FaasDeploy.ControlPlaneDirKey, controlPlaneDir.toString)
       .appName("graft-daily-dress")
       .config("spark.executor.instances", "2")
       .config("spark.executor.cores", "1")
@@ -84,8 +91,22 @@ class GraftShuffleDailyRehearsalSpec extends AnyFunSuite with BeforeAndAfterAll 
       .collect().map(_.getLong(0)).toSet
   }
 
-  test("daily pipeline on lambda://local-sim + FS shuffle survives an invocation kill") {
+  test("daily pipeline on a self-deployed function + FS shuffle survives an invocation kill") {
     eventually(90)(assert(backend.liveInvocationIds.size == 2))
+
+    // the session self-deployed this build on start, and the data plane
+    // is the deployed-package client — executors run the published
+    // artifact, with the driver's own code location off their classpath
+    val cp = new graft.lambda.LocalDirControlPlane(controlPlaneDir)
+    assert(cp.getFunction("graft-dress-fn").isDefined,
+      "auto-deploy did not publish the function")
+    val client = backend.faasClient
+      .asInstanceOf[graft.lambda.DeployedPackageFaasClient]
+    eventually(30)(assert(client.lastClasspath != null))
+    val ownCode = graft.lambda.Deployer.defaultCodeLocation().getCanonicalPath
+    assert(client.lastClasspath.split(java.io.File.pathSeparator).tail
+        .forall(e => new java.io.File(e).getCanonicalPath != ownCode),
+      "driver code location leaked into a deployed-function invocation")
 
     // The kill is PROGRESS-clocked, not wall-clocked: a listener counts
     // stage submissions and fires the kill when the second run reaches
