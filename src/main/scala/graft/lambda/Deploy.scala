@@ -240,7 +240,10 @@ final class LocalDirControlPlane(root: Path) extends FaasControlPlane {
 
   private def atomicWrite(path: Path, bytes: Array[Byte]): Unit = {
     Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    // unique temp name: concurrent deployers against a SHARED control
+    // plane must not truncate each other's in-flight publish (a fixed
+    // sibling name lets writer A clobber writer B's tmp mid-write)
+    val tmp = Files.createTempFile(path.getParent, path.getFileName.toString, ".tmp")
     Files.write(tmp, bytes)
     Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -302,10 +305,20 @@ final class LocalDirControlPlane(root: Path) extends FaasControlPlane {
 
   override def deleteFunction(name: String): Boolean = {
     val existed = Files.isRegularFile(functionJson(name))
-    // metadata first (unpublish), then the package + dir
+    // metadata first (unpublish), then the whole dir RECURSIVELY — a
+    // crash between temp-write and rename can leave stray .tmp files,
+    // and a non-recursive delete would then throw DirectoryNotEmpty
+    // and mis-report the teardown
     Files.deleteIfExists(functionJson(name))
-    Files.deleteIfExists(packageZip(name))
-    Files.deleteIfExists(functionDir(name))
+    val dir = functionDir(name)
+    if (Files.isDirectory(dir)) {
+      val files = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.toVector.reverseIterator // children first
+          .foreach(Files.deleteIfExists(_))
+      } finally files.close()
+    }
     existed
   }
 
@@ -360,6 +373,22 @@ final class DeployedPackageFaasClient(
   private val unpacked =
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
 
+  /** The "FaaS runtime" half of the sandbox classpath: the driver's
+    * classpath minus its own code location. Invariant for the life of
+    * the client, so computed (and canonicalized) exactly once — the
+    * supervisor re-launches invocations every 250 ms after kills and
+    * lease expiries, and per-invoke canonicalization of every jar path
+    * is filesystem I/O for a constant answer. */
+  private lazy val runtimeEntries: Seq[String] = {
+    val ownCode =
+      try Deployer.defaultCodeLocation().getCanonicalPath
+      catch { case NonFatal(_) => null }
+    sys.props("java.class.path").split(File.pathSeparator).toSeq.filter { e =>
+      e.nonEmpty && (ownCode == null ||
+        (try new File(e).getCanonicalPath != ownCode catch { case NonFatal(_) => true }))
+    }
+  }
+
   override protected[lambda] def classpathFor(function: String): String = {
     val fn = cp.getFunction(function).getOrElse(throw new IllegalStateException(
       s"function '$function' is not deployed; deploy first " +
@@ -370,17 +399,38 @@ final class DeployedPackageFaasClient(
       Deployer.unzipTo(cp.downloadPackage(function), target)
       target
     })
-    val sep = File.pathSeparator
-    val ownCode =
-      try Deployer.defaultCodeLocation().getCanonicalPath
-      catch { case NonFatal(_) => null }
-    val runtime = sys.props("java.class.path").split(sep).filter { e =>
-      e.nonEmpty && (ownCode == null ||
-        (try new File(e).getCanonicalPath != ownCode catch { case NonFatal(_) => true }))
+    // a directory classpath entry only loads LOOSE class files — a
+    // package built from an assembled jar unpacks to <dir>/<app>.jar,
+    // which must ride the classpath as its own entry or nothing in it
+    // resolves (the classes-directory layout has no such jars)
+    val jarEntries = {
+      val files = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".jar"))
+          .map(_.toAbsolutePath.toString).toVector.sorted
+      } finally files.close()
     }
-    val cpStr = (dir.toAbsolutePath.toString +: runtime.toSeq).mkString(sep)
+    val cpStr = (dir.toAbsolutePath.toString +: (jarEntries ++ runtimeEntries))
+      .mkString(File.pathSeparator)
     lastClasspath = cpStr
     cpStr
+  }
+
+  /** Reclaim the unpacked-package sandbox: the backend closes its
+    * client on stop, and without this every session leaks a full
+    * unpacked copy of the build under the temp root. */
+  override def close(): Unit = {
+    unpacked.clear()
+    if (Files.isDirectory(sandboxRoot)) {
+      val files = Files.walk(sandboxRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.toVector.reverseIterator
+          .foreach(p => try Files.deleteIfExists(p) catch { case NonFatal(_) => () })
+      } finally files.close()
+    }
   }
 }
 
@@ -406,16 +456,26 @@ object FaasDeploy extends org.apache.spark.internal.Logging {
           "to the deployment root (LAMBDA.md §5), or use lambda://local-sim"))
     val cp = new LocalDirControlPlane(Paths.get(dir))
     if (conf.getBoolean(AutoDeployKey, defaultValue = true)) {
+      // leaseSeconds=0 means "never expire the lease" to the backend;
+      // a function timeout must still be a positive wall-clock budget
+      val lease = conf.getInt("spark.graft.lambda.leaseSeconds", 900)
       val cfg = FunctionConfig(
         name = function,
         roleArn = conf.get(RoleArnKey, ""),
         // the function's wall-clock budget is the executor lease
-        timeoutSeconds = conf.getInt("spark.graft.lambda.leaseSeconds", 900).toLong,
+        timeoutSeconds = if (lease > 0) lease.toLong else 900L,
         memoryMb = conf.getSizeAsMb("spark.executor.memory", "1g"))
       val outcome = Deployer.deploy(cp, cfg,
         Deployer.buildPackage(Deployer.defaultCodeLocation()),
         manageRole = conf.getBoolean(ManageRoleKey, defaultValue = true))
       logInfo(s"deployed function '$function': $outcome")
+    } else {
+      // fail at session start, not in the supervisor's retry loop: with
+      // auto-deploy off, an undeployed function would otherwise surface
+      // as an endlessly-relaunching invocation that never registers
+      require(cp.getFunction(function).isDefined,
+        s"$AutoDeployKey=false and function '$function' is not deployed; " +
+          "deploy it first (Deployer.deploy) or enable auto-deploy")
     }
     new DeployedPackageFaasClient(cp,
       Files.createTempDirectory("graft-faas-sandbox-"))

@@ -196,6 +196,65 @@ class DeploySpec extends AnyFunSuite {
     assert(e.getMessage.contains("not deployed"))
   }
 
+  test("jar-built package rides the sandbox classpath as a jar entry") {
+    val (cp, _) = freshPlane()
+    val dir = tempDir("graft-deploy-jar-")
+    val jar = dir.resolve("app.jar")
+    Files.write(jar, "jarbytes".getBytes(StandardCharsets.UTF_8))
+    Deployer.deploy(cp, FunctionConfig("jarfn"), Deployer.buildPackage(jar.toFile))
+    val sandbox = tempDir("graft-sandbox-")
+    val client = new DeployedPackageFaasClient(cp, sandbox)
+    val entries = client.classpathFor("jarfn").split(java.io.File.pathSeparator)
+    // the unpacked jar is its own classpath entry — a directory entry
+    // alone would never load classes out of a nested jar
+    assert(entries.exists(e => e.startsWith(sandbox.toString) && e.endsWith("app.jar")),
+      s"unpacked jar missing from classpath: ${entries.take(3).mkString(":")}")
+  }
+
+  test("client close() reclaims the unpacked sandbox") {
+    val (cp, _) = freshPlane()
+    val code = tempDir("graft-deploy-code-")
+    writeCode(code, "A.class" -> "x")
+    Deployer.deploy(cp, FunctionConfig("fn6"), Deployer.buildPackage(code.toFile))
+    val sandbox = tempDir("graft-sandbox-")
+    val client = new DeployedPackageFaasClient(cp, sandbox)
+    client.classpathFor("fn6")
+    assert(Files.isRegularFile(sandbox.resolve(
+      Files.list(sandbox).findFirst.get.getFileName).resolve("A.class")))
+    client.close()
+    assert(!Files.exists(sandbox), "sandbox not reclaimed on close")
+  }
+
+  test("deleteFunction survives stray temp files (crashed publish)") {
+    val (cp, root) = freshPlane()
+    val code = tempDir("graft-deploy-code-")
+    writeCode(code, "A.class" -> "x")
+    Deployer.deploy(cp, FunctionConfig("fn7"), Deployer.buildPackage(code.toFile))
+    // simulate a crash between temp-write and rename
+    Files.write(root.resolve("functions/fn7/package.zip.12345.tmp"),
+      "partial".getBytes(StandardCharsets.UTF_8))
+    assert(cp.deleteFunction("fn7"))
+    assert(!Files.exists(root.resolve("functions/fn7")), "function dir left behind")
+  }
+
+  test("autoDeploy=false against an undeployed function fails at start, not in the lease loop") {
+    val (_, root) = freshPlane()
+    val conf = new org.apache.spark.SparkConf(false)
+      .set(FaasDeploy.ControlPlaneDirKey, root.toString)
+      .set(FaasDeploy.AutoDeployKey, "false")
+    val e = intercept[IllegalArgumentException](FaasDeploy.clientFor(conf, "ghost"))
+    assert(e.getMessage.contains("not deployed"))
+  }
+
+  test("leaseSeconds=0 (never expire) deploys a positive function timeout") {
+    val (cp, root) = freshPlane()
+    val conf = new org.apache.spark.SparkConf(false)
+      .set(FaasDeploy.ControlPlaneDirKey, root.toString)
+      .set("spark.graft.lambda.leaseSeconds", "0")
+    FaasDeploy.clientFor(conf, "fn8").close()
+    assert(cp.getFunction("fn8").get.config.timeoutSeconds == 900L)
+  }
+
   // -- CLI + config cascade surface --------------------------------------
 
   test("Main parses --lambda and --undeploy (corral driver.go:218-233)") {
