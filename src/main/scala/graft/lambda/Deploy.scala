@@ -235,7 +235,16 @@ final class LocalDirControlPlane(root: Path) extends FaasControlPlane {
 
   private def functionDir(name: String) = root.resolve("functions").resolve(name)
   private def functionJson(name: String) = functionDir(name).resolve("function.json")
-  private def packageZip(name: String) = functionDir(name).resolve("package.zip")
+  // packages are CONTENT-ADDRESSED by their SHA, so `function.json` is
+  // the single publish point: concurrent deployers each write their own
+  // zip object (identical content = identical name = idempotent) and
+  // the last metadata rename wins WHOLE — the published SHA can never
+  // point at another writer's half-superseded bytes. Superseded zips
+  // are kept until deleteFunction (the asset lifecycle's
+  // keep-superseded discipline: a reader mid-download is never yanked).
+  private def packageZip(name: String, sha: String) =
+    functionDir(name).resolve(s"package-${safe(sha)}.zip")
+  private def safe(sha: String) = sha.map(c => if (c.isLetterOrDigit) c else '-')
   private def roleJson(name: String) = root.resolve("roles").resolve(s"$name.json")
 
   private def atomicWrite(path: Path, bytes: Array[Byte]): Unit = {
@@ -286,15 +295,17 @@ final class LocalDirControlPlane(root: Path) extends FaasControlPlane {
     require(getFunction(config.name).isEmpty,
       s"function '${config.name}' already exists (ResourceConflict)")
     // package first, metadata last: function.json is the publish point
-    atomicWrite(packageZip(config.name), pkg)
-    writeFunctionJson(config, Deployer.codeSha256(pkg))
+    val sha = Deployer.codeSha256(pkg)
+    atomicWrite(packageZip(config.name, sha), pkg)
+    writeFunctionJson(config, sha)
   }
 
   override def updateFunctionCode(name: String, pkg: Array[Byte]): Unit = {
     val existing = getFunction(name).getOrElse(
       throw new IllegalStateException(s"function '$name' not found (ResourceNotFound)"))
-    atomicWrite(packageZip(name), pkg)
-    writeFunctionJson(existing.config, Deployer.codeSha256(pkg))
+    val sha = Deployer.codeSha256(pkg)
+    atomicWrite(packageZip(name, sha), pkg)
+    writeFunctionJson(existing.config, sha)
   }
 
   override def updateFunctionConfig(config: FunctionConfig): Unit = {
@@ -323,9 +334,13 @@ final class LocalDirControlPlane(root: Path) extends FaasControlPlane {
   }
 
   override def downloadPackage(name: String): Array[Byte] = {
-    require(getFunction(name).isDefined,
-      s"function '$name' not found (ResourceNotFound)")
-    Files.readAllBytes(packageZip(name))
+    val fn = getFunction(name).getOrElse(throw new IllegalArgumentException(
+      s"function '$name' not found (ResourceNotFound)"))
+    val bytes = Files.readAllBytes(packageZip(name, fn.codeSha256))
+    // fail loud on store corruption: the content address must verify
+    require(Deployer.codeSha256(bytes) == fn.codeSha256,
+      s"package for '$name' does not match its published CodeSha256")
+    bytes
   }
 
   private def roleArnOf(name: String) = s"arn:graft:iam::role/$name"

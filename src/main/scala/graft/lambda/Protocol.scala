@@ -116,6 +116,25 @@ object Protocol {
     TaskResult(long(v, "BytesRead"), long(v, "BytesWritten"))
   }
 
+  /** Result payload as it actually arrives OFF THE WIRE from a
+    * corral-deployed function: the Go Lambda runtime JSON-marshals the
+    * handler's `string` return value, so the bytes are a QUOTED JSON
+    * string that the reference unquotes before unmarshalling
+    * (`loadTaskResult` + `strconv.Unquote`,
+    * `/root/reference/lambda.go:88-99`). Accepts both the quoted wire
+    * form and bare JSON, so a graft driver reads either engine's
+    * function during a cutover. */
+  def resultFromWire(payload: String): TaskResult = {
+    val trimmed = payload.trim
+    val inner =
+      if (trimmed.startsWith("\"")) JsonMethods.parse(trimmed) match {
+        case JString(s) => s
+        case other => throw new IllegalArgumentException(s"bad wire payload: $other")
+      }
+      else trimmed
+    resultFromJson(inner)
+  }
+
   def toJson(l: ExecutorLease): String = JsonMethods.compact(JsonMethods.render(
     JObject(
       "AppID" -> JString(l.appId),

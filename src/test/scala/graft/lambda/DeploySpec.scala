@@ -196,6 +196,38 @@ class DeploySpec extends AnyFunSuite {
     assert(e.getMessage.contains("not deployed"))
   }
 
+  test("concurrent code updates stay coherent: published SHA always matches its package") {
+    val (cp, _) = freshPlane()
+    val code = tempDir("graft-deploy-code-")
+    writeCode(code, "A.class" -> "v0")
+    Deployer.deploy(cp, FunctionConfig("racefn"), Deployer.buildPackage(code.toFile))
+
+    // 8 deployers race different versions at the same function; packages
+    // are content-addressed and function.json renames whole, so whatever
+    // interleaving wins, the published (SHA, bytes) pair must verify
+    val versions = (1 to 8).map { i =>
+      val d = tempDir("graft-deploy-code-")
+      writeCode(d, "A.class" -> s"v$i")
+      Deployer.buildPackage(d.toFile)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = versions.map { pkg =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            Deployer.deploy(cp, FunctionConfig("racefn"), pkg)
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+
+    val fn = cp.getFunction("racefn").get
+    val stored = cp.downloadPackage("racefn") // verifies SHA internally
+    assert(Deployer.codeSha256(stored) == fn.codeSha256)
+    assert(versions.map(Deployer.codeSha256).contains(fn.codeSha256),
+      "published SHA is none of the deployed versions")
+  }
+
   test("jar-built package rides the sandbox classpath as a jar entry") {
     val (cp, _) = freshPlane()
     val dir = tempDir("graft-deploy-jar-")

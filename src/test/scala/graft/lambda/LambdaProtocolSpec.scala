@@ -61,6 +61,19 @@ class LambdaProtocolSpec extends AnyFunSuite {
     assert(LambdaClusterManager.functionName("lambda://wordcount-fn") == "wordcount-fn")
   }
 
+  test("result payload unquotes the Go-runtime wire form (lambda.go:88-99)") {
+    // the Go Lambda runtime marshals the handler's `string` return, so
+    // the wire bytes are a QUOTED JSON string — exactly what
+    // json.Marshal produces for prepareResult's output
+    val wire = "\"{\\\"BytesRead\\\":123,\\\"BytesWritten\\\":456}\""
+    assert(Protocol.resultFromWire(wire) == Protocol.TaskResult(123L, 456L))
+    // bare JSON (a non-Go function, or a local path) parses too
+    assert(Protocol.resultFromWire("""{"BytesRead":1,"BytesWritten":2}""") ==
+      Protocol.TaskResult(1L, 2L))
+    // malformed wire bytes fail loud (parse error), not silently zero
+    intercept[Exception](Protocol.resultFromWire("\"oops"))
+  }
+
   test("a named function without a control plane fails fast (F20 path)") {
     // any non-local-sim function resolves through self-deploy; with no
     // control plane configured that must fail loud, naming both the
