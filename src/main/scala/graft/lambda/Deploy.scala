@@ -97,6 +97,30 @@ object Deployer {
     Base64.getEncoder.encodeToString(
       MessageDigest.getInstance("SHA-256").digest(pkg))
 
+  /** Filesystem-safe form of a base64 SHA (one definition — the
+    * content-addressed store and the sandbox dirs must always agree).
+    * Collisions from the '-' folding are caught downstream: downloads
+    * verify the full content address against the published SHA. */
+  def safeSha(sha: String): String =
+    sha.map(c => if (c.isLetterOrDigit) c else '-')
+
+  /** Best-effort recursive delete (children first); per-entry failures
+    * are swallowed — both users (function teardown, sandbox
+    * reclamation) prefer leaving a stray entry over throwing halfway
+    * through a teardown and mis-reporting it. */
+  private[lambda] def deleteRecursively(path: Path): Unit =
+    if (Files.isDirectory(path)) {
+      val files = Files.walk(path)
+      try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.toVector.reverseIterator
+          .foreach(p => try Files.deleteIfExists(p) catch { case NonFatal(_) => () })
+      } finally files.close()
+    } else {
+      try Files.deleteIfExists(path) catch { case NonFatal(_) => () }
+      ()
+    }
+
   /** Where this build's own code lives (classes directory under sbt, a
     * jar when assembled) — the JVM analogue of corral cross-compiling
     * "the current directory" into the function binary
@@ -196,8 +220,14 @@ object Deployer {
         if (codeChanged || configChanged) Updated(codeChanged, configChanged)
         else UpToDate
       case None =>
-        cp.createFunction(cfg, pkg)
-        Created
+        try { cp.createFunction(cfg, pkg); Created }
+        catch {
+          case _: IllegalArgumentException if cp.getFunction(cfg.name).isDefined =>
+            // lost a create race: another deployer published the name
+            // first (AWS answers ResourceConflict here) — converge
+            // through the update path instead of failing the session
+            deploy(cp, config, pkg, manageRole, roleName)
+        }
     }
   }
 
@@ -243,16 +273,19 @@ final class LocalDirControlPlane(root: Path) extends FaasControlPlane {
   // are kept until deleteFunction (the asset lifecycle's
   // keep-superseded discipline: a reader mid-download is never yanked).
   private def packageZip(name: String, sha: String) =
-    functionDir(name).resolve(s"package-${safe(sha)}.zip")
-  private def safe(sha: String) = sha.map(c => if (c.isLetterOrDigit) c else '-')
+    functionDir(name).resolve(s"package-${Deployer.safeSha(sha)}.zip")
   private def roleJson(name: String) = root.resolve("roles").resolve(s"$name.json")
 
   private def atomicWrite(path: Path, bytes: Array[Byte]): Unit = {
     Files.createDirectories(path.getParent)
     // unique temp name: concurrent deployers against a SHARED control
     // plane must not truncate each other's in-flight publish (a fixed
-    // sibling name lets writer A clobber writer B's tmp mid-write)
-    val tmp = Files.createTempFile(path.getParent, path.getFileName.toString, ".tmp")
+    // sibling name lets writer A clobber writer B's tmp mid-write).
+    // Plain Files.write, NOT createTempFile: the latter's 0600 POSIX
+    // default would survive the rename and make a multi-user shared
+    // plane's metadata unreadable to other principals
+    val tmp = path.resolveSibling(
+      s"${path.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp, bytes)
     Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -316,27 +349,33 @@ final class LocalDirControlPlane(root: Path) extends FaasControlPlane {
 
   override def deleteFunction(name: String): Boolean = {
     val existed = Files.isRegularFile(functionJson(name))
-    // metadata first (unpublish), then the whole dir RECURSIVELY — a
-    // crash between temp-write and rename can leave stray .tmp files,
-    // and a non-recursive delete would then throw DirectoryNotEmpty
-    // and mis-report the teardown
+    // metadata first (unpublish), then the whole dir best-effort
+    // RECURSIVELY — a crashed publish's stray .tmp files must not make
+    // the teardown throw halfway and mis-report, and a file appearing
+    // concurrently (a racing redeploy) just survives for that deploy's
+    // own publish to own: delete-vs-deploy races resolve last-writer-
+    // wins, same as the real control plane's serialized API would
     Files.deleteIfExists(functionJson(name))
-    val dir = functionDir(name)
-    if (Files.isDirectory(dir)) {
-      val files = Files.walk(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        files.iterator().asScala.toVector.reverseIterator // children first
-          .foreach(Files.deleteIfExists(_))
-      } finally files.close()
-    }
+    Deployer.deleteRecursively(functionDir(name))
     existed
   }
 
   override def downloadPackage(name: String): Array[Byte] = {
     val fn = getFunction(name).getOrElse(throw new IllegalArgumentException(
       s"function '$name' not found (ResourceNotFound)"))
-    val bytes = Files.readAllBytes(packageZip(name, fn.codeSha256))
+    val addressed = packageZip(name, fn.codeSha256)
+    // pre-content-addressing layout stored one fixed `package.zip`; a
+    // persistent control plane deployed by an older build reads through
+    // the fallback (and still verifies — its json SHA came from it)
+    val legacy = functionDir(name).resolve("package.zip")
+    val source =
+      if (Files.isRegularFile(addressed)) addressed
+      else if (Files.isRegularFile(legacy)) legacy
+      else throw new IllegalArgumentException(
+        s"package object for '$name' is missing from the control plane " +
+          "(ResourceNotFound; if this plane predates content-addressed " +
+          "packages, redeploy the function)")
+    val bytes = Files.readAllBytes(source)
     // fail loud on store corruption: the content address must verify
     require(Deployer.codeSha256(bytes) == fn.codeSha256,
       s"package for '$name' does not match its published CodeSha256")
@@ -385,8 +424,17 @@ final class DeployedPackageFaasClient(
   /** Last classpath handed to a launched invocation (test seam). */
   @volatile private[graft] var lastClasspath: String = null
 
+  // full classpath string per function@sha — the unzip, the jar listing,
+  // and the string build all happen once; the supervisor's 250 ms
+  // relaunch loop then reads a constant
   private val unpacked =
-    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // serializes unpack against close(): the backend shuts its supervisor
+  // down without awaiting termination, so a launch already in flight
+  // could otherwise re-unzip into the sandbox AFTER close() swept it —
+  // re-leaking the directory reclamation exists to prevent
+  private val lifecycle = new Object
+  private var closed = false
 
   /** The "FaaS runtime" half of the sandbox classpath: the driver's
     * classpath minus its own code location. Invariant for the life of
@@ -408,44 +456,42 @@ final class DeployedPackageFaasClient(
     val fn = cp.getFunction(function).getOrElse(throw new IllegalStateException(
       s"function '$function' is not deployed; deploy first " +
         "(Deployer.deploy — reference lambda.go:147-169)"))
-    val safeSha = fn.codeSha256.map(c => if (c.isLetterOrDigit) c else '-')
-    val dir = unpacked.computeIfAbsent(s"$function@${fn.codeSha256}", { _ =>
-      val target = sandboxRoot.resolve(s"$function-$safeSha")
-      Deployer.unzipTo(cp.downloadPackage(function), target)
-      target
-    })
-    // a directory classpath entry only loads LOOSE class files — a
-    // package built from an assembled jar unpacks to <dir>/<app>.jar,
-    // which must ride the classpath as its own entry or nothing in it
-    // resolves (the classes-directory layout has no such jars)
-    val jarEntries = {
-      val files = Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        files.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".jar"))
-          .map(_.toAbsolutePath.toString).toVector.sorted
-      } finally files.close()
+    val cpStr = lifecycle.synchronized {
+      if (closed) throw new IllegalStateException(
+        "FaaS client is closed; no further invocations can launch")
+      unpacked.computeIfAbsent(s"$function@${fn.codeSha256}", { _ =>
+        val dir = sandboxRoot.resolve(s"$function-${Deployer.safeSha(fn.codeSha256)}")
+        Deployer.unzipTo(cp.downloadPackage(function), dir)
+        // a directory classpath entry only loads LOOSE class files — a
+        // package built from an assembled jar unpacks to <dir>/<app>.jar,
+        // which must ride the classpath as its own entry or nothing in
+        // it resolves (the classes-directory layout has no such jars)
+        val jarEntries = {
+          val files = Files.list(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            files.iterator().asScala
+              .filter(p => p.getFileName.toString.endsWith(".jar"))
+              .map(_.toAbsolutePath.toString).toVector.sorted
+          } finally files.close()
+        }
+        (dir.toAbsolutePath.toString +: (jarEntries ++ runtimeEntries))
+          .mkString(File.pathSeparator)
+      })
     }
-    val cpStr = (dir.toAbsolutePath.toString +: (jarEntries ++ runtimeEntries))
-      .mkString(File.pathSeparator)
     lastClasspath = cpStr
     cpStr
   }
 
   /** Reclaim the unpacked-package sandbox: the backend closes its
     * client on stop, and without this every session leaks a full
-    * unpacked copy of the build under the temp root. */
-  override def close(): Unit = {
+    * unpacked copy of the build under the temp root. Serialized with
+    * [[classpathFor]] so an in-flight launch cannot re-populate the
+    * sandbox after the sweep. */
+  override def close(): Unit = lifecycle.synchronized {
+    closed = true
     unpacked.clear()
-    if (Files.isDirectory(sandboxRoot)) {
-      val files = Files.walk(sandboxRoot)
-      try {
-        import scala.jdk.CollectionConverters._
-        files.iterator().asScala.toVector.reverseIterator
-          .foreach(p => try Files.deleteIfExists(p) catch { case NonFatal(_) => () })
-      } finally files.close()
-    }
+    Deployer.deleteRecursively(sandboxRoot)
   }
 }
 

@@ -196,6 +196,63 @@ class DeploySpec extends AnyFunSuite {
     assert(e.getMessage.contains("not deployed"))
   }
 
+  test("a lost create race converges through the update path instead of failing") {
+    val (real, _) = freshPlane()
+    val code = tempDir("graft-deploy-code-")
+    writeCode(code, "A.class" -> "winner")
+    val winnerPkg = Deployer.buildPackage(code.toFile)
+    // a control plane whose first getFunction sees the pre-create gap:
+    // the racing winner publishes between our read and our create
+    val raced = new FaasControlPlane {
+      private var first = true
+      override def getFunction(name: String) =
+        if (first) { first = false; Deployer.deploy(real, FunctionConfig(name), winnerPkg); None }
+        else real.getFunction(name)
+      override def createFunction(c: FunctionConfig, p: Array[Byte]) = real.createFunction(c, p)
+      override def updateFunctionCode(n: String, p: Array[Byte]) = real.updateFunctionCode(n, p)
+      override def updateFunctionConfig(c: FunctionConfig) = real.updateFunctionConfig(c)
+      override def deleteFunction(n: String) = real.deleteFunction(n)
+      override def downloadPackage(n: String) = real.downloadPackage(n)
+      override def getRole(n: String) = real.getRole(n)
+      override def ensureRole(n: String) = real.ensureRole(n)
+      override def deleteRole(n: String) = real.deleteRole(n)
+    }
+    writeCode(code, "A.class" -> "loser")
+    val loserPkg = Deployer.buildPackage(code.toFile)
+    // the loser's deploy must not crash with ResourceConflict; it
+    // converges as an update over the winner's function
+    val outcome = Deployer.deploy(raced, FunctionConfig("racecreate"), loserPkg)
+    assert(outcome == Deployer.Updated(codeChanged = true, configChanged = false))
+    assert(real.getFunction("racecreate").get.codeSha256 == Deployer.codeSha256(loserPkg))
+  }
+
+  test("legacy fixed-name package layout still downloads (pre-content-addressing plane)") {
+    val (cp, root) = freshPlane()
+    val code = tempDir("graft-deploy-code-")
+    writeCode(code, "A.class" -> "old-build")
+    val pkg = Deployer.buildPackage(code.toFile)
+    Deployer.deploy(cp, FunctionConfig("oldfn"), pkg)
+    // rewrite the store into the old layout: one fixed package.zip
+    val dir = root.resolve("functions/oldfn")
+    import scala.jdk.CollectionConverters._
+    val addressed = Files.list(dir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("package-")).get
+    Files.move(addressed, dir.resolve("package.zip"))
+    assert(cp.downloadPackage("oldfn").sameElements(pkg))
+  }
+
+  test("a closed client refuses further launches instead of re-populating the sandbox") {
+    val (cp, _) = freshPlane()
+    val code = tempDir("graft-deploy-code-")
+    writeCode(code, "A.class" -> "x")
+    Deployer.deploy(cp, FunctionConfig("fn9"), Deployer.buildPackage(code.toFile))
+    val sandbox = tempDir("graft-sandbox-")
+    val client = new DeployedPackageFaasClient(cp, sandbox)
+    client.close()
+    intercept[IllegalStateException](client.classpathFor("fn9"))
+    assert(!Files.exists(sandbox))
+  }
+
   test("concurrent code updates stay coherent: published SHA always matches its package") {
     val (cp, _) = freshPlane()
     val code = tempDir("graft-deploy-code-")
