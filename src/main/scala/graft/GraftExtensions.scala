@@ -23,7 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def fn(name: String, clazz: Class[_], usage: String)(
       builder: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
-      new ExpressionInfo(clazz.getName, null, name, usage, ""),
+      // the full (non-deprecated) metadata constructor; only usage is
+      // populated — shown by DESCRIBE FUNCTION
+      new ExpressionInfo(clazz.getName, null, name, usage,
+        "", "", "", "", "", "", "built-in"),
       builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -64,7 +64,7 @@ object MapReduce {
     * groups — O(1) memory regardless of group size. If a reducer
     * doesn't fully consume a run, the leftover records are skipped
     * before the next group starts. */
-  private[mr] final class GroupedRuns(it: BufferedIterator[KV])
+  private[mr] final class GroupedRuns(it: scala.collection.BufferedIterator[KV])
       extends Iterator[(String, Iterator[String])] {
     private var lastKey: String = _
     private var started = false
