@@ -9,13 +9,27 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_SHUFFLE_DIR runs the WHOLE oracle gate under the
     // object-store shuffle (same env contract as Bench/ScaleProbe) —
-    // 80/80 hash-match in the deployment-shaped configuration
-    val spark = Bench.withShuffleEnv(SparkSession.builder()
-      .master(s"local[$cpus]")
+    // 80/80 hash-match in the deployment-shaped configuration.
+    // SPARK_GRAFT_MASTER=lambda://<fn> additionally runs it on the FaaS
+    // backend (leased process executors; a named function self-deploys
+    // against SPARK_GRAFT_FAAS_CONTROL_PLANE) — the complete north-star
+    // configuration under the full correctness surface.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+      .config("spark.ui.enabled", "false")
+    if (master.startsWith(graft.lambda.LambdaClusterManager.SCHEME)) {
+      b.config("spark.driver.host", "localhost")
+        .config("spark.driver.bindAddress", "localhost")
+        .config("spark.executor.instances", sys.env.getOrElse("SPARK_GRAFT_EXECUTORS", "4"))
+        .config("spark.executor.cores", sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_CORES", "2"))
+        .config("spark.executor.memory", sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "1500m"))
+      sys.env.get("SPARK_GRAFT_FAAS_CONTROL_PLANE")
+        .foreach(d => b.config(graft.lambda.FaasDeploy.ControlPlaneDirKey, d))
+    }
+    val spark = Bench.withShuffleEnv(b).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
