@@ -65,6 +65,36 @@ object Bench {
   private[graft] def shuffleMode: String =
     sys.env.get("SPARK_GRAFT_SHUFFLE_DIR").fold("local-sort")(d => s"fs:$d")
 
+  /** `SPARK_GRAFT_MASTER=lambda://<fn>` runs a measurement/gate main on
+    * the FaaS backend instead of `local[N]` — a named function
+    * self-deploys against `SPARK_GRAFT_FAAS_CONTROL_PLANE` (F20) and
+    * the executor geometry comes from `SPARK_GRAFT_EXECUTORS` /
+    * `SPARK_GRAFT_EXECUTOR_CORES` / `SPARK_GRAFT_EXECUTOR_MEM`. One
+    * definition shared by Bench and Verify so the mains cannot drift
+    * on how the deployment-shaped leg is wired. */
+  private[graft] def withMasterEnv(builder: SparkSession.Builder,
+      defaultMaster: String): SparkSession.Builder = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", defaultMaster)
+    val b = builder.master(master)
+    if (master.startsWith(graft.lambda.LambdaClusterManager.SCHEME)) {
+      b.config("spark.driver.host", "localhost")
+        .config("spark.driver.bindAddress", "localhost")
+        .config("spark.executor.instances",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTORS", "4"))
+        .config("spark.executor.cores",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_CORES", "2"))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "1500m"))
+      sys.env.get("SPARK_GRAFT_FAAS_CONTROL_PLANE")
+        .foreach(d => b.config(graft.lambda.FaasDeploy.ControlPlaneDirKey, d))
+    }
+    b
+  }
+
+  /** What the artifact's `master` field should say for this run. */
+  private[graft] def masterMode: String =
+    sys.env.getOrElse("SPARK_GRAFT_MASTER", "local")
+
   /** JSON string escape for env-provided values (`shuffle`, `sf`) —
     * a quote/backslash/control char in a path must not break the
     * artifact-always-parses contract. */
@@ -110,8 +140,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = withMasterEnv(SparkSession.builder(), s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -187,7 +216,7 @@ object Bench {
     val passDetail = passes.map(p =>
       names.flatMap(n => p.get(n).map(m => "\"" + n + "\":" + m._1))
         .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":${jstr(shuffleMode)},"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}"""
     println(line)
     // stdout of an sbt run gets interleaved/truncated by the harness —
     // persist the full line so the round artifact always parses
@@ -204,7 +233,7 @@ object Bench {
     // sets Global/showSuccess := false so sbt's "[success] Total time"
     // banner doesn't land AFTER this line — r8's tail showed the banner
     // as the true last line, which is what a last-line parser chokes on.)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":${jstr(shuffleMode)},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -14,22 +14,12 @@ object Verify {
     // backend (leased process executors; a named function self-deploys
     // against SPARK_GRAFT_FAAS_CONTROL_PLANE) — the complete north-star
     // configuration under the full correctness surface.
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val b = SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-    if (master.startsWith(graft.lambda.LambdaClusterManager.SCHEME)) {
-      b.config("spark.driver.host", "localhost")
-        .config("spark.driver.bindAddress", "localhost")
-        .config("spark.executor.instances", sys.env.getOrElse("SPARK_GRAFT_EXECUTORS", "4"))
-        .config("spark.executor.cores", sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_CORES", "2"))
-        .config("spark.executor.memory", sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "1500m"))
-      sys.env.get("SPARK_GRAFT_FAAS_CONTROL_PLANE")
-        .foreach(d => b.config(graft.lambda.FaasDeploy.ControlPlaneDirKey, d))
-    }
-    val spark = Bench.withShuffleEnv(b).getOrCreate()
+    val spark = Bench.withShuffleEnv(
+      Bench.withMasterEnv(SparkSession.builder(), s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
