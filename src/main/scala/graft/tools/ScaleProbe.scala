@@ -68,8 +68,10 @@ object ScaleProbe {
     // object-store shuffle (same env contract as Bench, same helper) —
     // the exponents in the DEPLOYMENT-shaped configuration, not just
     // local sort shuffle
-    val spark = graft.Bench.withShuffleEnv(SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=lambda://<fn> measures the exponents on the
+    // FaaS backend itself (same shared helper as Bench/Verify)
+    val spark = graft.Bench.withShuffleEnv(graft.Bench.withMasterEnv(
+      SparkSession.builder(), s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -175,6 +177,6 @@ object ScaleProbe {
       .mkString("{", ",", "}")
     val noiseSuspect = rows.collect { case (n, _, _, _, _, _, true) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    s"""{"metric":"scale_probe","reps":$reps,"shuffle":${graft.Bench.jstr(graft.Bench.shuffleMode)},"noise_suspect":$noiseSuspect,"queries":$qs}"""
+    s"""{"metric":"scale_probe","reps":$reps,"shuffle":${graft.Bench.jstr(graft.Bench.shuffleMode)},"master":${graft.Bench.jstr(graft.Bench.masterMode)},"noise_suspect":$noiseSuspect,"queries":$qs}"""
   }
 }
