@@ -46,8 +46,21 @@ final case class DeployedFunction(config: FunctionConfig, codeSha256: String)
   * reference's `DeployPermissions` verb (`coriam/client.go:163-174`):
   * create-or-update the execution role + its attached policy, return the
   * role ARN. */
+/** The name-conflict signal of the control-plane contract: every
+  * [[FaasControlPlane.createFunction]] implementation MUST throw this
+  * (not its SDK's own conflict type) when the function name already
+  * exists — it is what [[Deployer.deploy]]'s lost-create-race recovery
+  * keys on, so an AWS binding must map `ResourceConflictException` to
+  * it rather than letting the SDK exception escape. */
+final class FunctionAlreadyExistsException(val functionName: String)
+    extends RuntimeException(
+      s"function '$functionName' already exists (ResourceConflict)")
+
 trait FaasControlPlane {
   def getFunction(name: String): Option[DeployedFunction]
+  /** MUST throw [[FunctionAlreadyExistsException]] when the name is
+    * already taken (the reference surfaces AWS's
+    * `ResourceConflictException` here, `client.go:104-106`). */
   def createFunction(config: FunctionConfig, pkg: Array[Byte]): Unit
   def updateFunctionCode(name: String, pkg: Array[Byte]): Unit
   def updateFunctionConfig(config: FunctionConfig): Unit
@@ -99,9 +112,22 @@ object Deployer {
 
   /** Filesystem-safe form of a base64 SHA (one definition — the
     * content-addressed store and the sandbox dirs must always agree).
-    * Collisions from the '-' folding are caught downstream: downloads
-    * verify the full content address against the published SHA. */
+    * Base64url without padding ('+'→'-', '/'→'_', '=' dropped): for the
+    * fixed-length SHA-256 digests this encodes, the mapping is
+    * INJECTIVE, so two distinct SHAs can never collide to one filename
+    * (the earlier '-'-folding could, letting a later write overwrite an
+    * older function's zip and permanently fail its content check). */
   def safeSha(sha: String): String =
+    sha.map {
+      case '+' => '-'
+      case '/' => '_'
+      case c => c
+    }.filterNot(_ == '=')
+
+  /** The pre-round-12 non-injective encoding ('+','/','=' all → '-'),
+    * kept only so [[LocalDirControlPlane.downloadPackage]] can read a
+    * persistent plane written by an older build. */
+  private[lambda] def legacySafeSha(sha: String): String =
     sha.map(c => if (c.isLetterOrDigit) c else '-')
 
   /** Best-effort recursive delete (children first); per-entry failures
@@ -222,10 +248,12 @@ object Deployer {
       case None =>
         try { cp.createFunction(cfg, pkg); Created }
         catch {
-          case _: IllegalArgumentException if cp.getFunction(cfg.name).isDefined =>
+          case _: FunctionAlreadyExistsException =>
             // lost a create race: another deployer published the name
-            // first (AWS answers ResourceConflict here) — converge
-            // through the update path instead of failing the session
+            // first (the trait contract maps the control plane's
+            // conflict signal — AWS ResourceConflictException — to this
+            // dedicated type) — converge through the update path
+            // instead of failing the session
             deploy(cp, config, pkg, manageRole, roleName)
         }
     }
@@ -325,8 +353,8 @@ final class LocalDirControlPlane(root: Path) extends FaasControlPlane {
   }
 
   override def createFunction(config: FunctionConfig, pkg: Array[Byte]): Unit = {
-    require(getFunction(config.name).isEmpty,
-      s"function '${config.name}' already exists (ResourceConflict)")
+    if (getFunction(config.name).isDefined)
+      throw new FunctionAlreadyExistsException(config.name)
     // package first, metadata last: function.json is the publish point
     val sha = Deployer.codeSha256(pkg)
     atomicWrite(packageZip(config.name, sha), pkg)
@@ -338,7 +366,15 @@ final class LocalDirControlPlane(root: Path) extends FaasControlPlane {
       throw new IllegalStateException(s"function '$name' not found (ResourceNotFound)"))
     val sha = Deployer.codeSha256(pkg)
     atomicWrite(packageZip(name, sha), pkg)
-    writeFunctionJson(existing.config, sha)
+    // re-read the config just before the metadata publish: the write is
+    // a read-modify-write of function.json, and publishing from the
+    // stale pre-package read would silently revert a config update that
+    // raced in during the package write (a lost update, worse than the
+    // last-writer-wins a serialized control plane gives). The narrower
+    // window between this read and the rename remains — acceptable for
+    // the in-sandbox plane, whose real counterpart serializes the API.
+    val cfg = getFunction(name).map(_.config).getOrElse(existing.config)
+    writeFunctionJson(cfg, sha)
   }
 
   override def updateFunctionConfig(config: FunctionConfig): Unit = {
@@ -364,23 +400,42 @@ final class LocalDirControlPlane(root: Path) extends FaasControlPlane {
     val fn = getFunction(name).getOrElse(throw new IllegalArgumentException(
       s"function '$name' not found (ResourceNotFound)"))
     val addressed = packageZip(name, fn.codeSha256)
-    // pre-content-addressing layout stored one fixed `package.zip`; a
-    // persistent control plane deployed by an older build reads through
-    // the fallback (and still verifies — its json SHA came from it)
+    // older layouts: the dash-folded content-addressed name, then the
+    // pre-content-addressing fixed `package.zip`; a persistent control
+    // plane deployed by an older build reads through the fallbacks (and
+    // still verifies — its json SHA came from those bytes)
+    val legacyDashed = functionDir(name)
+      .resolve(s"package-${Deployer.legacySafeSha(fn.codeSha256)}.zip")
     val legacy = functionDir(name).resolve("package.zip")
     val source =
       if (Files.isRegularFile(addressed)) addressed
+      else if (Files.isRegularFile(legacyDashed)) legacyDashed
       else if (Files.isRegularFile(legacy)) legacy
       else throw new IllegalArgumentException(
         s"package object for '$name' is missing from the control plane " +
           "(ResourceNotFound; if this plane predates content-addressed " +
           "packages, redeploy the function)")
-    val bytes = Files.readAllBytes(source)
+    val bytes = readPackage(source, name)
     // fail loud on store corruption: the content address must verify
     require(Deployer.codeSha256(bytes) == fn.codeSha256,
       s"package for '$name' does not match its published CodeSha256")
     bytes
   }
+
+  /** The read half of [[downloadPackage]], separated so the
+    * check-then-read race window is directly testable: a racing
+    * deleteFunction can remove the file between the existence check and
+    * the read — surface it as the same graceful ResourceNotFound the
+    * missing-object path gives, not a raw NoSuchFileException (the
+    * supervisor catches and retries either way). */
+  private[lambda] def readPackage(source: Path, name: String): Array[Byte] =
+    try Files.readAllBytes(source)
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new IllegalArgumentException(
+          s"package object for '$name' vanished mid-download " +
+            "(ResourceNotFound; a concurrent undeploy removed it)")
+    }
 
   private def roleArnOf(name: String) = s"arn:graft:iam::role/$name"
 

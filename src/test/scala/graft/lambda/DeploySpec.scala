@@ -166,7 +166,7 @@ class DeploySpec extends AnyFunSuite {
     writeCode(code, "A.class" -> "x")
     val pkg = Deployer.buildPackage(code.toFile)
     cp.createFunction(FunctionConfig("fn4"), pkg)
-    intercept[IllegalArgumentException](cp.createFunction(FunctionConfig("fn4"), pkg))
+    intercept[FunctionAlreadyExistsException](cp.createFunction(FunctionConfig("fn4"), pkg))
     intercept[IllegalStateException](cp.updateFunctionCode("missing", pkg))
     intercept[IllegalStateException](cp.updateFunctionConfig(FunctionConfig("missing")))
     intercept[IllegalArgumentException](cp.downloadPackage("missing"))
@@ -374,5 +374,61 @@ class DeploySpec extends AnyFunSuite {
     assert(conf.faasControlPlane.contains("/cp/from/rc"))
     // default mirrors corral's "corral_function" (config.go:22)
     assert(graft.GraftSession.fromEnv(env = Map.empty, rc = Map.empty).faasFunction == "graft_function")
+  }
+
+  // -- round-12 hardening: contract exceptions + injective addressing ----
+
+  test("createFunction signals a name conflict with the contract exception type") {
+    val (cp, _) = freshPlane()
+    val code = tempDir("graft-deploy-code-")
+    writeCode(code, "A.class" -> "x")
+    val pkg = Deployer.buildPackage(code.toFile)
+    cp.createFunction(FunctionConfig("dupfn"), pkg)
+    // the trait contract: conflicts surface as FunctionAlreadyExists,
+    // the one type deploy()'s lost-race recovery keys on — NOT a
+    // plane-specific IllegalArgumentException
+    val e = intercept[FunctionAlreadyExistsException](
+      cp.createFunction(FunctionConfig("dupfn"), pkg))
+    assert(e.functionName == "dupfn")
+  }
+
+  test("safeSha is injective over base64 SHAs (distinct digests, distinct filenames)") {
+    // the old '-'-folding collided '+' '/' '=' — these pairs are the
+    // collision classes it had; base64url-without-padding separates them
+    assert(Deployer.safeSha("ab+cd=") != Deployer.safeSha("ab/cd="))
+    assert(Deployer.safeSha("ab+cd=") != Deployer.safeSha("ab=cd="))
+    // and stays filesystem-safe: no path separators or padding chars
+    val enc = Deployer.safeSha("A+B/C=")
+    assert(!enc.exists(c => c == '/' || c == '+' || c == '='))
+    // real digests round-trip distinctly
+    val s1 = Deployer.codeSha256("one".getBytes(StandardCharsets.UTF_8))
+    val s2 = Deployer.codeSha256("two".getBytes(StandardCharsets.UTF_8))
+    assert(Deployer.safeSha(s1) != Deployer.safeSha(s2))
+  }
+
+  test("dash-folded package names from an older build still download") {
+    val (cp, root) = freshPlane()
+    val code = tempDir("graft-deploy-code-")
+    writeCode(code, "A.class" -> "dash-era-build")
+    val pkg = Deployer.buildPackage(code.toFile)
+    Deployer.deploy(cp, FunctionConfig("dashfn"), pkg)
+    // rewrite the store into the round-11 layout: dash-folded SHA name
+    val dir = root.resolve("functions/dashfn")
+    val sha = cp.getFunction("dashfn").get.codeSha256
+    import scala.jdk.CollectionConverters._
+    val addressed = Files.list(dir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("package-")).get
+    Files.move(addressed, dir.resolve(s"package-${Deployer.legacySafeSha(sha)}.zip"))
+    assert(cp.downloadPackage("dashfn").sameElements(pkg))
+  }
+
+  test("a package vanishing mid-download surfaces as ResourceNotFound, not NoSuchFile") {
+    val (cp, root) = freshPlane()
+    // the deleteFunction-races-download interleaving: the existence
+    // check passed, then the file was removed before the read — the
+    // read half must rethrow as the graceful ResourceNotFound shape
+    val gone = root.resolve("functions/vanfn/package-gone.zip")
+    val e = intercept[IllegalArgumentException](cp.readPackage(gone, "vanfn"))
+    assert(e.getMessage.contains("ResourceNotFound"))
   }
 }
