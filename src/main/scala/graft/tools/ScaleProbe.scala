@@ -3,38 +3,47 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** sf0.1 → sf1 scaling probe for the heavy-hitter queries (judge's
-  * round-9 task #5): measures how wall-clock grows when the documents
-  * corpus grows 10×, to back the "survives 100×" design claim with
+/** Multi-decade scaling probe for the heavy-hitter queries (judge's
+  * round-9 task #5, extended to two decades by the round-11 work
+  * order): measures how wall-clock grows when the documents corpus
+  * grows 10× and 100×, to back the "survives 100×" design claim with
   * observed exponents rather than plan-shape arguments.
   *
-  * There is no driver-generated sf1 fixture, so the probe builds one
-  * under target/sf1: `SPARK_GRAFT_SCALE_REPS` (default 10) replicas of
-  * the sf0.1 documents table, ids offset per replica and the TEXT run
-  * through a per-replica Caesar cipher on letters (replica 0 is the
-  * identity — the original corpus). A bijective letter map preserves
-  * every length and every within-replica character-equality relation
-  * EXACTLY — shingle-set intersections, winnow run structure, and
-  * token multiplicities per replica are isomorphic to sf0.1's (hash
-  * VALUES differ, which is just a reseed) — while cross-replica
-  * n-grams almost never collide (a shifted word is not a vocabulary
-  * word), so pair outputs scale ~linearly (10× docs → ~10× pairs),
-  * the regime the banded-join designs claim. Naive alternatives
-  * measure the fixture, not the engine: verbatim replicas gain 9
-  * exact copies per doc (quadratic pair blowup), and a per-token
-  * suffix salt changes token-length statistics (chars-per-shingle
-  * shifts, collapsing fingerprint overlap ~25×: observed).
+  * There is no driver-generated large fixture, so the probe builds its
+  * own under `target/scale_r<reps>`: `SPARK_GRAFT_SCALE_REPS` (a comma
+  * list of replica counts, default "10") replicas of the sf0.1
+  * documents table, ids offset per replica and the TEXT run through a
+  * per-replica bijective letter permutation (replica 0 is the
+  * identity — the original corpus; replica r > 0 draws a deterministic
+  * Fisher–Yates shuffle of the alphabet seeded by r, so the keyspace
+  * is 26! and ANY replica count stays collision-free, where the
+  * round-9 Caesar rotation wrapped into verbatim copies past 26). A
+  * bijective letter map preserves every length and every
+  * within-replica character-equality relation EXACTLY — shingle-set
+  * intersections, winnow run structure, and token multiplicities per
+  * replica are isomorphic to sf0.1's (hash VALUES differ, which is
+  * just a reseed) — while cross-replica n-grams almost never collide
+  * (a permuted word is not a vocabulary word), so pair outputs scale
+  * ~linearly (10× docs → ~10× pairs), the regime the banded-join
+  * designs claim. Naive alternatives measure the fixture, not the
+  * engine: verbatim replicas gain N−1 exact copies per doc (quadratic
+  * pair blowup), and a per-token suffix salt changes token-length
+  * statistics (chars-per-shingle shifts, collapsing fingerprint
+  * overlap ~25×: observed).
   *
-  * Per query: one cold run at each scale, then `min` of 2 warm runs;
-  * the printed exponent is log_reps(t_big / t_sf01) — 1.0 = linear in
-  * data, <1 sublinear, >1 superlinear. Run with SPARK_DRIVER_MEM=16g.
+  * Per query: one cold run at each scale, then `min` of ≥2 warm runs;
+  * each adjacent scale pair prints exponent
+  * log_ratio(t_big / t_small) — 1.0 = linear in data, <1 sublinear,
+  * >1 superlinear. Run with SPARK_DRIVER_MEM=16g.
+  * `SPARK_GRAFT_SCALE_QUERIES` (comma list) restricts the probe set —
+  * the sf10 leg runs the asset-bound verbs only.
   */
 object ScaleProbe {
   // the six heavy hitters from the round-8 work order, plus the two
   // incremental verbs (their 100 TB shape — asset streamed, increment
   // broadcast — is exactly what should show up as a flat exponent; the
   // replica id offset is a multiple of 10, so the fixture's
-  // doc_id % 10 corpus/increment split carries over to sf1 unchanged).
+  // doc_id % 10 corpus/increment split carries over unchanged).
   // The group step probes the production-shaped dd10p binding: its
   // cold run pays the one-time asset seeding, the warm min times ONLY
   // incrementalGroups — the exponent a capacity planner needs (dd10's
@@ -53,16 +62,57 @@ object ScaleProbe {
   // deeper min-of-N so one noisy pass can't print a scary exponent.
   private val OutputBound = Set("q31_decontaminate", "q32_substring_overlap")
 
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Per-replica alphabet: replica 0 is the identity (the original
+    * corpus); replica r > 0 is a Fisher–Yates shuffle of the 26
+    * letters driven by an LCG seeded from r — deterministic, and with
+    * a 26! keyspace two replicas drawing the same permutation (or the
+    * identity) is astronomically unlikely; the identity case is still
+    * guarded by a swap so replica r > 0 can NEVER be a verbatim copy
+    * (the quadratic pair blowup the cipher exists to avoid). */
+  private[graft] def replicaAlphabet(r: Int): String = {
+    if (r == 0) return Lower
+    val arr = Lower.toCharArray
+    var s = r.toLong
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      s
+    }
+    var i = arr.length - 1
+    while (i >= 1) {
+      val j = java.lang.Math.floorMod(next(), (i + 1).toLong).toInt
+      val t = arr(i); arr(i) = arr(j); arr(j) = t
+      i -= 1
+    }
+    val out = new String(arr)
+    if (out == Lower) { val c = arr(0); arr(0) = arr(1); arr(1) = c; new String(arr) }
+    else out
+  }
+
+  /** "sf1" for reps=10, "sf10" for reps=100 (scales are relative to
+    * the sf0.1 source corpus). */
+  private[graft] def scaleLabel(reps: Int): String = {
+    val sf = reps / 10.0
+    if (sf == math.rint(sf)) s"sf${sf.toLong}" else s"sf$sf"
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
-    // the cipher keyspace is the 26 letter rotations; replica r and
-    // r+26 would be VERBATIM copies — the quadratic pair blowup the
-    // cipher exists to avoid — so an off-contract reps fails loud
-    // instead of silently corrupting the measured exponents
-    require(reps >= 2 && reps <= 26,
-      s"SPARK_GRAFT_SCALE_REPS must be in [2, 26] (1 measures nothing, " +
-        s"> 26 wraps the cipher into verbatim copies), got $reps")
+    val repsList = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10")
+      .split(",").map(_.trim.toInt).toSeq
+    repsList.foreach { reps =>
+      require(reps >= 2 && reps <= 10000,
+        s"each SPARK_GRAFT_SCALE_REPS must be in [2, 10000] " +
+          s"(1 measures nothing), got $reps")
+    }
+    require(repsList == repsList.sorted && repsList.distinct == repsList,
+      s"SPARK_GRAFT_SCALE_REPS must be strictly increasing, got $repsList")
+    val probes = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Probes)
+    probes.foreach(n => require(graft.Registry.queries.contains(n),
+      s"unknown probe query '$n'"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_SHUFFLE_DIR measures the probe under the
     // object-store shuffle (same env contract as Bench, same helper) —
@@ -82,23 +132,28 @@ object ScaleProbe {
 
     // the fixture dir encodes reps: a rerun with a different reps must
     // build its own fixture, not silently reuse one at the wrong scale
-    val sf1Dir = if (reps == 10) "target/sf1" else s"target/sf1_r$reps"
-    val docsOut = new java.io.File(s"$sf1Dir/documents.parquet")
-    if (!docsOut.exists()) {
-      val docs = graft.Tables.documents(spark, src)
-      val lower = "abcdefghijklmnopqrstuvwxyz"
-      val upper = lower.toUpperCase
-      def rot(s: String, r: Int) = s.drop(r % 26) + s.take(r % 26)
-      val salted = (0 until reps).map { r =>
-        docs.select(
-          (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
-          translate(col("text"), lower + upper, rot(lower, r) + rot(upper, r))
-            .as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ union _)
-      salted.repartition(32)
-        .write.mode("overwrite").parquet(docsOut.toString)
-      println(s"[probe] built $sf1Dir: ${reps}x ${src} documents, letter-ciphered per replica")
+    // (dir family renamed from target/sf1* when the cipher changed from
+    // rotation to permutation — a rotation-era fixture must never be
+    // silently reused under the new cipher's collision claims)
+    def fixtureDir(reps: Int): String = s"target/scale_r$reps"
+    repsList.foreach { reps =>
+      val dir = fixtureDir(reps)
+      val docsOut = new java.io.File(s"$dir/documents.parquet")
+      if (!docsOut.exists()) {
+        val docs = graft.Tables.documents(spark, src)
+        val salted = (0 until reps).map { r =>
+          val alpha = replicaAlphabet(r)
+          docs.select(
+            (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+            translate(col("text"), Lower + Lower.toUpperCase,
+              alpha + alpha.toUpperCase).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ union _)
+        salted.repartition(math.max(32, reps / 2))
+          .write.mode("overwrite").parquet(docsOut.toString)
+        println(s"[probe] built $dir: ${reps}x ${src} documents, " +
+          "letter-permuted per replica")
+      }
     }
 
     def time(name: String, dir: String): Double = {
@@ -108,8 +163,8 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
     // Bench's failure convention: a crashed query records -1.0 instead
-    // of aborting the probe — one OOM'd sf1 pass must not discard the
-    // rows already measured (hours of runs) with the artifact unprinted
+    // of aborting the probe — one OOM'd big-scale pass must not discard
+    // the rows already measured (hours of runs) with the artifact unprinted
     def timeSafe(name: String, dir: String): Double =
       try time(name, dir) catch {
         case scala.util.control.NonFatal(e) =>
@@ -118,7 +173,7 @@ object ScaleProbe {
       }
 
     // Bench's min-of-N + spread methodology (round-10 verdict #3):
-    // output-bound rows get >= 3 warm passes at BOTH scales, every row
+    // output-bound rows get >= 3 warm passes at EVERY scale, every row
     // carries max/min spread, and spread > 2 flags the row as noise —
     // variance annotated in the artifact instead of a single-run
     // exponent swinging between rounds unexplained.
@@ -130,53 +185,80 @@ object ScaleProbe {
         (mn, if (mn > 0) ts.max / mn else 1.0)
       }
     }
-    val rows = Probes.map { name =>
+
+    // reps=1 is the source corpus itself — the smallest scale point
+    // (labelled by its dir name: "sf0.1" in the standard run)
+    val scales: Seq[(String, String, Int)] =
+      (new java.io.File(src).getName, src, 1) +:
+        repsList.map(r => (scaleLabel(r), fixtureDir(r), r))
+
+    val rows = probes.map { name =>
       val passes = if (OutputBound(name)) 3 else 2
-      val cold01 = timeSafe(name, src)
-      val (warm01, spread01) = warmStats(name, src, passes)
-      val cold1 = timeSafe(name, sf1Dir)
-      val (warm1, spread1) = warmStats(name, sf1Dir, passes)
-      // data grew reps×: log base reps (log10 only when reps = 10).
-      // NaN when either side failed (-1.0) or measured 0 — serialized
-      // as null below, never a bare NaN/Infinity token in the artifact.
-      val exp =
-        if (warm01 > 0 && warm1 > 0) math.log(warm1 / warm01) / math.log(reps.toDouble)
-        else Double.NaN
-      val noise = spread01 > 2.0 || spread1 > 2.0 || warm01 < 0 || warm1 < 0
+      val measured = scales.map { case (label, dir, reps) =>
+        val cold = timeSafe(name, dir)
+        val (warm, spread) = warmStats(name, dir, passes)
+        println(String.format(java.util.Locale.ROOT,
+          "[probe] %-28s %-6s cold %7.2fs  warm %7.2fs (spread %.2f, passes %d)",
+          name, label, cold, warm, spread, passes))
+        ScalePoint(label, reps, warm, spread)
+      }
+      // per adjacent scale pair: data grew (reps_b/reps_a)× — log in
+      // that base. NaN when either side failed (-1.0) or measured 0 —
+      // serialized as null below, never a bare NaN/Infinity token.
+      val exps = measured.sliding(2).collect { case Seq(a, b) =>
+        val exp =
+          if (a.warm > 0 && b.warm > 0)
+            math.log(b.warm / a.warm) / math.log(b.reps.toDouble / a.reps)
+          else Double.NaN
+        (s"${a.label}->${b.label}", exp)
+      }.toSeq
+      val noise = measured.exists(p => p.spread > 2.0 || p.warm < 0)
       // Locale.ROOT: the f-interpolator would emit comma decimals on a
       // non-English default locale (same fix as Bench/IvfTune)
       println(String.format(java.util.Locale.ROOT,
-        "[probe] %-28s sf0.1 warm %7.2fs (spread %.2f)  sf1 warm %7.2fs " +
-          "(spread %.2f)  exponent %5.2f%s (cold %6.2f -> %6.2f, passes %d)",
-        name, warm01, spread01, warm1, spread1, exp,
-        if (noise) "  NOISE" else "", cold01, cold1, passes))
-      (name, warm01, spread01, warm1, spread1, exp, noise)
+        "[probe] %-28s exponents %s%s",
+        name,
+        exps.map { case (k, e) => f"$k $e%5.2f" }.mkString("  "),
+        if (noise) "  NOISE" else ""))
+      ProbeRow(name, measured, exps, noise)
     }
-    println(artifactLine(reps, rows))
+    println(artifactLine(repsList, rows))
     spark.stop()
   }
 
-  /** One probe row: (name, sf0.1 warm, sf0.1 spread, sf1 warm,
-    * sf1 spread, exponent, noise). Failed sides carry −1.0 and a NaN
-    * exponent. */
-  private[graft] type ProbeRow =
-    (String, Double, Double, Double, Double, Double, Boolean)
+  /** One measured scale point for one query: warm = min of the warm
+    * passes (−1.0 when every pass failed), spread = max/min. */
+  private[graft] final case class ScalePoint(
+      label: String, reps: Int, warm: Double, spread: Double)
+
+  /** One probe row: the per-scale points plus the per-adjacent-decade
+    * exponents (NaN when a side failed). */
+  private[graft] final case class ProbeRow(
+      name: String,
+      scales: Seq[ScalePoint],
+      exponents: Seq[(String, Double)],
+      noise: Boolean)
 
   /** The artifact line, separated from measurement so the contract is
     * unit-testable (ScaleProbeArtifactSpec): always parses as JSON —
     * non-finite numbers (a failed row's exponent) serialize as null,
     * never a bare NaN/Infinity token, and the env-derived shuffle mode
     * is escaped (Bench.jstr), matching Bench's artifact hardening. */
-  private[graft] def artifactLine(reps: Int, rows: Seq[ProbeRow]): String = {
+  private[graft] def artifactLine(repsList: Seq[Int], rows: Seq[ProbeRow]): String = {
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
     def jnum(d: Double): String =
       if (java.lang.Double.isFinite(d)) d.toString else "null"
-    val qs = rows.map { case (n, a, sa, b, sb, e, _) =>
-      s""""$n":{"sf01_warm":${jnum(a)},"sf01_spread":${jnum(r3(sa))},"sf1_warm":${jnum(b)},""" +
-        s""""sf1_spread":${jnum(r3(sb))},"exponent":${jnum(r3(e))}}""" }
-      .mkString("{", ",", "}")
-    val noiseSuspect = rows.collect { case (n, _, _, _, _, _, true) => "\"" + n + "\"" }
+    val qs = rows.map { row =>
+      val pts = row.scales.map { p =>
+        s""""${p.label}":{"warm":${jnum(p.warm)},"spread":${jnum(r3(p.spread))}}"""
+      }.mkString("{", ",", "}")
+      val exps = row.exponents.map { case (k, e) => s""""$k":${jnum(r3(e))}""" }
+        .mkString("{", ",", "}")
+      s""""${row.name}":{"scales":$pts,"exponents":$exps}"""
+    }.mkString("{", ",", "}")
+    val noiseSuspect = rows.collect { case r if r.noise => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    s"""{"metric":"scale_probe","reps":$reps,"shuffle":${graft.Bench.jstr(graft.Bench.shuffleMode)},"master":${graft.Bench.jstr(graft.Bench.masterMode)},"noise_suspect":$noiseSuspect,"queries":$qs}"""
+    val repsJson = repsList.mkString("[", ",", "]")
+    s"""{"metric":"scale_probe","reps":$repsJson,"shuffle":${graft.Bench.jstr(graft.Bench.shuffleMode)},"master":${graft.Bench.jstr(graft.Bench.masterMode)},"noise_suspect":$noiseSuspect,"queries":$qs}"""
   }
 }

@@ -2,17 +2,24 @@ package graft.tools
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins [[ScaleProbe.artifactLine]]'s artifact-always-parses contract:
-  * a failed row's NaN exponent serializes as JSON null (never a bare
-  * NaN/Infinity token), noise rows land in `noise_suspect`, and the
-  * line survives a naive JSON parse. Mirrors BenchAggregationSpec's
-  * role for Bench's artifact. */
+/** Pins [[ScaleProbe.artifactLine]]'s artifact-always-parses contract
+  * (multi-scale form since round 12): a failed row's NaN exponent
+  * serializes as JSON null (never a bare NaN/Infinity token), noise
+  * rows land in `noise_suspect`, and the line survives a naive JSON
+  * parse. Mirrors BenchAggregationSpec's role for Bench's artifact.
+  * Also pins the replica-cipher properties the fixture's linearity
+  * claim rests on. */
 class ScaleProbeArtifactSpec extends AnyFunSuite {
 
-  private val ok: ScaleProbe.ProbeRow =
-    ("dd7_incremental", 1.45, 1.09, 1.47, 1.03, 0.01, false)
-  private val failed: ScaleProbe.ProbeRow =
-    ("p4p_daily_increment_asset", 2.5, 1.02, -1.0, 1.0, Double.NaN, true)
+  import ScaleProbe.{ProbeRow, ScalePoint}
+
+  private val ok = ProbeRow("dd7_incremental",
+    Seq(ScalePoint("sf0.1", 1, 1.45, 1.09), ScalePoint("sf1", 10, 1.47, 1.03),
+      ScalePoint("sf10", 100, 1.52, 1.05)),
+    Seq("sf0.1->sf1" -> 0.01, "sf1->sf10" -> 0.01), noise = false)
+  private val failed = ProbeRow("p4p_daily_increment_asset",
+    Seq(ScalePoint("sf0.1", 1, 2.5, 1.02), ScalePoint("sf1", 10, -1.0, 1.0)),
+    Seq("sf0.1->sf1" -> Double.NaN), noise = true)
 
   // a JSON-enough parse: balanced braces, no bare NaN/Infinity tokens
   private def assertParses(line: String): Unit = {
@@ -21,26 +28,48 @@ class ScaleProbeArtifactSpec extends AnyFunSuite {
   }
 
   test("a failed row's exponent serializes as null, row flagged as noise") {
-    val line = ScaleProbe.artifactLine(10, Seq(ok, failed))
+    val line = ScaleProbe.artifactLine(Seq(10, 100), Seq(ok, failed))
     assertParses(line)
-    assert(line.contains(""""exponent":null"""))
-    assert(line.contains(""""sf1_warm":-1.0"""))
+    assert(line.contains(""""sf0.1->sf1":null"""))
+    assert(line.contains(""""sf1":{"warm":-1.0"""))
     assert(line.contains(""""noise_suspect":["p4p_daily_increment_asset"]"""))
-    // the healthy row is untouched
-    assert(line.contains(""""dd7_incremental":{"sf01_warm":1.45"""))
+    assert(line.contains(""""reps":[10,100]"""))
+    // the healthy row carries both decades
+    assert(line.contains(""""dd7_incremental":{"scales":{"sf0.1":{"warm":1.45"""))
+    assert(line.contains(""""sf1->sf10":0.01"""))
   }
 
   test("all-healthy rows produce an empty noise_suspect and finite numbers") {
-    val line = ScaleProbe.artifactLine(10, Seq(ok))
+    val line = ScaleProbe.artifactLine(Seq(10), Seq(ok))
     assertParses(line)
     assert(line.contains(""""noise_suspect":[]"""))
     assert(!line.contains("null"))
   }
 
   test("an Infinity spread (guarded upstream, belt-and-braces here) nulls out") {
-    val inf: ScaleProbe.ProbeRow =
-      ("q32_substring_overlap", 0.0, Double.PositiveInfinity, 1.0, 1.0,
-        Double.NegativeInfinity, true)
-    assertParses(ScaleProbe.artifactLine(10, Seq(inf)))
+    val inf = ProbeRow("q32_substring_overlap",
+      Seq(ScalePoint("sf0.1", 1, 0.0, Double.PositiveInfinity),
+        ScalePoint("sf1", 10, 1.0, 1.0)),
+      Seq("sf0.1->sf1" -> Double.NegativeInfinity), noise = true)
+    assertParses(ScaleProbe.artifactLine(Seq(10), Seq(inf)))
+  }
+
+  test("replica alphabets are bijections, replica 0 is the identity, no verbatim replicas") {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    assert(ScaleProbe.replicaAlphabet(0) == lower)
+    // 100 replicas (the sf10 fixture): every alphabet is a permutation
+    // of the 26 letters, none is the identity, and all are pairwise
+    // distinct — so no replica pair is a verbatim copy (the quadratic
+    // pair blowup the cipher exists to avoid)
+    val alphas = (1 to 100).map(ScaleProbe.replicaAlphabet)
+    alphas.foreach(a => assert(a.sorted == lower, a))
+    alphas.foreach(a => assert(a != lower))
+    assert(alphas.distinct.size == alphas.size, "two replicas share a cipher")
+  }
+
+  test("scaleLabel names scales relative to the sf0.1 source") {
+    assert(ScaleProbe.scaleLabel(10) == "sf1")
+    assert(ScaleProbe.scaleLabel(100) == "sf10")
+    assert(ScaleProbe.scaleLabel(5) == "sf0.5")
   }
 }
