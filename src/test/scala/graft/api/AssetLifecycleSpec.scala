@@ -399,4 +399,56 @@ class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("corpus ids"))
   }
+
+  test("retention: keepSuperseded=2 carries a reader across TWO generation-advancing compactions") {
+    // The documented boundary of the single-cycle retention tests: a
+    // reader slow enough to span N generation-advancing compactions
+    // needs keepSuperseded = N. This pins N = 2 — plan against gen1,
+    // survive the compactions that produce gen2 AND gen3 — and pins
+    // the expiry schedule: dirs superseded at gen k are deleted by the
+    // compaction producing gen k+2, not before.
+    val docs = Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-retention2").toString
+    def sigs(pred: org.apache.spark.sql.Column) =
+      Dedup.minhashSignatures(docs.filter(pred), "doc_id", "text", 8, 4)
+    try {
+      sigs(col("doc_id") % 4 === 0).write.parquet(s"$root/base")
+      sigs(col("doc_id") % 4 === 1).write.parquet(s"$root/inc_0")
+      // compaction 1 → gen1; seed cycle lingers (superseded at gen1)
+      assert(Dedup.compactSignatureAsset(spark, root, keepSuperseded = 2) == 1)
+      assert(subdirs(root) == Set("base", "inc_0", "base_gen1"))
+
+      // the slow reader plans NOW: file list = gen1 + inc_1
+      sigs(col("doc_id") % 4 === 2).write.parquet(s"$root/inc_1")
+      val slowReader = Dedup.readSignatureAsset(spark, root)
+      val planned = sigRows(root)
+
+      // compaction 2 → gen2 (supersedes gen1 + inc_1). With
+      // keepSuperseded=2 the seed cycle (superseded at gen1, age 1)
+      // must STILL exist — under the default 1 it would expire here.
+      assert(Dedup.compactSignatureAsset(spark, root, keepSuperseded = 2) == 1)
+      assert(subdirs(root) ==
+        Set("base", "inc_0", "base_gen1", "inc_1", "base_gen2"),
+        s"seed cycle must survive one more cycle under keepSuperseded=2, got ${subdirs(root)}")
+
+      // compaction 3 → gen3 (folds inc_2): the seed cycle is now age 2
+      // and expires; the reader's cycle (gen1 + inc_1, age 1) remains
+      sigs(col("doc_id") % 4 === 3).write.parquet(s"$root/inc_2")
+      assert(Dedup.compactSignatureAsset(spark, root, keepSuperseded = 2) == 1)
+      assert(subdirs(root) ==
+        Set("base_gen1", "inc_1", "base_gen2", "inc_2", "base_gen3"),
+        s"got ${subdirs(root)}")
+
+      // the reader that planned before BOTH compactions completes whole
+      val got = slowReader.select(col("doc_id"), col("nh"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == planned,
+        "a reader spanning two compactions must still see every planned row")
+      // current readers see the same logical content plus inc_2's rows
+      assert(planned.subsetOf(sigRows(root)))
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
 }
