@@ -192,8 +192,11 @@ object ScaleProbe {
       (new java.io.File(src).getName, src, 1) +:
         repsList.map(r => (scaleLabel(r), fixtureDir(r), r))
 
+    // SPARK_GRAFT_SCALE_PASSES raises the warm-pass floor for runs
+    // where exponent precision matters more than wall-clock
+    val passFloor = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
     val rows = probes.map { name =>
-      val passes = if (OutputBound(name)) 3 else 2
+      val passes = math.max(passFloor, if (OutputBound(name)) 3 else 2)
       val measured = scales.map { case (label, dir, reps) =>
         val cold = timeSafe(name, dir)
         val (warm, spread) = warmStats(name, dir, passes)
