@@ -16,9 +16,13 @@ final class AwsHttpClient(
     http: HttpClient = HttpClient.newHttpClient(),
     clock: () => Instant = () => Instant.now()) {
 
-  final case class Response(status: Int, body: Array[Byte]) {
+  final case class Response(status: Int, body: Array[Byte],
+      headers: Map[String, String] = Map.empty) {
     def bodyString: String =
       new String(body, java.nio.charset.StandardCharsets.UTF_8)
+    /** Case-insensitive header lookup (HTTP header names are). */
+    def header(name: String): Option[String] =
+      headers.get(name.toLowerCase(java.util.Locale.ROOT))
   }
 
   /** Send one signed request. `query` is decoded name/value pairs;
@@ -66,7 +70,7 @@ final class AwsHttpClient(
     (signedHeaderSet.filterNot(_._1 == "host") :+ ("Authorization" -> auth))
       .foreach { case (k, v) => b = b.header(k, v) }
     val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
-    Response(resp.statusCode(), resp.body())
+    Response(resp.statusCode(), resp.body(), flattenHeaders(resp))
   }
 
   /** Unsigned GET — the pre-signed `Code.Location` package download
@@ -74,6 +78,14 @@ final class AwsHttpClient(
   def getUnsigned(uri: URI): Response = {
     val resp = http.send(HttpRequest.newBuilder(uri).GET().build(),
       HttpResponse.BodyHandlers.ofByteArray())
-    Response(resp.statusCode(), resp.body())
+    Response(resp.statusCode(), resp.body(), flattenHeaders(resp))
+  }
+
+  private def flattenHeaders(resp: HttpResponse[Array[Byte]]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    resp.headers().map().asScala.collect {
+      case (k, vs) if !vs.isEmpty =>
+        k.toLowerCase(java.util.Locale.ROOT) -> vs.get(0)
+    }.toMap
   }
 }
