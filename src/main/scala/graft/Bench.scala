@@ -58,8 +58,35 @@ object Bench {
         // wall-clock win; SPARK_GRAFT_SHUFFLE_CODEC overrides)
         .config("spark.io.compression.codec", GraftSession.shuffleCodec)
       if (dir.startsWith("graftfs:")) graft.mr.GraftObjectFs.register(b)
+      else if (dir.startsWith("s3g:")) registerS3g(b)
       else b
     }
+
+  /** `s3g://` shuffle dirs run the leg over the ACTUAL S3 wire
+    * protocol ([[graft.s3.S3SigV4Fs]]): endpoint from
+    * `SPARK_GRAFT_S3_ENDPOINT` (a real or S3-compatible store, with
+    * `SPARK_GRAFT_S3_REGION`/`_ACCESS`/`_SECRET` or the standard AWS
+    * env vars), or — when unset — an in-process [[graft.s3.FakeS3]]
+    * stand-in, the same role GraftObjectFs plays for `graftfs://`
+    * except every byte additionally crosses SigV4-signed HTTP. */
+  private def registerS3g(b: SparkSession.Builder): SparkSession.Builder = {
+    val endpoint = sys.env.getOrElse("SPARK_GRAFT_S3_ENDPOINT", {
+      val fake = new graft.s3.FakeS3()
+      sys.addShutdownHook(fake.close())
+      fake.endpoint
+    })
+    // NB: FS cache stays ON (unlike the specs, which isolate per-test
+    // endpoints) — a bench run is a fresh forked JVM, and a cached FS
+    // means one S3 client instead of hundreds across the query set
+    b.config("spark.hadoop.fs.s3g.impl", classOf[graft.s3.S3SigV4Fs].getName)
+      .config("spark.hadoop.fs.s3g.endpoint", endpoint)
+      .config("spark.hadoop.fs.s3g.region",
+        sys.env.getOrElse("SPARK_GRAFT_S3_REGION", "us-east-1"))
+      .config("spark.hadoop.fs.s3g.access.key",
+        sys.env.getOrElse("SPARK_GRAFT_S3_ACCESS", "graft-bench"))
+      .config("spark.hadoop.fs.s3g.secret.key",
+        sys.env.getOrElse("SPARK_GRAFT_S3_SECRET", "graft-bench"))
+  }
 
   /** What the artifact's `shuffle` field should say for this run. */
   private[graft] def shuffleMode: String =

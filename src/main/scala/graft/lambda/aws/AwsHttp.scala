@@ -13,7 +13,7 @@ import java.time.Instant
   * The clock is injectable for deterministic signatures in specs. */
 final class AwsHttpClient(
     creds: SigV4.Credentials,
-    http: HttpClient = HttpClient.newHttpClient(),
+    http: HttpClient = AwsHttpClient.sharedHttp,
     clock: () => Instant = () => Instant.now()) {
 
   final case class Response(status: Int, body: Array[Byte],
@@ -88,4 +88,14 @@ final class AwsHttpClient(
         k.toLowerCase(java.util.Locale.ROOT) -> vs.get(0)
     }.toMap
   }
+}
+
+object AwsHttpClient {
+  /** One JDK client for every default-constructed AwsHttpClient.
+    * HttpClient is thread-safe and holds a selector thread + pool;
+    * per-instance clients leak those (a Hadoop FS with the cache
+    * disabled constructs hundreds of [[graft.s3.S3SigV4Fs]] instances
+    * per job, which showed up as hundreds of
+    * HttpClient-N-SelectorManager threads in a bench run). */
+  lazy val sharedHttp: HttpClient = HttpClient.newHttpClient()
 }

@@ -14,8 +14,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * HeadObject, DeleteObject, CopyObject, the multipart-upload
   * protocol, and ListObjectsV2 with prefix/delimiter grouping and
   * continuation tokens (`pageSize` forces truncation so the client's
-  * continuation loop is exercised). Shared by S3FsSpec and
-  * GraftShuffleS3Spec. */
+  * continuation loop is exercised). Used by S3FsSpec and
+  * GraftShuffleS3Spec; lives in MAIN sources (the GraftObjectFs
+  * precedent) so `graft.Bench` can run the shuffle leg over the
+  * actual S3 wire protocol in a sandbox with no real endpoint
+  * (`SPARK_GRAFT_SHUFFLE_DIR=s3g://...` — Bench.withShuffleEnv). */
 final class FakeS3(pageSize: Int = 1000) extends AutoCloseable {
 
   /** "bucket/key" -> bytes. */
@@ -29,8 +32,25 @@ final class FakeS3(pageSize: Int = 1000) extends AutoCloseable {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handleSafely(ex))
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
-  server.start()
+  // daemon workers: a measurement main that forgets close() must
+  // still be able to exit the JVM
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r, "fake-s3-worker")
+    t.setDaemon(true)
+    t
+  }))
+  // start() from a daemon thread: the JDK server's internal
+  // HTTP-Dispatcher thread is non-daemon and not configurable, but
+  // daemon status is inherited from the creating thread — without
+  // this, a main that returns with the server still up never exits
+  // (its close() shutdown hook only fires once non-daemon threads are
+  // gone, which the dispatcher itself prevents)
+  locally {
+    val starter = new Thread(() => server.start(), "fake-s3-starter")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+  }
 
   def port: Int = server.getAddress.getPort
   def endpoint: String = s"http://127.0.0.1:$port"
