@@ -103,6 +103,16 @@ object GraftSession {
       // in Bench/ScaleProbe/Verify (s3a:// in production registers
       // itself via hadoop-aws's ServiceLoader entry instead)
       if (dir.startsWith("graftfs:")) graft.mr.GraftObjectFs.register(b)
+      // s3g:// — the repo's own S3-protocol FS: wire the impl class
+      // so the scheme resolves; endpoint/region/credentials are the
+      // documented conf surface (spark.hadoop.fs.s3g.endpoint/...,
+      // creds falling back to the standard AWS env vars). Bench's
+      // measurement leg additionally spins an in-process FakeS3 when
+      // no endpoint is configured; a library session fails fast with
+      // S3SigV4Fs's "endpoint required" message instead.
+      else if (dir.startsWith("s3g:"))
+        b.config("spark.hadoop.fs.s3g.impl",
+          classOf[graft.s3.S3SigV4Fs].getName)
     }
     if (local) b.master(s"local[${conf.maxConcurrency}]") else b
   }

@@ -68,9 +68,11 @@ final class FakeS3(pageSize: Int = 1000) extends AutoCloseable {
       headers: Map[String, String] = Map.empty): Unit = {
     headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
     val head = ex.getRequestMethod == "HEAD"
-    // JDK HttpServer: for HEAD, sendResponseHeaders writes the
-    // Content-Length header but suppresses the body
-    ex.sendResponseHeaders(status, if (body.isEmpty && !head) -1 else body.length)
+    // JDK HttpServer strips Content-Length from HEAD responses no
+    // matter what we pass (S3Client sizes via a ranged-GET fallback),
+    // and warn-logs once per HEAD given a non-negative length — pass
+    // -1 for identical wire behavior without the log spam
+    ex.sendResponseHeaders(status, if (head || body.isEmpty) -1 else body.length)
     if (!head && body.nonEmpty) ex.getResponseBody.write(body)
   }
 
