@@ -452,6 +452,59 @@ object Dedup {
       .distinct()
   }
 
+  /** dd11 — SEMANTIC dedup over an embedding column, the SemDeDup shape
+    * [Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", 2023]: cluster the corpus with
+    * deterministic in-plan k-means ([[Similarity.kmeansAssign]]), find
+    * near-dup pairs by exact cosine WITHIN each cluster only, connect
+    * pairs into duplicate groups, and keep ONE member per group — the
+    * one FARTHEST from its centroid (lowest ccos; the paper's rule:
+    * cluster outliers carry the most marginal information). Ties break
+    * to the lowest id. Unpaired members all survive. Output:
+    * (vec_id, cent_id) for every survivor.
+    *
+    * Scale shape: clustering never shuffles the corpus (broadcast
+    * centroids + tiny fixed-point mean aggregates — see
+    * kmeansAssign); the pair step shuffles the corpus ONCE on cent_id
+    * and pays O(Σ|cell|²) dot products — the SemDeDup cost model — so
+    * k is the knob that bounds cell size (grow k ~ corpus/targetCell;
+    * a skewed cell can further reuse the dd5 LSH banding *inside* the
+    * cell). Cross-cluster near-dups are invisible by construction —
+    * that is the approximation SemDeDup trades for never pairing the
+    * whole corpus. */
+  def semanticSurvivors(corpus: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String, iters: Int, threshold: Double): DataFrame = {
+    val assigned = Barrier(
+      Similarity.kmeansAssign(corpus, seeds, idCol, vecCol, iters))
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("a.embedding"), col("b.embedding")),
+      col("a.nrm"), col("b.nrm"))
+    val pairs = assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cos.as("cos"))
+      .filter(col("cos") >= threshold)
+    val groups = Barrier(duplicateGroups(pairs, "va", "vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_id"))
+      .orderBy(col("ccos").asc, col("vec_id").asc)
+    val keepers = groups
+      .join(assigned, groups("doc_id") === assigned("vec_id"))
+      .select(col("group_id"), col("vec_id"), col("ccos"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("vec_id"))
+    // groups/keepers are pair-bounded (tiny next to the corpus): both
+    // anti/semi sides broadcast, so the corpus streams through once.
+    assigned.join(broadcast(groups),
+        assigned("vec_id") === groups("doc_id"), "left_anti")
+      .select(col("vec_id"), col("cent_id"))
+      .union(assigned.join(broadcast(keepers), Seq("vec_id"))
+        .select(col("vec_id"), col("cent_id")))
+  }
+
   /** dd10 — INCREMENTAL connected components: the daily-pipeline group
     * step dd7–dd9 pairs feed into. `asset` is the persisted
     * (doc_id, group_id) table from a previous [[duplicateGroups]] run

@@ -66,6 +66,94 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Fixed-point scale for the k-means centroid mean: coordinates are
+    * quantized to `floor(x * 2^20)` BIGINTs before summation so the
+    * per-cluster mean is an exact integer aggregate (order-free) instead
+    * of a float sum whose value depends on reduction order. The 2^-20
+    * quantization error is ~1e-6 per coordinate — far below any
+    * clustering-relevant signal — and buys bit-identical centroids on
+    * any engine/partitioning (the DuckDB oracle replays the same
+    * integer arithmetic). Scaling by a power of two is exact in binary
+    * floating point, so the only lossy step is the floor itself. */
+  val KMeansQuantScale: Long = 1L << 20
+
+  /** Deterministic in-plan Lloyd k-means over an `array<float>` column:
+    * `iters` rounds of (assign to nearest centroid by cosine, recompute
+    * centroids as the quantized fixed-point mean), then a final
+    * assignment. No driver-side training loop and no RNG: seeds are a
+    * caller-provided DataFrame (same id/vec columns), assignment is a
+    * broadcast join + window top-1, and the centroid update is a tiny
+    * (k × dim)-row aggregate — the corpus is never shuffled. Empty
+    * clusters drop out of the centroid set (both here and in the SQL
+    * oracle). Output: (vec_id, embedding, nrm, cent_id, ccos) with
+    * ccos = cosine to the final centroid. Ties in assignment break to
+    * the lowest cent_id.
+    *
+    * Scale shape: each round is one corpus pass (the normed projection
+    * is [[Barrier]]'d once, so parquet is read once) against a
+    * broadcast centroid table; k should grow ~corpus/targetCellSize so
+    * downstream per-cell work stays bounded. */
+  def kmeansAssign(corpus: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String, iters: Int): DataFrame = {
+    val c = Barrier(normed(corpus, idCol, vecCol))
+    var cents = normed(seeds, idCol, vecCol)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    var i = 0
+    while (i < iters) {
+      // Barrier per round: centroids are k rows, but their lineage is a
+      // full corpus pass — without the barrier every later broadcast
+      // replays the whole chain.
+      cents = Barrier(recentre(assignCells(c, cents)))
+      i += 1
+    }
+    assignCells(c, cents)
+  }
+
+  /** Nearest-centroid assignment by cosine — MAP-ONLY: the centroid
+    * table collapses to a single sorted-array row that rides a 1-row
+    * broadcast nested-loop join, and the per-row argmax is the native
+    * [[graft.functions.NearestCentroid]] expression. The declarative
+    * twin (fan-out join + window top-1) would exchange the whole
+    * corpus once per Lloyd round just to run row_number; here the
+    * corpus is never shuffled. Keeps ccos for downstream keep/drop
+    * rules. */
+  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents.groupBy().agg(
+      array_sort(collect_list(struct(
+        col("cent_id"), col("c_emb"), col("c_nrm")))).as("cents"))
+    c.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        VectorFunctions.nearestCentroid(
+          col("cents"), col("embedding"), col("nrm")).as("best"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("best.cent_id").as("cent_id"), col("best.ccos").as("ccos"))
+  }
+
+  /** Centroid update: exact fixed-point mean per (cluster, coordinate),
+    * rebuilt into `array<float>` ordered by coordinate position. The
+    * whole update shuffles only (cent_id, pos) partial sums — map-side
+    * combined, k × dim result rows. */
+  private def recentre(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val scale = lit(KMeansQuantScale.toDouble)
+    val coords = assigned
+      .select(col("cent_id"), posexplode(col("embedding")))
+      .select(col("cent_id"), col("pos"),
+        floor(col("col").cast(DoubleType) * scale).as("q"))
+      .groupBy("cent_id", "pos")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .select(col("cent_id"), col("pos"),
+        (col("sq").cast(DoubleType) / (scale * col("n").cast(DoubleType)))
+          .cast(FloatType).as("v"))
+    coords.groupBy("cent_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("c_emb"))
+      .select(col("cent_id"), col("c_emb"),
+        VectorFunctions.norm(col("c_emb")).as("c_nrm"))
+  }
+
   /** ANN via IVF cells: corpus rows assigned to their nearest centroid,
     * queries probe the `nProbe` nearest cells. Assignment is a
     * broadcast join + window top-1 — fully distributed, no driver-side

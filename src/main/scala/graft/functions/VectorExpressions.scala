@@ -103,6 +103,102 @@ case class LshSignatures(child: Expression, tables: Int, planes: Int)
     copy(child = c)
 }
 
+/** Nearest-centroid assignment as ONE native expression over a
+  * broadcast centroid array — the zero-shuffle form of k-means
+  * assignment: per corpus row, argmax cosine over
+  * `array<struct<cent_id:long, c_emb:array<float>, c_nrm:double>>`
+  * (sorted ascending by cent_id), returning
+  * `struct<cent_id:long, ccos:double>`.
+  *
+  * The declarative alternative (fan-out join × k centroids + window
+  * top-1) shuffles the whole corpus once per Lloyd round for the
+  * row_number exchange; this expression keeps assignment map-only —
+  * the centroids ride a 1-row broadcast, so a 100 TB corpus is never
+  * exchanged to pick its nearest centroid. Iteration ascends cent_id
+  * with a strict `>` replace, so exact cosine ties keep the LOWEST
+  * cent_id — bit-identical to the oracle's
+  * `ORDER BY ccos DESC, cent_id` (dot products accumulate
+  * left-to-right in double, divides in the cosinePre op order).
+  */
+case class NearestCentroid(cents: Expression, emb: Expression, nrm: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def first: Expression = cents
+  override def second: Expression = emb
+  override def third: Expression = nrm
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cent_id", LongType, nullable = false),
+    StructField("ccos", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val centsOk = cents.dataType match {
+      case ArrayType(StructType(fs), _) => fs.length == 3 &&
+        fs(0).dataType == LongType &&
+        (fs(1).dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }) &&
+        fs(2).dataType == DoubleType
+      case _ => false
+    }
+    val embOk = emb.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (centsOk && embOk && nrm.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects (array<struct<long,array<float>,double>>, " +
+        s"array<float>, double), got (${cents.dataType.simpleString}, " +
+        s"${emb.dataType.simpleString}, ${nrm.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(c: Any, e: Any, n: Any): Any =
+    VectorKernels.nearestCentroid(c.asInstanceOf[ArrayData],
+      e.asInstanceOf[ArrayData], n.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, e, n) =>
+      s"${ev.value} = graft.functions.VectorKernels.nearestCentroid($c, $e, $n);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NearestCentroid =
+    copy(cents = f, emb = s, nrm = t)
+}
+
+/** Static kernels for [[NearestCentroid]] (called from both eval and
+  * generated code, like [[HashKernels]]). */
+object VectorKernels {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def nearestCentroid(cents: ArrayData, emb: ArrayData, nrm: Double): InternalRow = {
+    val k = cents.numElements()
+    require(k > 0, "nearest_centroid: empty centroid array")
+    val dim = emb.numElements()
+    var bestId = -1L
+    var bestCos = Double.NegativeInfinity
+    var i = 0
+    while (i < k) {
+      val ct = cents.getStruct(i, 3)
+      val cEmb = ct.getArray(1)
+      val n = math.min(dim, cEmb.numElements())
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        acc += cEmb.getFloat(d).toDouble * emb.getFloat(d).toDouble
+        d += 1
+      }
+      val cc = acc / (ct.getDouble(2) * nrm)
+      if (cc > bestCos) { bestCos = cc; bestId = ct.getLong(0) }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestId, bestCos))
+  }
+}
+
 /** Column-level vector helpers. `register` installs the native function
   * into the session's FunctionRegistry (idempotent), after which
   * `call_function` builds Columns through the public API.
@@ -113,6 +209,10 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
       exprs => FloatVecDot(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_centroid",
+      exprs => NearestCentroid(exprs(0), exprs(1), exprs(2)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_signatures",
@@ -161,6 +261,12 @@ object VectorFunctions {
   }
 
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Map-only nearest-centroid assignment (see [[NearestCentroid]]):
+    * `cents` = array<struct<cent_id, c_emb, c_nrm>> sorted by cent_id,
+    * returns struct<cent_id, ccos>. */
+  def nearestCentroid(cents: Column, emb: Column, nrm: Column): Column =
+    call_function("nearest_centroid", cents, emb, nrm)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -338,6 +338,97 @@ object DedupQueries {
        |WHERE group_id IN (
        |  SELECT c2.group_id FROM comp c2 WHERE c2.doc_id % $IncMod = 0)""".stripMargin
 
+  // -- dd11: semantic dedup (SemDeDup) ---------------------------------
+  // Deterministic in-plan k-means over the embeddings (seeds = first
+  // SemK vectors, SemIters Lloyd rounds with the quantized fixed-point
+  // centroid mean — see Similarity.KMeansQuantScale for why the mean is
+  // an integer aggregate), exact-cosine pairs WITHIN final clusters at
+  // the dd5 threshold, connected components, keep the member farthest
+  // from its centroid per group. The oracle unrolls the Lloyd rounds as
+  // a CTE chain (pure BIGINT/IEEE arithmetic at every step) and reuses
+  // dd6's recursive-CTE component fixpoint.
+  private val SemK = 10     // one seed per fixture label family
+  private val SemIters = 2
+  private val SemTau = 0.4  // dd5's threshold: fixture max pair cos is 0.51
+
+  private def semantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.api.Dedup.semanticSurvivors(
+      emb, emb.filter(col("vec_id") < SemK),
+      "vec_id", "embedding", SemIters, SemTau)
+  }
+
+  private val semanticSql: String = {
+    val scale = s"${graft.api.Similarity.KMeansQuantScale}.0"
+    def cosOf(ae: String, an: String, be: String, bn: String) =
+      s"(${VectorFunctions.dotSql(ae, be)} / ($an * $bn))"
+    def assignCte(name: String, cents: String) = {
+      val c = cosOf("ct.c_emb", "ct.c_nrm", "x.embedding", "x.nrm")
+      s"""$name AS (
+         |  SELECT vec_id, embedding, nrm, cent_id, ccos FROM (
+         |    SELECT x.vec_id, x.embedding, x.nrm, ct.cent_id, $c AS ccos,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY $c DESC, ct.cent_id) AS r
+         |    FROM c x CROSS JOIN $cents ct) t WHERE r = 1)""".stripMargin
+    }
+    def recentreCtes(i: Int) =
+      s"""ex$i AS (
+         |  SELECT cent_id, pos,
+         |    CAST(floor(CAST(embedding[pos] AS DOUBLE) * $scale) AS BIGINT) AS q
+         |  FROM (SELECT cent_id, embedding,
+         |          unnest(range(1, len(embedding)+1)) AS pos FROM assign$i) t),
+         |cents${i + 1} AS (
+         |  SELECT cent_id,
+         |    list(CAST(CAST(sq AS DOUBLE) / ($scale * CAST(n AS DOUBLE)) AS FLOAT)
+         |         ORDER BY pos) AS c_emb
+         |  FROM (SELECT cent_id, pos, SUM(q) AS sq, COUNT(*) AS n
+         |        FROM ex$i GROUP BY 1, 2) s
+         |  GROUP BY cent_id),
+         |cents${i + 1}n AS (
+         |  SELECT cent_id, c_emb,
+         |    sqrt(${VectorFunctions.dotSql("c_emb", "c_emb")}) AS c_nrm
+         |  FROM cents${i + 1})""".stripMargin
+    val lloyd = (0 until SemIters).map { i =>
+      assignCte(s"assign$i", if (i == 0) "cents0" else s"cents${i}n") +
+        ",\n" + recentreCtes(i)
+    }.mkString(",\n")
+    val pairCos = cosOf("a.embedding", "a.nrm", "b.embedding", "b.nrm")
+    s"""WITH RECURSIVE
+       |c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |cents0 AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM c WHERE vec_id < $SemK),
+       |$lloyd,
+       |${assignCte(s"assign$SemIters", s"cents${SemIters}n")},
+       |pairs AS (
+       |  SELECT va, vb FROM (
+       |    SELECT a.vec_id AS va, b.vec_id AS vb, $pairCos AS cos
+       |    FROM assign$SemIters a JOIN assign$SemIters b
+       |      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id) t
+       |  WHERE cos >= $SemTau),
+       |ed AS (SELECT va AS a, vb AS b FROM pairs
+       |       UNION ALL SELECT vb, va FROM pairs),
+       |verts AS (SELECT DISTINCT a AS v FROM ed),
+       |reach AS (
+       |  SELECT v, v AS r FROM verts
+       |  UNION
+       |  SELECT reach.v, e.b AS r FROM reach JOIN ed e ON reach.r = e.a),
+       |comp AS (SELECT v AS m_id, MIN(r) AS group_id FROM reach GROUP BY v),
+       |keepers AS (
+       |  SELECT vec_id FROM (
+       |    SELECT cp.group_id, a.vec_id,
+       |      row_number() OVER (PARTITION BY cp.group_id
+       |        ORDER BY a.ccos ASC, a.vec_id ASC) AS r
+       |    FROM comp cp JOIN assign$SemIters a ON a.vec_id = cp.m_id) t
+       |  WHERE r = 1)
+       |SELECT a.vec_id, a.cent_id FROM assign$SemIters a
+       |WHERE a.vec_id NOT IN (SELECT m_id FROM comp)
+       |   OR a.vec_id IN (SELECT vec_id FROM keepers)""".stripMargin
+  }
+
   private def incEmbedSql: String =
     embedDupSqlWhere(s" AND (vec_a % $IncMod = 0 OR vec_b % $IncMod = 0)")
 
@@ -383,5 +474,6 @@ object DedupQueries {
     QueryDef("dd10_inc_groups", incrementalCC, Some(incrementalCCSql)),
     QueryDef("dd10p_inc_groups_asset", incrementalCCAsset,
       Some(incrementalCCSql), bench = true),
+    QueryDef("dd11_semantic", semantic, Some(semanticSql), bench = true),
   )
 }

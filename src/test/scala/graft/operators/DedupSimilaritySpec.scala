@@ -197,6 +197,76 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(overlap > 0.0, "IVF found none of the brute-force neighbors")
   }
 
+  test("dd11 semantic survivors ≡ independent union-find over within-cluster cosine pairs") {
+    // Recompute the whole SemDeDup decision driver-side from first
+    // principles: final k-means assignment from the library call, then
+    // brute-force within-cluster cosine pairs, union-find components,
+    // keeper = min (ccos, id) per component — and demand exact set
+    // equality with the operator's survivors.
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val assigned = graft.api.Similarity.kmeansAssign(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 2)
+      .select("vec_id", "cent_id", "ccos", "embedding").collect()
+    assert(assigned.length == 500)
+    assert(assigned.map(_.getLong(0)).distinct.length == 500,
+      "kmeansAssign must assign every vector exactly once")
+    val vecs = assigned.map(r => r.getLong(0) -> r.getSeq[Float](3).toArray).toMap
+    val cell = assigned.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccos = assigned.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    val ids = vecs.keys.toArray.sorted
+    val pairs = for {
+      i <- ids; j <- ids
+      if i < j && cell(i) == cell(j) && cos(i, j) >= 0.4
+    } yield (i, j)
+    assert(pairs.nonEmpty, "fixture must contain within-cluster near-dups")
+    val parent = scala.collection.mutable.Map(ids.map(x => x -> x): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val dropped = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).values.flatMap { ms =>
+        val keeper = ms.minBy(m => (ccos(m), m))
+        ms.filterNot(_ == keeper)
+      }.toSet
+    val expect = ids.filterNot(dropped).map(id => (id, cell(id))).toSet
+    val got = run("dd11_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped.nonEmpty)
+    assert(got == expect,
+      s"survivor sets diverge: missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
+  test("dd11 keeps the cluster outlier: every dropped member has a surviving dominator") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val survivors = run("dd11_semantic").collect().map(_.getLong(0)).toSet
+    val assigned = graft.api.Similarity.kmeansAssign(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 2)
+      .select("vec_id", "cent_id", "ccos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val droppedIds = assigned.keySet -- survivors
+    assert(droppedIds.nonEmpty)
+    droppedIds.foreach { d =>
+      val (dc, dcos) = assigned(d)
+      // some survivor in the same cell is at-least-as-far from the
+      // centroid (the SemDeDup keep rule ran in this cell)
+      assert(survivors.exists { s =>
+        val (sc, scos) = assigned(s)
+        sc == dc && (scos < dcos || (scos == dcos && s < d))
+      }, s"dropped $d has no dominating survivor in cell $dc")
+    }
+  }
+
   test("vec_dot expression matches higher-order-function dot") {
     VectorFunctions.register(spark)
     val e = graft.Tables.embeddings(spark, sf0001).limit(50)
