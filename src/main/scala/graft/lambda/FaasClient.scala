@@ -69,8 +69,26 @@ class LocalProcessFaasClient extends FaasClient {
   protected[lambda] def classpathFor(function: String): String =
     sys.props("java.class.path")
 
+  /** Each invocation advertises its OWN loopback alias (127.0.0.x) as
+    * its host, because a real FaaS sandbox IS its own host: every
+    * Lambda invocation runs in an isolated micro-VM with a distinct
+    * address. Advertising one shared "localhost" made the whole sim
+    * fleet look co-hosted to Spark's scheduler, which silently disables
+    * every host-level policy — most visibly speculation, whose
+    * different-host rule (TaskSetManager.dequeueSpeculativeTask) could
+    * then never place a straggler's copy. All 127.0.0.0/8 addresses
+    * bind on Linux loopback, so executor↔executor block transfers keep
+    * working. Octet collisions just co-host two invocations — benign. */
+  private def sandboxHost(executorId: String): String = {
+    val digits = executorId.filter(_.isDigit)
+    val n = if (digits.nonEmpty && digits.length <= 6) digits.toLong
+            else math.abs(executorId.hashCode).toLong
+    s"127.0.0.${1 + (n % 250)}"
+  }
+
   override def invoke(function: String, payload: String): FaasInvocation = {
     val lease = Protocol.leaseFromJson(payload)
+    val host = sandboxHost(lease.executorId)
     val javaBin = java.nio.file.Paths
       .get(sys.props("java.home"), "bin", "java").toString
     // JDK17 module opens: same set spark-submit injects
@@ -82,8 +100,8 @@ class LocalProcessFaasClient extends FaasClient {
       "org.apache.spark.executor.CoarseGrainedExecutorBackend",
       "--driver-url", lease.driverUrl,
       "--executor-id", lease.executorId,
-      "--hostname", "localhost",
-      "--bind-address", "localhost",
+      "--hostname", host,
+      "--bind-address", host,
       "--cores", lease.cores.toString,
       "--app-id", lease.appId,
       "--resourceProfileId", "0")
