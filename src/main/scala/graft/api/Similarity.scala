@@ -96,6 +96,21 @@ object Similarity {
   def kmeansAssign(corpus: DataFrame, seeds: DataFrame,
       idCol: String, vecCol: String, iters: Int): DataFrame = {
     val c = Barrier(normed(corpus, idCol, vecCol))
+    assignCells(c, kmeansLoop(c, seeds, idCol, vecCol, iters))
+  }
+
+  /** The trained CODEBOOK itself — final (cent_id, c_emb, c_nrm) after
+    * `iters` Lloyd rounds over `corpus` — for callers that index OTHER
+    * data with it (the IVF-with-trained-codebook shape: train once,
+    * assign corpus cells, probe at query time). Same determinism
+    * contract as [[kmeansAssign]]. */
+  def kmeansCentroids(corpus: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String, iters: Int): DataFrame =
+    kmeansLoop(Barrier(normed(corpus, idCol, vecCol)),
+      seeds, idCol, vecCol, iters)
+
+  private def kmeansLoop(c: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String, iters: Int): DataFrame = {
     var cents = normed(seeds, idCol, vecCol)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
@@ -107,7 +122,7 @@ object Similarity {
       cents = Barrier(recentre(assignCells(c, cents)))
       i += 1
     }
-    assignCells(c, cents)
+    cents
   }
 
   /** Nearest-centroid assignment by cosine — MAP-ONLY: the centroid
@@ -155,15 +170,20 @@ object Similarity {
   }
 
   /** ANN via IVF cells: corpus rows assigned to their nearest centroid,
-    * queries probe the `nProbe` nearest cells. Assignment is a
-    * broadcast join + window top-1 — fully distributed, no driver-side
-    * training loop. */
+    * queries probe the `nProbe` nearest cells. No driver-side training
+    * loop; the corpus-side top-1 assignment is the MAP-ONLY
+    * [[assignCells]] path (native argmax over a 1-row broadcast
+    * centroid array — no corpus exchange), the query side keeps the
+    * window top-n for its nProbe cells (the query set is tiny by
+    * contract). Pass [[kmeansCentroids]] output as `centroids` (with
+    * cent_id/c_emb as id/vec columns) for the trained-codebook
+    * variant. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val cents = normed(centroids, idCol, vecCol)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    def assign(df: DataFrame, n: Int): DataFrame = {
+    def assignN(df: DataFrame, n: Int): DataFrame = {
       val cellCos = VectorFunctions.cosinePre(
         VectorFunctions.dot(col("c_emb"), col("embedding")),
         col("c_nrm"), col("nrm"))
@@ -176,8 +196,9 @@ object Similarity {
         .filter(col("r") <= n)
         .drop("r", "cell_cos")
     }
-    val corpusCells = assign(normed(corpus, idCol, vecCol), 1)
-    val queryCells = assign(normed(queries, idCol, vecCol), nProbe)
+    val corpusCells = assignCells(normed(corpus, idCol, vecCol), cents)
+      .drop("ccos")
+    val queryCells = assignN(normed(queries, idCol, vecCol), nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cent_id"))
     val cos = VectorFunctions.cosinePre(

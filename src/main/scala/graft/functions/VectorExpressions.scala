@@ -262,6 +262,60 @@ object VectorFunctions {
 
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
+  /** DuckDB CTE: top-`topN` nearest-centroid cells (by cosine, ties to
+    * the lowest cent_id) for every row of CTE `c(vec_id, embedding,
+    * nrm)`$extraWhere, against centroid CTE `centsCte(cent_id, c_emb,
+    * c_nrm)`. Arithmetic mirrors [[NearestCentroid]]/`cosinePre`
+    * bit-for-bit (same dot accumulation and divide order). */
+  def kmeansCellCte(name: String, centsCte: String, topN: Int,
+      extraWhere: String = ""): String = {
+    val cc = s"(${dotSql("ct.c_emb", "x.embedding")} / (ct.c_nrm * x.nrm))"
+    s"""$name AS (
+       |  SELECT vec_id, embedding, nrm, cent_id, ccos FROM (
+       |    SELECT x.vec_id, x.embedding, x.nrm, ct.cent_id, $cc AS ccos,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY $cc DESC, ct.cent_id) AS r
+       |    FROM c x CROSS JOIN $centsCte ct$extraWhere) t
+       |  WHERE r <= $topN)""".stripMargin
+  }
+
+  /** DuckDB CTE chain replaying [[graft.api.Similarity.kmeansAssign]]'s
+    * Lloyd rounds bit-for-bit: seeds = `c` rows with vec_id < `k`,
+    * `iters` rounds of (assign top-1, quantized fixed-point centroid
+    * mean — see Similarity.KMeansQuantScale), ending at CTE
+    * `cents<iters>n(cent_id, c_emb, c_nrm)`. Caller appends its own
+    * final-assignment / probe CTEs over that. Requires CTE
+    * `c(vec_id, embedding, nrm)`. */
+  def kmeansCtes(k: Int, iters: Int, quantScale: Long): String = {
+    val scale = s"$quantScale.0"
+    def recentre(i: Int) =
+      s"""ex$i AS (
+         |  SELECT cent_id, pos,
+         |    CAST(floor(CAST(embedding[pos] AS DOUBLE) * $scale) AS BIGINT) AS q
+         |  FROM (SELECT cent_id, embedding,
+         |          unnest(range(1, len(embedding)+1)) AS pos FROM assign$i) t),
+         |cents${i + 1} AS (
+         |  SELECT cent_id,
+         |    list(CAST(CAST(sq AS DOUBLE) / ($scale * CAST(n AS DOUBLE)) AS FLOAT)
+         |         ORDER BY pos) AS c_emb
+         |  FROM (SELECT cent_id, pos, SUM(q) AS sq, COUNT(*) AS n
+         |        FROM ex$i GROUP BY 1, 2) s
+         |  GROUP BY cent_id),
+         |cents${i + 1}n AS (
+         |  SELECT cent_id, c_emb,
+         |    sqrt(${dotSql("c_emb", "c_emb")}) AS c_nrm
+         |  FROM cents${i + 1})""".stripMargin
+    val seed =
+      s"""cents0 AS (
+         |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+         |  FROM c WHERE vec_id < $k)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      kmeansCellCte(s"assign$i", if (i == 0) "cents0" else s"cents${i}n", 1) +
+        ",\n" + recentre(i)
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
   /** Map-only nearest-centroid assignment (see [[NearestCentroid]]):
     * `cents` = array<struct<cent_id, c_emb, c_nrm>> sorted by cent_id,
     * returns struct<cent_id, ccos>. */

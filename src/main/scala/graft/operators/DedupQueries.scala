@@ -359,50 +359,17 @@ object DedupQueries {
   }
 
   private val semanticSql: String = {
-    val scale = s"${graft.api.Similarity.KMeansQuantScale}.0"
-    def cosOf(ae: String, an: String, be: String, bn: String) =
-      s"(${VectorFunctions.dotSql(ae, be)} / ($an * $bn))"
-    def assignCte(name: String, cents: String) = {
-      val c = cosOf("ct.c_emb", "ct.c_nrm", "x.embedding", "x.nrm")
-      s"""$name AS (
-         |  SELECT vec_id, embedding, nrm, cent_id, ccos FROM (
-         |    SELECT x.vec_id, x.embedding, x.nrm, ct.cent_id, $c AS ccos,
-         |      row_number() OVER (PARTITION BY x.vec_id
-         |        ORDER BY $c DESC, ct.cent_id) AS r
-         |    FROM c x CROSS JOIN $cents ct) t WHERE r = 1)""".stripMargin
-    }
-    def recentreCtes(i: Int) =
-      s"""ex$i AS (
-         |  SELECT cent_id, pos,
-         |    CAST(floor(CAST(embedding[pos] AS DOUBLE) * $scale) AS BIGINT) AS q
-         |  FROM (SELECT cent_id, embedding,
-         |          unnest(range(1, len(embedding)+1)) AS pos FROM assign$i) t),
-         |cents${i + 1} AS (
-         |  SELECT cent_id,
-         |    list(CAST(CAST(sq AS DOUBLE) / ($scale * CAST(n AS DOUBLE)) AS FLOAT)
-         |         ORDER BY pos) AS c_emb
-         |  FROM (SELECT cent_id, pos, SUM(q) AS sq, COUNT(*) AS n
-         |        FROM ex$i GROUP BY 1, 2) s
-         |  GROUP BY cent_id),
-         |cents${i + 1}n AS (
-         |  SELECT cent_id, c_emb,
-         |    sqrt(${VectorFunctions.dotSql("c_emb", "c_emb")}) AS c_nrm
-         |  FROM cents${i + 1})""".stripMargin
-    val lloyd = (0 until SemIters).map { i =>
-      assignCte(s"assign$i", if (i == 0) "cents0" else s"cents${i}n") +
-        ",\n" + recentreCtes(i)
-    }.mkString(",\n")
-    val pairCos = cosOf("a.embedding", "a.nrm", "b.embedding", "b.nrm")
+    val pairCos =
+      s"(${VectorFunctions.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm))"
     s"""WITH RECURSIVE
        |c AS (
        |  SELECT vec_id, embedding,
        |    sqrt(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
-       |cents0 AS (
-       |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-       |  FROM c WHERE vec_id < $SemK),
-       |$lloyd,
-       |${assignCte(s"assign$SemIters", s"cents${SemIters}n")},
+       |${VectorFunctions.kmeansCtes(SemK, SemIters,
+            graft.api.Similarity.KMeansQuantScale)},
+       |${VectorFunctions.kmeansCellCte(
+            s"assign$SemIters", s"cents${SemIters}n", 1)},
        |pairs AS (
        |  SELECT va, vb FROM (
        |    SELECT a.vec_id AS va, b.vec_id AS vb, $pairCos AS cos

@@ -72,36 +72,47 @@ object SimilarityQueries {
       "vec_id", "embedding", K, NProbe)
   }
 
-  // -- oracles for the ANN paths ---------------------------------------
-  // Both are pure deterministic arithmetic (hyperplanes are integer
-  // congruences, IVF is cosine + row_number), so DuckDB reproduces them
-  // bit-for-bit.
+  // -- s4: IVF ANN over a k-means-TRAINED codebook ----------------------
+  // The production IVF shape (train a codebook, assign corpus cells
+  // once, probe at query time): centroids come from
+  // Similarity.kmeansCentroids (deterministic in-plan Lloyd, seeds =
+  // first NCells vectors, TrainIters rounds) instead of the raw seed
+  // vectors s3 uses. What training buys is cell BALANCE — the max-cell
+  // probe cost bound that matters at corpus scale (measured at sf0.1:
+  // max/mean 1.18 raw seeds → 1.11 trained) — and robustness to
+  // non-representative leading rows (sorted/clustered ingest makes raw
+  // seeds pathological; trained centroids track the distribution). On
+  // THIS fixture the first 16 vectors are already representative, so
+  // s3's recall is a shade higher (0.92-0.98 vs 0.84-0.96 across SFs)
+  // — recall here prices the balance, it isn't bought by training.
+  private val TrainIters = 2
 
-  private val ivfTopKSql = {
-    val assignCos =
-      s"(${VectorFunctions.dotSql("ct.c_emb", "x.embedding")} / (ct.c_nrm * x.nrm))"
+  private def ivfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = graft.api.Similarity.kmeansCentroids(
+      e, e.filter(col("vec_id") < NCells), "vec_id", "embedding", TrainIters)
+    graft.api.Similarity.ivfTopK(
+      e, e.filter(col("vec_id") < NQueries),
+      cents.select(col("cent_id").as("vec_id"), col("c_emb").as("embedding")),
+      "vec_id", "embedding", K, NProbe)
+  }
+
+  // -- oracles for the ANN paths ---------------------------------------
+  // All pure deterministic arithmetic (hyperplanes are integer
+  // congruences, IVF/k-means is cosine + row_number + fixed-point
+  // integer means), so DuckDB reproduces them bit-for-bit.
+
+  /** IVF probe/re-rank CTE tail over centroid CTE `centsCte` (requires
+    * CTE `c(vec_id, embedding, nrm)`). */
+  private def ivfSqlTail(centsCte: String): String = {
     val finalCos =
       s"(${VectorFunctions.dotSql("q.q_emb", "p.embedding")} / (q.q_nrm * p.nrm))"
-    s"""WITH c AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm
-       |  FROM embeddings),
-       |cents AS (
-       |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
-       |  FROM c WHERE vec_id < $NCells),
-       |corpus_cells AS (
-       |  SELECT vec_id, embedding, nrm, cent_id FROM (
-       |    SELECT x.vec_id, x.embedding, x.nrm, ct.cent_id,
-       |      row_number() OVER (PARTITION BY x.vec_id
-       |        ORDER BY $assignCos DESC, ct.cent_id) AS r
-       |    FROM c x CROSS JOIN cents ct) t WHERE r <= 1),
+    s"""${VectorFunctions.kmeansCellCte("corpus_cells", centsCte, 1)},
+       |${VectorFunctions.kmeansCellCte("qc_raw", centsCte, NProbe,
+            s" WHERE x.vec_id < $NQueries")},
        |query_cells AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cent_id FROM (
-       |    SELECT x.vec_id, x.embedding, x.nrm, ct.cent_id,
-       |      row_number() OVER (PARTITION BY x.vec_id
-       |        ORDER BY $assignCos DESC, ct.cent_id) AS r
-       |    FROM c x CROSS JOIN cents ct WHERE x.vec_id < $NQueries) t
-       |  WHERE r <= $NProbe),
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cent_id
+       |  FROM qc_raw),
        |cand AS (
        |  SELECT DISTINCT q.q_id, p.vec_id AS n_id, $finalCos AS cos
        |  FROM query_cells q JOIN corpus_cells p
@@ -113,6 +124,25 @@ object SimilarityQueries {
        |  FROM cand) t
        |WHERE rank <= $K""".stripMargin
   }
+
+  private val normCte =
+    s"""c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  private val ivfTopKSql =
+    s"""WITH $normCte,
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM c WHERE vec_id < $NCells),
+       |${ivfSqlTail("cents")}""".stripMargin
+
+  private val ivfTrainedSql =
+    s"""WITH $normCte,
+       |${VectorFunctions.kmeansCtes(NCells, TrainIters,
+            graft.api.Similarity.KMeansQuantScale)},
+       |${ivfSqlTail(s"cents${TrainIters}n")}""".stripMargin
 
   private val lshTopKSql = {
     import graft.functions.SimConstants.{NPlanes, NTables}
@@ -141,5 +171,6 @@ object SimilarityQueries {
     QueryDef("s1_cosine_topk", bruteTopK, Some(bruteTopKSql), bench = true),
     QueryDef("s2_ann_lsh", lshTopK, Some(lshTopKSql), bench = true),
     QueryDef("s3_ann_ivf", ivfTopK, Some(ivfTopKSql), bench = true),
+    QueryDef("s4_ann_ivf_trained", ivfTrained, Some(ivfTrainedSql), bench = true),
   )
 }

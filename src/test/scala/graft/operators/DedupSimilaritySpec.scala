@@ -197,6 +197,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(overlap > 0.0, "IVF found none of the brute-force neighbors")
   }
 
+  test("s4 trained-codebook IVF: ranked results, brute-force overlap, balanced cells") {
+    val brute = run("s1_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = run("s4_ann_ivf_trained").collect()
+    assert(rows.length == 50) // 10 probes × k=5
+    assert(rows.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 5))
+    val s4 = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(s4.contains).toDouble / brute.size
+    assert(recall >= 0.7, s"trained-IVF recall@5 $recall vs brute force")
+    // the codebook's raison d'être: trained cells stay balanced —
+    // max cell is bounded relative to the mean (the per-query probe
+    // cost bound at corpus scale)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val cells = graft.api.Similarity.kmeansAssign(
+      emb, emb.filter(col("vec_id") < 16), "vec_id", "embedding", 2)
+      .groupBy("cent_id").count().collect().map(_.getLong(1))
+    val maxOverMean = cells.max.toDouble / (cells.sum.toDouble / cells.length)
+    assert(maxOverMean < 2.0,
+      s"trained cells unbalanced: max/mean $maxOverMean over ${cells.length} cells")
+  }
+
   test("dd11 semantic survivors ≡ independent union-find over within-cluster cosine pairs") {
     // Recompute the whole SemDeDup decision driver-side from first
     // principles: final k-means assignment from the library call, then
