@@ -473,9 +473,30 @@ object Dedup {
     * that is the approximation SemDeDup trades for never pairing the
     * whole corpus. */
   def semanticSurvivors(corpus: DataFrame, seeds: DataFrame,
-      idCol: String, vecCol: String, iters: Int, threshold: Double): DataFrame = {
-    val assigned = Barrier(
-      Similarity.kmeansAssign(corpus, seeds, idCol, vecCol, iters))
+      idCol: String, vecCol: String, iters: Int, threshold: Double): DataFrame =
+    semanticSurvivorsFrom(Barrier(
+      Similarity.kmeansAssign(corpus, seeds, idCol, vecCol, iters)), threshold)
+
+  /** [[semanticSurvivors]] with the clustering routed through the
+    * two-level coarse quantizer ([[Similarity.kmeansAssignHier]]) —
+    * the variant that holds when k grows with the corpus (the flat
+    * argmax's n·k term is quadratic under that discipline; the
+    * coarse-routed form is n·(k₁ + w·k/k₁)). Same keep rule; the
+    * approximation is inherited from the router (coarse-boundary
+    * misses can split a near-dup pair across cells, which SemDeDup
+    * already accepts for cross-cluster pairs). */
+  def semanticSurvivorsHier(corpus: DataFrame, seeds: DataFrame,
+      coarseSeeds: DataFrame, idCol: String, vecCol: String,
+      iters: Int, threshold: Double, w: Int): DataFrame =
+    semanticSurvivorsFrom(Barrier(
+      Similarity.kmeansAssignHier(corpus, seeds, coarseSeeds,
+        idCol, vecCol, iters, w)), threshold)
+
+  /** The pair → components → keep-one-per-group step over an assigned
+    * (vec_id, embedding, nrm, cent_id, ccos) frame (must already be
+    * barriered — it feeds both sides of the pair self-join). */
+  private def semanticSurvivorsFrom(assigned: DataFrame,
+      threshold: Double): DataFrame = {
     val cos = VectorFunctions.cosinePre(
       VectorFunctions.dot(col("a.embedding"), col("b.embedding")),
       col("a.nrm"), col("b.nrm"))

@@ -109,8 +109,24 @@ object Similarity {
     kmeansLoop(Barrier(normed(corpus, idCol, vecCol)),
       seeds, idCol, vecCol, iters)
 
+  /** [[kmeansCentroids]] with every Lloyd-round assignment routed
+    * through the coarse quantizer — codebook training that stays
+    * affordable when k grows with the corpus (see
+    * [[kmeansAssignHier]]). */
+  def kmeansCentroidsHier(corpus: DataFrame, seeds: DataFrame,
+      coarseSeeds: DataFrame, idCol: String, vecCol: String,
+      iters: Int, w: Int): DataFrame = {
+    val coarse = normed(coarseSeeds, idCol, vecCol)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    kmeansLoop(Barrier(normed(corpus, idCol, vecCol)),
+      seeds, idCol, vecCol, iters,
+      (cc, cents) => hierAssign(cc, cents, coarse, w))
+  }
+
   private def kmeansLoop(c: DataFrame, seeds: DataFrame,
-      idCol: String, vecCol: String, iters: Int): DataFrame = {
+      idCol: String, vecCol: String, iters: Int,
+      assign: (DataFrame, DataFrame) => DataFrame = assignCells): DataFrame = {
     var cents = normed(seeds, idCol, vecCol)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
@@ -119,10 +135,31 @@ object Similarity {
       // Barrier per round: centroids are k rows, but their lineage is a
       // full corpus pass — without the barrier every later broadcast
       // replays the whole chain.
-      cents = Barrier(recentre(assignCells(c, cents)))
+      cents = Barrier(recentre(assign(c, cents)))
       i += 1
     }
     cents
+  }
+
+  /** [[kmeansAssign]] with every corpus-wide assignment (the Lloyd
+    * rounds AND the final one) routed through the two-level
+    * coarse-quantizer ([[hierAssign]]) — the shape that keeps k-means
+    * affordable when k grows with the corpus: each round costs
+    * n·(k₁ + w·k/k₁) dot products instead of n·k. `coarseSeeds` is the
+    * FIXED routing table (k₁ rows, untrained); the fine centroids
+    * refine per round as usual. The trade is the coarse-boundary
+    * approximation (a row routed away from its true nearest fine
+    * centroid) — `w` buys it back. */
+  def kmeansAssignHier(corpus: DataFrame, seeds: DataFrame,
+      coarseSeeds: DataFrame, idCol: String, vecCol: String,
+      iters: Int, w: Int): DataFrame = {
+    val c = Barrier(normed(corpus, idCol, vecCol))
+    val coarse = normed(coarseSeeds, idCol, vecCol)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val assign = (cc: DataFrame, cents: DataFrame) =>
+      hierAssign(cc, cents, coarse, w)
+    assign(c, kmeansLoop(c, seeds, idCol, vecCol, iters, assign))
   }
 
   /** Nearest-centroid assignment by cosine — MAP-ONLY: the centroid
@@ -143,6 +180,57 @@ object Similarity {
           col("cents"), col("embedding"), col("nrm")).as("best"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("best.cent_id").as("cent_id"), col("best.ccos").as("ccos"))
+  }
+
+  /** TWO-LEVEL nearest-centroid assignment — the coarse-quantizer shape
+    * that keeps codebook assignment affordable when k grows with the
+    * corpus (FAISS practice; see
+    * [[graft.functions.HierNearestCentroid]]): `coarseCents` (k₁ rows)
+    * routes each corpus row to its top-`w` coarse cells, and only the
+    * `cents` (k rows) whose OWN nearest coarse cell matches are
+    * scanned — n·(k₁ + w·k/k₁) dot products instead of n·k, still
+    * MAP-ONLY (the whole two-level tree rides one 1-row broadcast).
+    * Same output columns as the flat assignment; `w` = k₁ degenerates
+    * to the exact flat argmax (spec-pinned). `corpus` = (vec_id,
+    * embedding, nrm) — i.e. already-normed rows from this object's
+    * operators — `cents`/`coarseCents` = (cent_id, c_emb, c_nrm). */
+  def hierAssign(corpus: DataFrame, cents: DataFrame,
+      coarseCents: DataFrame, w: Int): DataFrame = {
+    // tag every fine centroid with ITS nearest coarse cell (flat argmax
+    // over k₁ — a k-row input, not the corpus), then fold the grouped
+    // result into the single two-level tree row
+    val fineTagged = assignCells(
+      cents.select(col("cent_id").as("vec_id"), col("c_emb").as("embedding"),
+        col("c_nrm").as("nrm")),
+      coarseCents)
+      .select(col("cent_id").as("coarse_id"),
+        struct(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm")).as("fine"))
+    val cells = fineTagged.groupBy("coarse_id")
+      .agg(array_sort(collect_list(col("fine"))).as("fines"))
+    val treeRow = cells
+      .join(coarseCents, cells("coarse_id") === coarseCents("cent_id"))
+      .select(struct(
+        struct(col("cent_id"), col("c_emb"), col("c_nrm")).as("coarse"),
+        col("fines")).as("node"))
+      .groupBy().agg(array_sort(collect_list(col("node"))).as("tree"))
+    corpus.crossJoin(broadcast(treeRow))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        VectorFunctions.hierNearestCentroid(
+          col("tree"), col("embedding"), col("nrm"), w).as("best"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("best.cent_id").as("cent_id"), col("best.ccos").as("ccos"))
+  }
+
+  /** [[hierAssign]] over raw (id, vec) frames — norms derived here. */
+  def hierarchicalAssign(corpus: DataFrame, centroids: DataFrame,
+      coarseCentroids: DataFrame, idCol: String, vecCol: String,
+      w: Int): DataFrame = {
+    def cents(df: DataFrame) = normed(df, idCol, vecCol)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    hierAssign(normed(corpus, idCol, vecCol),
+      cents(centroids), cents(coarseCentroids), w)
   }
 
   /** Centroid update: exact fixed-point mean per (cluster, coordinate),
@@ -183,22 +271,158 @@ object Similarity {
     val cents = normed(centroids, idCol, vecCol)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    def assignN(df: DataFrame, n: Int): DataFrame = {
-      val cellCos = VectorFunctions.cosinePre(
-        VectorFunctions.dot(col("c_emb"), col("embedding")),
-        col("c_nrm"), col("nrm"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cell_cos").desc, col("cent_id"))
-      df.join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("cent_id"), cellCos.as("cell_cos"))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") <= n)
-        .drop("r", "cell_cos")
-    }
     val corpusCells = assignCells(normed(corpus, idCol, vecCol), cents)
       .drop("ccos")
-    val queryCells = assignN(normed(queries, idCol, vecCol), nProbe)
+    ivfProbe(corpusCells, normed(queries, idCol, vecCol), cents, k, nProbe)
+  }
+
+  /** [[ivfTopK]] with the corpus-side cell assignment routed through
+    * the two-level coarse quantizer ([[hierAssign]]) — the variant for
+    * codebooks that grow with the corpus. Query-side probing is
+    * unchanged (the query set is tiny by contract). */
+  def ivfTopKHier(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, coarseCentroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int, w: Int): DataFrame = {
+    def centCols(df: DataFrame) = normed(df, idCol, vecCol)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val cents = centCols(centroids)
+    val corpusCells = hierAssign(normed(corpus, idCol, vecCol),
+      cents, centCols(coarseCentroids), w).drop("ccos")
+    ivfProbe(corpusCells, normed(queries, idCol, vecCol), cents, k, nProbe)
+  }
+
+  /** PQ sub-quantizer codebooks [Jégou et al. 2011]: the vector space
+    * splits into `m` contiguous subspaces of width dim/m, and each gets
+    * an independent L2 Lloyd codebook of `ks` codes (seeds = the first
+    * `ks` rows' subvectors; `iters` rounds of argmin-L2 assignment +
+    * the quantized fixed-point mean — which IS the exact L2 minimizer,
+    * so the cosine machinery's recentre is reused verbatim). Returns
+    * (m, code_id, c_emb). Determinism contract as [[kmeansAssign]]:
+    * no RNG, ties → lowest id, integer mean — the DuckDB oracle
+    * replays the whole chain ([[graft.functions.PqFunctions
+    * .l2KmeansCtes]]).
+    *
+    * Scale shape: training cost is m small k-means over the corpus
+    * slices; at real corpus sizes train on a SAMPLE (standard PQ
+    * practice — pass a sampled `corpus`): encode/score stay exact
+    * full-corpus map-only passes regardless of what trained the books. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, iters: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val d = dim / m
+    val base = Barrier(corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).as("embedding")))
+    (0 until m).map { s =>
+      val sliced = Barrier(base.select(col("vec_id"),
+        slice(col("embedding"), s * d + 1, d).as("embedding")))
+      val book = kmeansLoopL2(sliced,
+        sliced.filter(col("vec_id") < ks), iters)
+      book.select(lit(s).as("m"), col("cent_id").as("code_id"), col("c_emb"))
+    }.reduce(_ union _)
+  }
+
+  /** L2 Lloyd loop over (vec_id, embedding) frames: argmin-L2 assign
+    * (native [[graft.functions.NearestCentroidL2]] over a 1-row
+    * broadcast — map-only, like the cosine path) + shared quantized
+    * recentre. */
+  private def kmeansLoopL2(c: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    var cents = seeds.select(col("vec_id").as("cent_id"),
+      col("embedding").as("c_emb"))
+    var i = 0
+    while (i < iters) {
+      cents = Barrier(
+        recentre(assignCellsL2(c, cents)).select("cent_id", "c_emb"))
+      i += 1
+    }
+    cents
+  }
+
+  private def assignCellsL2(c: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.PqFunctions
+    val centsRow = cents.groupBy().agg(array_sort(
+      collect_list(struct(col("cent_id"), col("c_emb")))).as("cents"))
+    c.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("embedding"),
+        PqFunctions.nearestCentroidL2(col("cents"), col("embedding")).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cent_id").as("cent_id"))
+  }
+
+  /** ANN via product quantization + ADC + exact re-rank — the
+    * memory/IO-bound scale path: the corpus is encoded ONCE into M
+    * byte-ish codes per row (a (vec_id, codes, nrm) index asset ~2
+    * orders of magnitude smaller than the embeddings), each query
+    * precomputes per-subspace dot-product lookup tables, and the
+    * candidate scan reads codes only — Σ_m lut[m][code] reconstructs
+    * dot(query, decode(codes)), divided by the TRUE stored norms to
+    * approximate cosine. The `rerank` best ADC candidates per query
+    * (selected by the bounded [[TopKPerKey]] aggregate: O(rerank) state
+    * per query, map-side pre-reduction — NOT a full-corpus window sort)
+    * join back to the base table for exact-cosine scoring, and the
+    * final top-`k` of those is returned. Every stage is map-only or
+    * broadcast except the candidate top-R aggregate (whose exchange is
+    * ≤ maps × queries × rerank rows).
+    *
+    * Approximation contract: a true neighbor outside the ADC top-R is
+    * lost (quantization error decides R's recall); within the returned
+    * rows the cosines and ranking are EXACT. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int, ks: Int, iters: Int, rerank: Int): DataFrame = {
+    import graft.functions.PqFunctions
+    val c = Barrier(normed(corpus, idCol, vecCol))
+    val booksRow = pqTrain(c, "vec_id", "embedding", m, ks, iters)
+      .groupBy("m").agg(array_sort(
+        collect_list(struct(col("code_id"), col("c_emb")))).as("codes"))
+      .groupBy().agg(transform(
+        array_sort(collect_list(struct(col("m"), col("codes")))),
+        s => s.getField("codes")).as("books"))
+    val index = c.crossJoin(broadcast(booksRow))
+      .select(col("vec_id"), col("nrm"),
+        PqFunctions.pqEncode(col("books"), col("embedding")).as("codes"))
+    val q = normed(queries, idCol, vecCol).crossJoin(broadcast(booksRow))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        PqFunctions.pqLut(col("books"), col("embedding")).as("lut"))
+    val qB = Barrier(q)
+    val adcCos = PqFunctions.pqAdc(col("lut"), col("codes")) /
+      (col("q_nrm") * col("nrm"))
+    val scored = index.join(broadcast(qB), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), adcCos.as("adc"))
+    val survivors = TopKPerKey(scored, "q_id", "adc", "n_id", rerank)
+      .select(col("q_id").as("s_q_id"), col("n_id"))
+      .join(qB.select(col("q_id"), col("q_emb"), col("q_nrm")),
+        col("s_q_id") === col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("n_id"))
+    val cos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("q_emb"), col("embedding")),
+      col("q_nrm"), col("nrm"))
+    c.join(broadcast(survivors), col("vec_id") === col("n_id"))
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(rankWindow))
+      .filter(col("rank") <= k)
+  }
+
+  /** Shared IVF probe + exact re-rank tail: queries pick their nProbe
+    * nearest cells (window top-n over the broadcast centroid table —
+    * query sets are small by contract), candidates come from the cell
+    * equi-join, exact cosine re-ranks. */
+  private def ivfProbe(corpusCells: DataFrame, queriesNormed: DataFrame,
+      cents: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cellCos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("c_emb"), col("embedding")),
+      col("c_nrm"), col("nrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_cos").desc, col("cent_id"))
+    val queryCells = queriesNormed.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id"), cellCos.as("cell_cos"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cent_id"))
     val cos = VectorFunctions.cosinePre(

@@ -168,32 +168,149 @@ case class NearestCentroid(cents: Expression, emb: Expression, nrm: Expression)
     copy(cents = f, emb = s, nrm = t)
 }
 
-/** Static kernels for [[NearestCentroid]] (called from both eval and
-  * generated code, like [[HashKernels]]). */
+/** Two-level (coarse-quantizer) nearest-centroid assignment as ONE
+  * native expression — the IVF-at-scale shape [Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", inverted multi-index /
+  * coarse-quantizer practice in FAISS]: a flat argmax over k centroids
+  * costs n·k dot products, which turns quadratic once the codebook
+  * grows with the corpus (k ~ corpus/cellSize — the discipline dd11/s4
+  * document). Routing each row through k₁ coarse cells first and
+  * scanning only the fine centroids that live in the row's top-`w`
+  * coarse cells costs n·(k₁ + w·k/k₁) — minimized at k₁ ≈ √(wk).
+  *
+  * Input `tree`: array<struct<coarse: struct<cent_id, c_emb, c_nrm>,
+  * fines: array<struct<cent_id, c_emb, c_nrm>>>> sorted ascending by
+  * coarse cent_id; returns struct<cent_id, ccos> — the best FINE
+  * centroid among the probed cells. Approximation contract: a row
+  * whose true nearest fine centroid lives outside its top-`w` coarse
+  * cells gets its best probed one instead; `w = k₁` degenerates to the
+  * exact flat argmax (spec-pinned equal to [[NearestCentroid]]).
+  * Determinism: coarse top-w selection and the fine argmax both use
+  * strict `>` over ascending-id iteration, so exact ties keep the
+  * lowest id, like the flat path. */
+case class HierNearestCentroid(tree: Expression, emb: Expression,
+    nrm: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def first: Expression = tree
+  override def second: Expression = emb
+  override def third: Expression = nrm
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cent_id", LongType, nullable = false),
+    StructField("ccos", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val treeOk = tree.dataType match {
+      case ArrayType(StructType(fs), _) => fs.length == 2 &&
+        fs(0).dataType.isInstanceOf[StructType] &&
+        fs(1).dataType.isInstanceOf[ArrayType]
+      case _ => false
+    }
+    val embOk = emb.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (treeOk && embOk && nrm.dataType == DoubleType && w >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hier_nearest_centroid expects (array<struct<struct,array>>, " +
+        s"array<float>, double) and w >= 1, got (${tree.dataType.simpleString}, " +
+        s"${emb.dataType.simpleString}, ${nrm.dataType.simpleString}), w=$w")
+  }
+
+  override def nullSafeEval(t: Any, e: Any, n: Any): Any =
+    VectorKernels.hierNearestCentroid(t.asInstanceOf[ArrayData],
+      e.asInstanceOf[ArrayData], n.asInstanceOf[Double], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, e, n) =>
+      s"${ev.value} = graft.functions.VectorKernels.hierNearestCentroid($t, $e, $n, $w);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HierNearestCentroid =
+    copy(tree = f, emb = s, nrm = t)
+}
+
+/** Static kernels for [[NearestCentroid]] / [[HierNearestCentroid]]
+  * (called from both eval and generated code, like [[HashKernels]]). */
 object VectorKernels {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
+  /** dot(c_emb, emb)/(c_nrm · nrm) for one centroid struct — the exact
+    * cosinePre op order both assignment kernels share. */
+  private def centCos(ct: InternalRow, emb: ArrayData, nrm: Double): Double = {
+    val cEmb = ct.getArray(1)
+    val n = math.min(emb.numElements(), cEmb.numElements())
+    var acc = 0.0
+    var d = 0
+    while (d < n) {
+      acc += cEmb.getFloat(d).toDouble * emb.getFloat(d).toDouble
+      d += 1
+    }
+    acc / (ct.getDouble(2) * nrm)
+  }
+
   def nearestCentroid(cents: ArrayData, emb: ArrayData, nrm: Double): InternalRow = {
     val k = cents.numElements()
     require(k > 0, "nearest_centroid: empty centroid array")
-    val dim = emb.numElements()
     var bestId = -1L
     var bestCos = Double.NegativeInfinity
     var i = 0
     while (i < k) {
       val ct = cents.getStruct(i, 3)
-      val cEmb = ct.getArray(1)
-      val n = math.min(dim, cEmb.numElements())
-      var acc = 0.0
-      var d = 0
-      while (d < n) {
-        acc += cEmb.getFloat(d).toDouble * emb.getFloat(d).toDouble
-        d += 1
-      }
-      val cc = acc / (ct.getDouble(2) * nrm)
+      val cc = centCos(ct, emb, nrm)
       if (cc > bestCos) { bestCos = cc; bestId = ct.getLong(0) }
       i += 1
+    }
+    new GenericInternalRow(Array[Any](bestId, bestCos))
+  }
+
+  def hierNearestCentroid(tree: ArrayData, emb: ArrayData, nrm: Double,
+      w: Int): InternalRow = {
+    val k1 = tree.numElements()
+    require(k1 > 0, "hier_nearest_centroid: empty coarse tree")
+    // top-w coarse cells by cosine; strict > over ascending-id order
+    // keeps the lowest coarse id on exact ties. Selection is O(k1·w)
+    // with w small — no heap needed.
+    val probeN = math.min(w, k1)
+    val probedIdx = new Array[Int](probeN)
+    val probedCos = new Array[Double](probeN)
+    java.util.Arrays.fill(probedCos, Double.NegativeInfinity)
+    var i = 0
+    while (i < k1) {
+      val cc = centCos(tree.getStruct(i, 2).getStruct(0, 3), emb, nrm)
+      // insert (cc, i) if it beats the current floor
+      var j = probeN - 1
+      if (cc > probedCos(j)) {
+        while (j > 0 && cc > probedCos(j - 1)) {
+          probedCos(j) = probedCos(j - 1); probedIdx(j) = probedIdx(j - 1)
+          j -= 1
+        }
+        probedCos(j) = cc; probedIdx(j) = i
+      }
+      i += 1
+    }
+    // fine argmax across the probed cells, ascending cell index so
+    // exact fine-cosine ties keep the lowest fine id (tree and fines
+    // are both sorted ascending by id)
+    java.util.Arrays.sort(probedIdx, 0, probeN)
+    var bestId = -1L
+    var bestCos = Double.NegativeInfinity
+    var p = 0
+    while (p < probeN) {
+      val fines = tree.getStruct(probedIdx(p), 2).getArray(1)
+      var f = 0
+      val nf = fines.numElements()
+      while (f < nf) {
+        val ct = fines.getStruct(f, 3)
+        val cc = centCos(ct, emb, nrm)
+        if (cc > bestCos) { bestCos = cc; bestId = ct.getLong(0) }
+        f += 1
+      }
+      p += 1
     }
     new GenericInternalRow(Array[Any](bestId, bestCos))
   }
@@ -206,6 +323,7 @@ object VectorKernels {
 object VectorFunctions {
 
   def register(spark: SparkSession): Unit = {
+    PqFunctions.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
       exprs => FloatVecDot(exprs(0), exprs(1)),
@@ -213,6 +331,11 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_centroid",
       exprs => NearestCentroid(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hier_nearest_centroid",
+      exprs => HierNearestCentroid(exprs(0), exprs(1), exprs(2),
+        exprs(3).eval().asInstanceOf[Int]),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_signatures",
@@ -321,6 +444,12 @@ object VectorFunctions {
     * returns struct<cent_id, ccos>. */
   def nearestCentroid(cents: Column, emb: Column, nrm: Column): Column =
     call_function("nearest_centroid", cents, emb, nrm)
+
+  /** Map-only TWO-LEVEL assignment (see [[HierNearestCentroid]]):
+    * `tree` = array<struct<coarse cent struct, fines array>> sorted by
+    * coarse cent_id, probes the top-`w` coarse cells. */
+  def hierNearestCentroid(tree: Column, emb: Column, nrm: Column, w: Int): Column =
+    call_function("hier_nearest_centroid", tree, emb, nrm, lit(w))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -21,6 +21,11 @@ import graft.functions.VectorFunctions
   *    deterministic seed centroids, queries probe the nearest 2 cells.
   *    No driver-side training loop: assignment is a broadcast join +
   *    window top-1, fully distributed.
+  *  - s4: IVF over a k-means-TRAINED codebook — the production shape
+  *    (train once, assign cells, probe at query time).
+  *  - s5: IVF with two-level coarse-quantizer corpus assignment — the
+  *    k-grows-with-the-corpus shape (HierNearestCentroid), genuinely
+  *    truncated routing (w < k₁) replayed exactly by the oracle.
   */
 object SimilarityQueries {
 
@@ -97,18 +102,61 @@ object SimilarityQueries {
       "vec_id", "embedding", K, NProbe)
   }
 
+  // -- s5: IVF with TWO-LEVEL (coarse-quantizer) corpus assignment ------
+  // The k-grows-with-the-corpus shape (see HierNearestCentroid): corpus
+  // rows route through the top-HierW of NCoarse coarse cells and scan
+  // only the fine centroids living there — n·(k₁ + w·k/k₁) dots instead
+  // of n·k, still map-only. HierW < NCoarse here, so the oracle
+  // exercises the GENUINE truncated routing (the w = k₁ degenerate
+  // equality with the flat argmax is pinned in DedupSimilaritySpec).
+  private[graft] val NCoarse = 4   // coarse routing cells (vec_id < 4)
+  private[graft] val HierW = 2     // coarse cells probed per corpus row
+
+  private def ivfHier(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.api.Similarity.ivfTopKHier(
+      e, e.filter(col("vec_id") < NQueries), e.filter(col("vec_id") < NCells),
+      e.filter(col("vec_id") < NCoarse),
+      "vec_id", "embedding", K, NProbe, HierW)
+  }
+
+  // -- s6: product quantization + ADC + exact re-rank -------------------
+  // The memory/IO-bound ANN scale path (Jégou et al. 2011): corpus
+  // encoded once to PqM sub-quantizer codes (PqM bytes/vector at
+  // Ks ≤ 256 vs 4·dim float bytes), queries score candidates by M table
+  // lookups against a broadcast LUT, the top-PqRerank per query re-rank
+  // exactly. Candidate selection is the bounded TopKPerKey aggregate —
+  // map-side pre-reduction, not a full-corpus window sort.
+  // Geometry from tools/PqTune vs the s1 exact baseline (the fixture
+  // embeddings are near-uniform — PQ's hard case; clustered real
+  // embeddings quantize better): (8, 64, rerank 50) measures recall@5
+  // 0.90 @ sf0.001 / 0.94 @ sf0.01 where (8, 16, 20) sits at 0.60, and
+  // rerank 100 reaches 1.00. 64 codes fit one byte/subspace — 8
+  // code-bytes per 256-byte vector, the 16× scan-byte cut s6 exists for.
+  private[graft] val PqM = 8        // subspaces (64-dim fixture → d=8)
+  private[graft] val PqKs = 64      // codes per sub-quantizer
+  private[graft] val PqIters = 2    // L2 Lloyd rounds per sub-quantizer
+  private[graft] val PqRerank = 50  // ADC candidates re-ranked exactly
+
+  private def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.api.Similarity.pqTopK(
+      e, e.filter(col("vec_id") < NQueries),
+      "vec_id", "embedding", K, PqM, PqKs, PqIters, PqRerank)
+  }
+
   // -- oracles for the ANN paths ---------------------------------------
   // All pure deterministic arithmetic (hyperplanes are integer
   // congruences, IVF/k-means is cosine + row_number + fixed-point
   // integer means), so DuckDB reproduces them bit-for-bit.
 
-  /** IVF probe/re-rank CTE tail over centroid CTE `centsCte` (requires
-    * CTE `c(vec_id, embedding, nrm)`). */
-  private def ivfSqlTail(centsCte: String): String = {
+  /** Query-probe + exact re-rank CTEs over existing CTEs
+    * `corpus_cells(vec_id, embedding, nrm, cent_id)` and `centsCte`
+    * (requires CTE `c(vec_id, embedding, nrm)`). */
+  private def ivfProbeSql(centsCte: String): String = {
     val finalCos =
       s"(${VectorFunctions.dotSql("q.q_emb", "p.embedding")} / (q.q_nrm * p.nrm))"
-    s"""${VectorFunctions.kmeansCellCte("corpus_cells", centsCte, 1)},
-       |${VectorFunctions.kmeansCellCte("qc_raw", centsCte, NProbe,
+    s"""${VectorFunctions.kmeansCellCte("qc_raw", centsCte, NProbe,
             s" WHERE x.vec_id < $NQueries")},
        |query_cells AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cent_id
@@ -124,6 +172,12 @@ object SimilarityQueries {
        |  FROM cand) t
        |WHERE rank <= $K""".stripMargin
   }
+
+  /** IVF probe/re-rank CTE tail over centroid CTE `centsCte` (requires
+    * CTE `c(vec_id, embedding, nrm)`). */
+  private def ivfSqlTail(centsCte: String): String =
+    s"""${VectorFunctions.kmeansCellCte("corpus_cells", centsCte, 1)},
+       |${ivfProbeSql(centsCte)}""".stripMargin
 
   private val normCte =
     s"""c AS (
@@ -143,6 +197,50 @@ object SimilarityQueries {
        |${VectorFunctions.kmeansCtes(NCells, TrainIters,
             graft.api.Similarity.KMeansQuantScale)},
        |${ivfSqlTail(s"cents${TrainIters}n")}""".stripMargin
+
+  /** s5 oracle: replays [[graft.api.Similarity.hierAssign]]'s two-level
+    * routing exactly — each fine centroid is tagged with ITS nearest
+    * coarse cell (flat argmax, ties → lowest id); each corpus row picks
+    * its top-HierW coarse cells AMONG THOSE OWNING FINES (the Spark
+    * tree drops fine-empty coarse cells, so the oracle must too) and
+    * argmaxes over the fines living there. Query-side probing and the
+    * re-rank tail are the flat s3 shapes. */
+  private val ivfHierSql = {
+    def cos(ce: String, cn: String) =
+      s"(${VectorFunctions.dotSql(ce, "x.embedding")} / ($cn * x.nrm))"
+    val fineCos = s"(${VectorFunctions.dotSql("f.c_emb", "x.embedding")} / (f.c_nrm * x.nrm))"
+    s"""WITH $normCte,
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM c WHERE vec_id < $NCells),
+       |coarse AS (
+       |  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+       |  FROM c WHERE vec_id < $NCoarse),
+       |fine_coarse AS (
+       |  SELECT cent_id, c_emb, c_nrm, coarse_id FROM (
+       |    SELECT f.cent_id, f.c_emb, f.c_nrm, co.cent_id AS coarse_id,
+       |      row_number() OVER (PARTITION BY f.cent_id
+       |        ORDER BY ${VectorFunctions.dotSql("co.c_emb", "f.c_emb")}
+       |          / (co.c_nrm * f.c_nrm) DESC, co.cent_id) AS r
+       |    FROM cents f CROSS JOIN coarse co) t
+       |  WHERE r = 1),
+       |row_coarse AS (
+       |  SELECT vec_id, embedding, nrm, coarse_id FROM (
+       |    SELECT x.vec_id, x.embedding, x.nrm, co.cent_id AS coarse_id,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${cos("co.c_emb", "co.c_nrm")} DESC, co.cent_id) AS r
+       |    FROM c x CROSS JOIN coarse co
+       |    WHERE co.cent_id IN (SELECT DISTINCT coarse_id FROM fine_coarse)) t
+       |  WHERE r <= $HierW),
+       |corpus_cells AS (
+       |  SELECT vec_id, embedding, nrm, cent_id FROM (
+       |    SELECT x.vec_id, x.embedding, x.nrm, f.cent_id,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY $fineCos DESC, f.cent_id) AS r
+       |    FROM row_coarse x JOIN fine_coarse f ON x.coarse_id = f.coarse_id) t
+       |  WHERE r = 1),
+       |${ivfProbeSql("cents")}""".stripMargin
+  }
 
   private val lshTopKSql = {
     import graft.functions.SimConstants.{NPlanes, NTables}
@@ -167,10 +265,70 @@ object SimilarityQueries {
        |WHERE rank <= $K""".stripMargin
   }
 
+  /** s6 oracle: replays the full PQ chain — per-subspace slices, M
+    * independent L2 Lloyd trainings ([[graft.functions.PqFunctions
+    * .l2KmeansCtes]] — same quantized fixed-point mean contract as the
+    * cosine k-means oracles), argmin-L2 encoding, ADC as the
+    * m-ascending ordered fold of per-subspace dots (list(v ORDER BY m)
+    * + list_reduce — the kernel's exact accumulation order; a bare SUM
+    * would be order-free and can differ in the last ulp), top-PqRerank
+    * by ADC-cosine, exact-cosine re-rank. The engine works in code
+    * POSITIONS, the oracle in code IDS — same centroids because both
+    * orders are ascending-id. */
+  private val pqTopKSql = {
+    import graft.functions.PqFunctions
+    val d = 8 // fixture dim 64 / PqM — checked at runtime by pqTrain
+    val subs = (0 until PqM).map { m =>
+      val slice =
+        s"""p$m AS (
+           |  SELECT vec_id, list_slice(embedding, ${m * d + 1}, ${(m + 1) * d}) AS embedding
+           |  FROM embeddings)""".stripMargin
+      val train = PqFunctions.l2KmeansCtes(s"b${m}_", s"p$m", PqKs, PqIters,
+        graft.api.Similarity.KMeansQuantScale)
+      val enc = PqFunctions.l2CellCte(s"enc$m", s"p$m", s"b${m}_cents$PqIters")
+      val contrib =
+        s"""contrib$m AS (
+           |  SELECT q.vec_id AS q_id, e.vec_id AS n_id, $m AS m,
+           |    ${VectorFunctions.dotSql("q.embedding", "ct.c_emb")} AS v
+           |  FROM p$m q JOIN enc$m e ON q.vec_id <> e.vec_id
+           |  JOIN b${m}_cents$PqIters ct ON ct.cent_id = e.cent_id
+           |  WHERE q.vec_id < $NQueries)""".stripMargin
+      Seq(slice, train, enc, contrib).mkString(",\n")
+    }
+    val finalCos =
+      s"(${VectorFunctions.dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm))"
+    s"""WITH $normCte,
+       |${subs.mkString(",\n")},
+       |contrib AS (
+       |  ${(0 until PqM).map(m => s"SELECT * FROM contrib$m")
+              .mkString("\n  UNION ALL ")}),
+       |adc AS (
+       |  SELECT q_id, n_id,
+       |    list_reduce(list(v ORDER BY m), (x, y) -> x + y) AS adc
+       |  FROM contrib GROUP BY q_id, n_id),
+       |sel AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT a.q_id, a.n_id,
+       |      row_number() OVER (PARTITION BY a.q_id
+       |        ORDER BY a.adc / (qn.nrm * cn.nrm) DESC, a.n_id) AS r
+       |    FROM adc a JOIN c qn ON qn.vec_id = a.q_id
+       |    JOIN c cn ON cn.vec_id = a.n_id) t
+       |  WHERE r <= $PqRerank)
+       |SELECT q_id, n_id, cos, rank FROM (
+       |  SELECT s.q_id, s.n_id, $finalCos AS cos,
+       |    CAST(row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY $finalCos DESC, s.n_id) AS INTEGER) AS rank
+       |  FROM sel s JOIN c q ON q.vec_id = s.q_id
+       |  JOIN c n ON n.vec_id = s.n_id) t
+       |WHERE rank <= $K""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s1_cosine_topk", bruteTopK, Some(bruteTopKSql), bench = true),
     QueryDef("s2_ann_lsh", lshTopK, Some(lshTopKSql), bench = true),
     QueryDef("s3_ann_ivf", ivfTopK, Some(ivfTopKSql), bench = true),
     QueryDef("s4_ann_ivf_trained", ivfTrained, Some(ivfTrainedSql), bench = true),
+    QueryDef("s5_ann_ivf_hier", ivfHier, Some(ivfHierSql), bench = true),
+    QueryDef("s6_ann_pq_adc", pqTopK, Some(pqTopKSql), bench = true),
   )
 }

@@ -64,6 +64,85 @@ object ScaleProbe {
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
 
+  /** Per-replica id offset (shared by documents and embeddings
+    * replicas). A multiple of 10 so the doc_id % 10 corpus/increment
+    * split carries over, and large enough that replica id ranges never
+    * collide. */
+  private[graft] val ReplicaOffset = 10000000L
+
+  /** Per-replica embedding cipher: a deterministic ±1 sign per
+    * dimension (replica 0 = identity). A sign-flip matrix S = diag(±1)
+    * satisfies dot(Sx, Sy) = dot(x, y) EXACTLY (the signs cancel
+    * pairwise), so every within-replica cosine — and therefore the
+    * whole near-dup/cluster geometry — is bit-identical to the source
+    * corpus, while cross-replica dots mix uncorrelated ± weights and
+    * concentrate near zero: cross-replica pairs above any dedup
+    * threshold are vanishingly rare, so pair output scales ~linearly
+    * in replicas — the same regime the letter-permutation cipher buys
+    * the text fixtures. */
+  private[graft] def replicaSigns(r: Int, dim: Int): Array[Float] = {
+    val out = Array.fill(dim)(1.0f)
+    if (r == 0) return out
+    var s = r.toLong * 2654435761L + 1L
+    var i = 0
+    while (i < dim) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if (((s >>> 32) & 1L) == 1L) out(i) = -1.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Probe-only SCALED bindings for the embedding verbs: the fixture
+    * queries pin k (SemK seeds / NCells centroids) to the sf0.1
+    * corpus, but the documented operating discipline for dd11/s4 is
+    * "k grows ~corpus/targetCellSize". These bindings realize that
+    * discipline on the replica fixture: seeds = the first
+    * 10 (resp. 16) vectors OF EVERY REPLICA (`vec_id % ReplicaOffset`),
+    * so the codebook grows 1:1 with the corpus and cell sizes stay
+    * ~constant — the regime whose exponent a capacity planner needs.
+    * (Cross-replica cosines ~0 ⇒ clusters stay within-replica.) */
+  private val ExtraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "dd11_semantic_scaled" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.api.Dedup.semanticSurvivors(
+        emb, emb.filter(col("vec_id") % ReplicaOffset < 10),
+        "vec_id", "embedding", 2, 0.4)
+    }),
+    "s4_ann_ivf_scaled" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = graft.api.Similarity.kmeansCentroids(
+        emb, emb.filter(col("vec_id") % ReplicaOffset < 16),
+        "vec_id", "embedding", 2)
+      graft.api.Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 10),
+        cents.select(col("cent_id").as("vec_id"), col("c_emb").as("embedding")),
+        "vec_id", "embedding", 5, 2)
+    }),
+    // the COARSE-ROUTED twins: same verbs with every corpus-wide
+    // assignment going through the two-level quantizer (coarse routing
+    // table = each replica's seed-0 vector, w = 2) — n·(k₁ + w·k/k₁)
+    // dots per assignment instead of the flat n·k, the difference
+    // between a probe-able and a wall-clock-prohibitive third decade
+    "dd11_semantic_hier_scaled" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.api.Dedup.semanticSurvivorsHier(
+        emb, emb.filter(col("vec_id") % ReplicaOffset < 10),
+        emb.filter(col("vec_id") % ReplicaOffset === 0),
+        "vec_id", "embedding", 2, 0.4, w = 2)
+    }),
+    "s4_ann_ivf_hier_scaled" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val coarse = emb.filter(col("vec_id") % ReplicaOffset === 0)
+      val cents = graft.api.Similarity.kmeansCentroidsHier(
+        emb, emb.filter(col("vec_id") % ReplicaOffset < 16),
+        coarse, "vec_id", "embedding", 2, w = 2)
+      graft.api.Similarity.ivfTopKHier(
+        emb, emb.filter(col("vec_id") < 10),
+        cents.select(col("cent_id").as("vec_id"), col("c_emb").as("embedding")),
+        coarse, "vec_id", "embedding", 5, 2, w = 2)
+    }))
+
   /** Per-replica alphabet: replica 0 is the identity (the original
     * corpus); replica r > 0 is a Fisher–Yates shuffle of the 26
     * letters driven by an LCG seeded from r — deterministic, and with
@@ -111,7 +190,8 @@ object ScaleProbe {
     val probes = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Probes)
-    probes.foreach(n => require(graft.Registry.queries.contains(n),
+    probes.foreach(n => require(
+      graft.Registry.queries.contains(n) || ExtraProbes.contains(n),
       s"unknown probe query '$n'"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_SHUFFLE_DIR measures the probe under the
@@ -144,7 +224,7 @@ object ScaleProbe {
         val salted = (0 until reps).map { r =>
           val alpha = replicaAlphabet(r)
           docs.select(
-            (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+            (col("doc_id") + lit(r.toLong * ReplicaOffset)).as("doc_id"),
             translate(col("text"), Lower + Lower.toUpperCase,
               alpha + alpha.toUpperCase).as("text"),
             col("lang"), col("source"), col("n_chars"))
@@ -154,10 +234,26 @@ object ScaleProbe {
         println(s"[probe] built $dir: ${reps}x ${src} documents, " +
           "letter-permuted per replica")
       }
+      val embOut = new java.io.File(s"$dir/embeddings.parquet")
+      if (!embOut.exists() && probes.exists(ExtraProbes.contains)) {
+        val embs = graft.Tables.embeddings(spark, src)
+        val dim = embs.select(size(col("embedding"))).head().getInt(0)
+        val salted = (0 until reps).map { r =>
+          val signs = typedLit(replicaSigns(r, dim).toSeq)
+          embs.select(
+            (col("vec_id") + lit(r.toLong * ReplicaOffset)).as("vec_id"),
+            zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"),
+            col("label"))
+        }.reduce(_ union _)
+        salted.repartition(math.max(32, reps / 10))
+          .write.mode("overwrite").parquet(embOut.toString)
+        println(s"[probe] built $dir: ${reps}x ${src} embeddings, " +
+          "sign-flipped per replica")
+      }
     }
 
     def time(name: String, dir: String): Double = {
-      val fn = graft.Registry.queries(name)
+      val fn = ExtraProbes.getOrElse(name, graft.Registry.queries(name))
       val t0 = System.nanoTime()
       fn(spark, dir).count()
       (System.nanoTime() - t0) / 1e9

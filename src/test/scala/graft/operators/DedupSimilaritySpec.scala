@@ -288,6 +288,95 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hierarchical assignment: w = k1 is exactly the flat argmax; w = 1 routes sanely") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val seeds = emb.filter(col("vec_id") < 16)
+    val coarse = emb.filter(col("vec_id") < 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cent_id", "ccos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // iters = 0 k-means = flat assignment against the raw seed centroids
+    val flat = key(graft.api.Similarity.kmeansAssign(
+      emb, seeds, "vec_id", "embedding", 0))
+    // probing ALL coarse cells degenerates to the exact flat argmax
+    val exhaustive = key(graft.api.Similarity.hierarchicalAssign(
+      emb, seeds, coarse, "vec_id", "embedding", w = 4))
+    assert(exhaustive == flat)
+    // w = 1: every row still gets one of the 16 centroids, assignment
+    // is total, and most rows agree with the flat argmax (the
+    // coarse-boundary misses are the documented approximation)
+    val hier1 = graft.api.Similarity.hierarchicalAssign(
+      emb, seeds, coarse, "vec_id", "embedding", w = 1)
+      .select("vec_id", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hier1.length == 500)
+    assert(hier1.map(_._1).distinct.length == 500)
+    assert(hier1.forall(_._2 < 16))
+    val flatMap2 = flat.map(t => t._1 -> t._2).toMap
+    val agree = hier1.count { case (v, c) => flatMap2(v) == c }.toDouble / 500
+    assert(agree >= 0.5, s"w=1 agreement with flat argmax only $agree")
+  }
+
+  test("pq: encode shape, ADC = dot against the reconstruction, recall floor vs exact") {
+    import graft.functions.PqFunctions
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val (m, ks) = (8, 16)
+    val books = graft.api.Similarity.pqTrain(emb, "vec_id", "embedding", m, ks, 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    assert(books.map(_._1).distinct.sorted.toSeq == (0 until m))
+    assert(books.forall(_._3.length == 8)) // 64-dim fixture / 8 subspaces
+    // per-subspace books, code-id ascending — the engine's position order
+    val byM = books.groupBy(_._1).map { case (s, bs) =>
+      s -> bs.sortBy(_._2).map(_._3)
+    }
+    // encode + LUT through the native expressions, then check the ADC
+    // identity: adc == dot(query, concat(books[m][code_m])) exactly
+    PqFunctions.register(spark)
+    val booksRow = graft.api.Similarity
+      .pqTrain(emb, "vec_id", "embedding", m, ks, 2)
+      .groupBy("m").agg(array_sort(collect_list(struct(col("code_id"), col("c_emb")))).as("codes"))
+      .groupBy().agg(transform(array_sort(collect_list(struct(col("m"), col("codes")))),
+        s => s.getField("codes")).as("books"))
+    val sample = emb.limit(20).crossJoin(broadcast(booksRow))
+      .select(col("vec_id"),
+        PqFunctions.pqEncode(col("books"), col("embedding")).as("codes"),
+        PqFunctions.pqAdc(
+          PqFunctions.pqLut(col("books"), col("embedding")),
+          PqFunctions.pqEncode(col("books"), col("embedding"))).as("self_adc"),
+        col("embedding"))
+      .collect()
+    sample.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == m)
+      codes.zipWithIndex.foreach { case (c, s) =>
+        assert(c >= 0 && c < byM(s).length, s"code $c out of range in subspace $s")
+      }
+      val recon = codes.zipWithIndex.flatMap { case (c, s) => byM(s)(c) }
+      val x = r.getSeq[Float](3)
+      var dot = 0.0
+      recon.indices.foreach(i => dot += x(i).toDouble * recon(i).toDouble)
+      assert(math.abs(r.getDouble(2) - dot) < 1e-9,
+        s"ADC ${r.getDouble(2)} != reconstruction dot $dot for ${r.getLong(0)}")
+    }
+    // recall@5 vs the exact s1 baseline at the SHIPPED geometry
+    // (8 × 64 codes, rerank 50) — tools/PqTune measures 0.90 @ sf0.001
+    // / 0.94 @ sf0.01; pinned with margin
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = topSets(graft.api.Similarity.cosineTopK(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5))
+    val pq = topSets(graft.api.Similarity.pqTopK(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+      graft.operators.SimilarityQueries.PqM,
+      graft.operators.SimilarityQueries.PqKs, 2,
+      graft.operators.SimilarityQueries.PqRerank))
+    val recall = exact.map { case (q, ns) =>
+      (ns intersect pq.getOrElse(q, Set.empty)).size.toDouble / ns.size
+    }.sum / exact.size
+    assert(recall >= 0.8, s"PQ recall@5 only $recall")
+  }
+
   test("vec_dot expression matches higher-order-function dot") {
     VectorFunctions.register(spark)
     val e = graft.Tables.embeddings(spark, sf0001).limit(50)

@@ -67,6 +67,23 @@ class ScaleProbeArtifactSpec extends AnyFunSuite {
     assert(alphas.distinct.size == alphas.size, "two replicas share a cipher")
   }
 
+  test("replica signs: identity at 0, ±1 only, pairwise distinct, dot-preserving") {
+    val dim = 64
+    assert(ScaleProbe.replicaSigns(0, dim).forall(_ == 1.0f))
+    val signs = (1 to 100).map(r => ScaleProbe.replicaSigns(r, dim).toSeq)
+    signs.foreach(s => assert(s.forall(v => v == 1.0f || v == -1.0f)))
+    assert(signs.distinct.size == signs.size, "two replicas share a sign cipher")
+    // within-replica dot preservation is exact: signs cancel pairwise
+    val x = Array.tabulate(dim)(i => (i * 0.37f - 3.1f))
+    val y = Array.tabulate(dim)(i => (1.9f - i * 0.11f))
+    def dot(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (p, q) => p.toDouble * q.toDouble }.sum
+    val s7 = ScaleProbe.replicaSigns(7, dim)
+    val xs = x.toSeq.zip(s7).map { case (v, s) => v * s }
+    val ys = y.toSeq.zip(s7).map { case (v, s) => v * s }
+    assert(dot(xs, ys) == dot(x.toSeq, y.toSeq))
+  }
+
   test("scaleLabel names scales relative to the sf0.1 source") {
     assert(ScaleProbe.scaleLabel(10) == "sf1")
     assert(ScaleProbe.scaleLabel(100) == "sf10")
