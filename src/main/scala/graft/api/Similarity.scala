@@ -315,13 +315,22 @@ object Similarity {
     val d = dim / m
     val base = Barrier(corpus.select(col(idCol).as("vec_id"),
       col(vecCol).as("embedding")))
-    (0 until m).map { s =>
+    // The m trainings are independent chains of tiny barriered jobs
+    // (slice, assign, recentre per round) — run them as CONCURRENT
+    // driver-submitted jobs so wall-clock is one chain, not m chains.
+    // Each job is small; the executor pool interleaves them. Output
+    // order is fixed by the union below regardless of completion order.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val books = (0 until m).map { s => Future {
       val sliced = Barrier(base.select(col("vec_id"),
         slice(col("embedding"), s * d + 1, d).as("embedding")))
       val book = kmeansLoopL2(sliced,
         sliced.filter(col("vec_id") < ks), iters)
       book.select(lit(s).as("m"), col("cent_id").as("code_id"), col("c_emb"))
-    }.reduce(_ union _)
+    }}.map(Await.result(_, Duration.Inf))
+    books.reduce(_ union _)
   }
 
   /** L2 Lloyd loop over (vec_id, embedding) frames: argmin-L2 assign
