@@ -382,22 +382,72 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int, ks: Int, iters: Int, rerank: Int): DataFrame = {
-    import graft.functions.PqFunctions
     val c = Barrier(normed(corpus, idCol, vecCol))
-    val booksRow = pqTrain(c, "vec_id", "embedding", m, ks, iters)
-      .groupBy("m").agg(array_sort(
+    val booksRow = booksRowOf(pqTrain(c, "vec_id", "embedding", m, ks, iters))
+    pqQueryTail(pqIndexOf(c, booksRow), c,
+      normed(queries, idCol, vecCol), booksRow, k, rerank)
+  }
+
+  /** The m-per-subspace codebooks folded into the single broadcastable
+    * row the native expressions consume: books[m] = code-id-ascending
+    * array of (code_id, c_emb) — position order IS id order, the
+    * contract [[graft.functions.PqEncode]]/[[graft.functions.PqAdc]]
+    * and the oracle rely on. */
+  private def booksRowOf(books: DataFrame): DataFrame =
+    books.groupBy("m").agg(array_sort(
         collect_list(struct(col("code_id"), col("c_emb")))).as("codes"))
       .groupBy().agg(transform(
         array_sort(collect_list(struct(col("m"), col("codes")))),
         s => s.getField("codes")).as("books"))
-    val index = c.crossJoin(broadcast(booksRow))
+
+  private def pqIndexOf(cNormed: DataFrame, booksRow: DataFrame): DataFrame = {
+    import graft.functions.PqFunctions
+    cNormed.crossJoin(broadcast(booksRow))
       .select(col("vec_id"), col("nrm"),
         PqFunctions.pqEncode(col("books"), col("embedding")).as("codes"))
-    val q = normed(queries, idCol, vecCol).crossJoin(broadcast(booksRow))
+  }
+
+  /** Encode (id, vec) rows against FROZEN codebooks — the
+    * daily-increment verb of a persisted PQ index: one map-only pass,
+    * no training, no shuffle. `books` = [[pqTrain]] output (read back
+    * from its parquet asset). Output (vec_id, nrm, codes) is the index
+    * schema — ~M+12 bytes/row against 4·dim+12 for the embeddings —
+    * and parquet-round-trips exactly (ints + the float-derived norm). */
+  def pqEncodeIndex(df: DataFrame, books: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    pqIndexOf(normed(df, idCol, vecCol), booksRowOf(books))
+  }
+
+  /** ANN over a PREBUILT PQ index (persisted codes + frozen books —
+    * [[pqEncodeIndex]] rows from any mix of asset generations and
+    * fresh increments): ADC-score the index, bounded top-`rerank` per
+    * query, exact re-rank against `base` (the full-vector table, joined
+    * only for the ≤ queries × rerank survivor rows). This is [[pqTopK]]
+    * minus training/encoding — the query path a production deployment
+    * runs per request. */
+  def pqTopKFromIndex(index: DataFrame, base: DataFrame, queries: DataFrame,
+      books: DataFrame, idCol: String, vecCol: String,
+      k: Int, rerank: Int): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    pqQueryTail(
+      index.select(col(idCol).as("vec_id"), col("nrm"), col("codes")),
+      normed(base, idCol, vecCol),
+      normed(queries, idCol, vecCol), booksRowOf(books), k, rerank)
+  }
+
+  /** Shared PQ query tail: per-query LUTs (broadcast), ADC scoring of
+    * the (vec_id, nrm, codes) index, bounded [[TopKPerKey]] candidate
+    * selection, exact-cosine re-rank of the survivors against the
+    * normed base table. */
+  private def pqQueryTail(index: DataFrame, cNormed: DataFrame,
+      queriesNormed: DataFrame, booksRow: DataFrame,
+      k: Int, rerank: Int): DataFrame = {
+    import graft.functions.PqFunctions
+    val qB = Barrier(queriesNormed.crossJoin(broadcast(booksRow))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
-        PqFunctions.pqLut(col("books"), col("embedding")).as("lut"))
-    val qB = Barrier(q)
+        PqFunctions.pqLut(col("books"), col("embedding")).as("lut")))
     val adcCos = PqFunctions.pqAdc(col("lut"), col("codes")) /
       (col("q_nrm") * col("nrm"))
     val scored = index.join(broadcast(qB), col("q_id") =!= col("vec_id"))
@@ -410,7 +460,7 @@ object Similarity {
     val cos = VectorFunctions.cosinePre(
       VectorFunctions.dot(col("q_emb"), col("embedding")),
       col("q_nrm"), col("nrm"))
-    c.join(broadcast(survivors), col("vec_id") === col("n_id"))
+    cNormed.join(broadcast(survivors), col("vec_id") === col("n_id"))
       .select(col("q_id"), col("n_id"), cos.as("cos"))
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k)

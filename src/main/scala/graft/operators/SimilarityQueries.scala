@@ -145,6 +145,56 @@ object SimilarityQueries {
       "vec_id", "embedding", K, PqM, PqKs, PqIters, PqRerank)
   }
 
+  // -- s7: PQ over a PERSISTED index asset — the production shape ------
+  // Train once / encode once / probe forever: the codebooks and the
+  // encoded corpus index are pre-seeded parquet assets (dd10p's
+  // discipline — written once per JVM, the cold bench pass pays the
+  // seeding, warm passes only read), and the timed plan is the daily
+  // verb: encode the increment against the FROZEN books (one map-only
+  // pass — no retraining, the standard PQ operating discipline), union
+  // with the manifest-gated index asset read, ADC-probe, re-rank the
+  // survivors against the base table. The index asset rides the same
+  // generational lifecycle as the dedup signature assets
+  // (readSignatureAsset — seed under base/, daily inc_* dirs, compact
+  // at quiesce points). Same oracle chain as s6 with training
+  // restricted to the corpus split.
+  private val seededPqRoots = scala.collection.mutable.Set[String]()
+
+  private def seedPqAssets(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val root = s"target/graft_bench/s7p/$key"
+    synchronized {
+      if (!seededPqRoots.contains(root)) {
+        val corpus = Tables.embeddings(s, dir)
+          .filter(col("vec_id") % DedupQueries.IncMod =!= 0)
+        graft.api.Barrier.scoped {
+          graft.api.Similarity.pqTrain(
+              corpus, "vec_id", "embedding", PqM, PqKs, PqIters)
+            .write.mode("overwrite").parquet(s"$root/books")
+          graft.api.Similarity.pqEncodeIndex(corpus,
+              s.read.parquet(s"$root/books"), "vec_id", "embedding")
+            .write.mode("overwrite").parquet(s"$root/pq_index/base")
+        }
+        seededPqRoots += root
+      }
+    }
+    root
+  }
+
+  private def pqAsset(s: SparkSession, dir: String): DataFrame = {
+    val root = seedPqAssets(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val books = s.read.parquet(s"$root/books")
+    val incIndex = graft.api.Similarity.pqEncodeIndex(
+      emb.filter(col("vec_id") % DedupQueries.IncMod === 0),
+      books, "vec_id", "embedding")
+    val index = graft.api.Dedup.readSignatureAsset(s, s"$root/pq_index")
+      .unionByName(incIndex)
+    graft.api.Similarity.pqTopKFromIndex(index, emb,
+      emb.filter(col("vec_id") < NQueries), books,
+      "vec_id", "embedding", K, PqRerank)
+  }
+
   // -- oracles for the ANN paths ---------------------------------------
   // All pure deterministic arithmetic (hyperplanes are integer
   // congruences, IVF/k-means is cosine + row_number + fixed-point
@@ -275,15 +325,18 @@ object SimilarityQueries {
     * by ADC-cosine, exact-cosine re-rank. The engine works in code
     * POSITIONS, the oracle in code IDS — same centroids because both
     * orders are ascending-id. */
-  private val pqTopKSql = {
+  private def pqSql(trainWhere: String): String = {
     import graft.functions.PqFunctions
     val d = 8 // fixture dim 64 / PqM — checked at runtime by pqTrain
     val subs = (0 until PqM).map { m =>
-      val slice =
-        s"""p$m AS (
+      val slices =
+        s"""pt$m AS (
+           |  SELECT vec_id, list_slice(embedding, ${m * d + 1}, ${(m + 1) * d}) AS embedding
+           |  FROM embeddings$trainWhere),
+           |p$m AS (
            |  SELECT vec_id, list_slice(embedding, ${m * d + 1}, ${(m + 1) * d}) AS embedding
            |  FROM embeddings)""".stripMargin
-      val train = PqFunctions.l2KmeansCtes(s"b${m}_", s"p$m", PqKs, PqIters,
+      val train = PqFunctions.l2KmeansCtes(s"b${m}_", s"pt$m", PqKs, PqIters,
         graft.api.Similarity.KMeansQuantScale)
       val enc = PqFunctions.l2CellCte(s"enc$m", s"p$m", s"b${m}_cents$PqIters")
       val contrib =
@@ -293,7 +346,7 @@ object SimilarityQueries {
            |  FROM p$m q JOIN enc$m e ON q.vec_id <> e.vec_id
            |  JOIN b${m}_cents$PqIters ct ON ct.cent_id = e.cent_id
            |  WHERE q.vec_id < $NQueries)""".stripMargin
-      Seq(slice, train, enc, contrib).mkString(",\n")
+      Seq(slices, train, enc, contrib).mkString(",\n")
     }
     val finalCos =
       s"(${VectorFunctions.dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm))"
@@ -323,6 +376,14 @@ object SimilarityQueries {
        |WHERE rank <= $K""".stripMargin
   }
 
+  private val pqTopKSql = pqSql("")
+
+  /** s7 = s6's oracle chain with TRAINING restricted to the corpus
+    * split — the asset path's semantics exactly: corpus-trained frozen
+    * books encode everything (corpus at seed time, increment daily). */
+  private val pqAssetSql =
+    pqSql(s" WHERE vec_id % ${DedupQueries.IncMod} <> 0")
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s1_cosine_topk", bruteTopK, Some(bruteTopKSql), bench = true),
     QueryDef("s2_ann_lsh", lshTopK, Some(lshTopKSql), bench = true),
@@ -330,5 +391,6 @@ object SimilarityQueries {
     QueryDef("s4_ann_ivf_trained", ivfTrained, Some(ivfTrainedSql), bench = true),
     QueryDef("s5_ann_ivf_hier", ivfHier, Some(ivfHierSql), bench = true),
     QueryDef("s6_ann_pq_adc", pqTopK, Some(pqTopKSql), bench = true),
+    QueryDef("s7_ann_pq_asset", pqAsset, Some(pqAssetSql), bench = true),
   )
 }

@@ -363,6 +363,45 @@ object StreamingOps {
       groupsDir.map(d => (d, "vec_a", "vec_b")), compactOnFinish,
       keepSuperseded, maxUpsertDirs)
 
+  /** s7's streaming twin — CONTINUOUS PQ index maintenance: each
+    * micro-batch of new vectors is encoded against the FROZEN
+    * codebooks at `booksDir` (one map-only pass — no retraining, the
+    * standard PQ operating discipline) and appended to the index asset
+    * at `indexDir` as `inc_<batchId>` — replay-idempotent (overwrite),
+    * lineage-stamped like the dedup assets, and visible to
+    * [[graft.api.Similarity.pqTopKFromIndex]] readers through the same
+    * manifest-gated [[graft.api.Dedup.readSignatureAsset]] layout
+    * (seed the asset with [[graft.api.Similarity.pqEncodeIndex]]
+    * output under `base/`). `compactOnFinish` folds the drained
+    * batches at the AvailableNow quiesce point, exactly as the
+    * signature assets do. */
+  def pqIndexStream(vecs: DataFrame, idCol: String, vecCol: String,
+      booksDir: String, indexDir: String, checkpointDir: String,
+      compactOnFinish: Boolean = false, keepSuperseded: Int = 1):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val query = vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        requireLineage(s, indexDir, checkpointDir)
+        graft.api.Barrier.scoped {
+          graft.api.Similarity.pqEncodeIndex(
+              batch.toDF(), s.read.parquet(booksDir), idCol, vecCol)
+            .write.mode("overwrite").parquet(s"$indexDir/inc_$batchId")
+        }
+        ()
+      }
+      .start()
+    if (compactOnFinish) {
+      query.awaitTermination()
+      graft.api.Dedup.compactSignatureAsset(
+        vecs.sparkSession, indexDir, keepSuperseded)
+      ()
+    }
+    query
+  }
+
   /** Idempotent micro-batch sink: foreachBatch + deterministic
     * per-batch output paths, the standard exactly-once-to-storage
     * recipe (a replayed batch overwrites the same path instead of

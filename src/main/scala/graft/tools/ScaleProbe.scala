@@ -131,6 +131,18 @@ object ScaleProbe {
         emb.filter(col("vec_id") % ReplicaOffset === 0),
         "vec_id", "embedding", 2, 0.4, w = 2)
     }),
+    // the PQ CONTRAST case: codebooks are FIXED size (M×Ks codes
+    // regardless of corpus — PQ compresses vectors, it does not
+    // partition them), so training, encoding and the ADC scan are all
+    // linear in n with constant per-row cost; expected exponent ~1.0
+    // flat across every decade while the growing-k flat argmax above
+    // turns quadratic. Seeds = replica-0's first 64 vectors at every
+    // scale.
+    "s6_ann_pq_scaled" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.api.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, 8, 64, 2, 50)
+    }),
     "s4_ann_ivf_hier_scaled" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val coarse = emb.filter(col("vec_id") % ReplicaOffset === 0)

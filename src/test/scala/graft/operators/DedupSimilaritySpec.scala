@@ -377,6 +377,35 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"PQ recall@5 only $recall")
   }
 
+  test("pq index asset: persisted codes + frozen books answer identically to the in-memory path") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val inc = emb.filter(col("vec_id") % 10 === 0)
+    val queries = emb.filter(col("vec_id") < 10)
+    val books = graft.api.Similarity.pqTrain(corpus, "vec_id", "embedding", 8, 16, 2)
+    val dir = java.nio.file.Files.createTempDirectory("pq-asset").toString
+    books.write.parquet(s"$dir/books")
+    graft.api.Similarity.pqEncodeIndex(corpus, books, "vec_id", "embedding")
+      .write.parquet(s"$dir/index")
+    // round-tripped asset (codes + norm through parquet, books through
+    // parquet) vs everything in-memory — must be IDENTICAL rows: the
+    // index schema (int codes, float-derived double norm) is exact
+    val booksRt = spark.read.parquet(s"$dir/books")
+    val indexRt = spark.read.parquet(s"$dir/index")
+      .unionByName(graft.api.Similarity.pqEncodeIndex(inc, booksRt, "vec_id", "embedding"))
+    val fromAsset = graft.api.Similarity.pqTopKFromIndex(
+      indexRt, emb, queries, booksRt, "vec_id", "embedding", 5, 20)
+    val inMem = graft.api.Similarity.pqTopKFromIndex(
+      graft.api.Similarity.pqEncodeIndex(corpus, books, "vec_id", "embedding")
+        .unionByName(graft.api.Similarity.pqEncodeIndex(inc, books, "vec_id", "embedding")),
+      emb, queries, books, "vec_id", "embedding", 5, 20)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val a = key(fromAsset)
+    assert(a.size == 50)
+    assert(a == key(inMem))
+  }
+
   test("vec_dot expression matches higher-order-function dot") {
     VectorFunctions.register(spark)
     val e = graft.Tables.embeddings(spark, sf0001).limit(50)

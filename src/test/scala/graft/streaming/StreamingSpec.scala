@@ -468,6 +468,66 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pq index stream: streamed encode+append equals the batch index, compaction folds, queries answer") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sf0001)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val inc = emb.filter(col("vec_id") % 10 === 0)
+    val work = Files.createTempDirectory("graft-pqstream")
+    val landing = Files.createTempDirectory("graft-pqstream-landing")
+    try {
+      val books = graft.api.Similarity.pqTrain(
+        corpus, "vec_id", "embedding", 8, 16, 2)
+      books.write.parquet(s"$work/books")
+      graft.api.Similarity.pqEncodeIndex(corpus, books, "vec_id", "embedding")
+        .write.parquet(s"$work/index/base")
+      Seq(col("vec_id") % 20 === 0, col("vec_id") % 20 =!= 0).zipWithIndex.foreach {
+        case (pred, i) =>
+          val tmp = work.resolve(s"half$i")
+          inc.filter(pred).coalesce(1).write.parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get
+          Files.copy(part, landing.resolve(s"inc$i.parquet"))
+      }
+      val q = StreamingOps.pqIndexStream(
+        spark.readStream.schema(inc.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+        "vec_id", "embedding", s"$work/books", s"$work/index", s"$work/ckpt",
+        compactOnFinish = true)
+      assert(q.awaitTermination(180000), "AvailableNow query did not stop")
+      // compaction folded the two inc dirs into a generation
+      val root = new java.io.File(s"$work/index")
+      assert(root.listFiles().exists(_.getName == "base_gen1"))
+      // streamed asset ≡ one batch encode of corpus ∪ inc (identical
+      // rows: codes are ints, the norm is float-derived — exact)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("vec_id", "nrm", "codes").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2).toList)).toSet
+      val streamed = key(graft.api.Dedup.readSignatureAsset(spark, s"$work/index"))
+      val batch = key(graft.api.Similarity.pqEncodeIndex(
+        emb, books, "vec_id", "embedding"))
+      assert(streamed == batch)
+      assert(streamed.size == 500)
+      // and the asset answers queries: identical to the all-in-memory path
+      val queries = emb.filter(col("vec_id") < 10)
+      val fromAsset = graft.api.Similarity.pqTopKFromIndex(
+        graft.api.Dedup.readSignatureAsset(spark, s"$work/index"),
+        emb, queries, spark.read.parquet(s"$work/books"),
+        "vec_id", "embedding", 5, 20).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val inMem = graft.api.Similarity.pqTopKFromIndex(
+        graft.api.Similarity.pqEncodeIndex(emb, books, "vec_id", "embedding"),
+        emb, queries, books, "vec_id", "embedding", 5, 20).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(fromAsset == inMem)
+      assert(fromAsset.size == 50)
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
+
   test("incremental embedding stream: union of micro-batch pairs equals batch dd9") {
     import java.nio.file.Files
     val emb = Tables.embeddings(spark, sf0001)
