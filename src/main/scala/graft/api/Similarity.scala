@@ -350,15 +350,18 @@ object Similarity {
     cents
   }
 
+  /** Map-only L2 argmin assignment; every input column passes through
+    * plus `cent_id` (the Lloyd loop passes (vec_id, embedding), IVFADC
+    * passes (vec_id, embedding, nrm)). */
   private def assignCellsL2(c: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.PqFunctions
     val centsRow = cents.groupBy().agg(array_sort(
       collect_list(struct(col("cent_id"), col("c_emb")))).as("cents"))
+    val cols = c.columns.map(col).toSeq
     c.crossJoin(broadcast(centsRow))
-      .select(col("vec_id"), col("embedding"),
-        PqFunctions.nearestCentroidL2(col("cents"), col("embedding")).as("best"))
-      .select(col("vec_id"), col("embedding"),
-        col("best.cent_id").as("cent_id"))
+      .select(cols :+
+        PqFunctions.nearestCentroidL2(col("cents"), col("embedding")).as("best"): _*)
+      .select(cols :+ col("best.cent_id").as("cent_id"): _*)
   }
 
   /** ANN via product quantization + ADC + exact re-rank — the
@@ -452,10 +455,22 @@ object Similarity {
       (col("q_nrm") * col("nrm"))
     val scored = index.join(broadcast(qB), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), adcCos.as("adc"))
+    adcSelectRerank(scored,
+      qB.select(col("q_id"), col("q_emb"), col("q_nrm")), cNormed, k, rerank)
+  }
+
+  /** Bounded ADC-candidate selection + exact re-rank (shared by the PQ
+    * and IVFADC paths): [[TopKPerKey]] keeps the top-`rerank` per query
+    * map-side, survivors join the (tiny) query table and then the
+    * normed base for exact cosine. */
+  private def adcSelectRerank(scored: DataFrame, qSmall: DataFrame,
+      cNormed: DataFrame, k: Int, rerank: Int): DataFrame = {
+    // the query table is ≤ queries rows BY CONTRACT — broadcast
+    // explicitly (post-aggregate stats are unknown, so the planner
+    // otherwise falls back to a sort-merge join of two tiny sides)
     val survivors = TopKPerKey(scored, "q_id", "adc", "n_id", rerank)
       .select(col("q_id").as("s_q_id"), col("n_id"))
-      .join(qB.select(col("q_id"), col("q_emb"), col("q_nrm")),
-        col("s_q_id") === col("q_id"))
+      .join(broadcast(qSmall), col("s_q_id") === col("q_id"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("n_id"))
     val cos = VectorFunctions.cosinePre(
       VectorFunctions.dot(col("q_emb"), col("embedding")),
@@ -464,6 +479,68 @@ object Similarity {
       .select(col("q_id"), col("n_id"), cos.as("cos"))
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k)
+  }
+
+  /** IVFADC [Jégou et al. 2011, §IV]: the canonical composition of the
+    * coarse quantizer and PQ — the corpus is partitioned into `nCells`
+    * L2 cells (trained by the shared L2 Lloyd loop), each vector's
+    * RESIDUAL (x − cell centroid) is PQ-encoded, and a query probes
+    * only its `nProbe` nearest cells: the candidate scan is pruned
+    * nProbe/nCells-fold AND reads only codes. The inner-product
+    * estimate decomposes exactly — dot(q, c + decode(codes)) =
+    * dot(q, c) + Σ_m lut[m][code_m] — with dot(q, c) computed once per
+    * (query, probed cell) and the LUT once per query (residual books
+    * are cell-independent). Residuals concentrate near 0, so the same
+    * code budget quantizes them better than raw vectors. Exact-cosine
+    * re-rank of the top-`rerank` as everywhere in this family; all
+    * stages map-only or broadcast except the bounded candidate
+    * aggregate. */
+  def ivfadcTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int, coarseIters: Int, m: Int, ks: Int, pqIters: Int,
+      nProbe: Int, rerank: Int): DataFrame = {
+    import graft.functions.PqFunctions
+    val c = Barrier(normed(corpus, idCol, vecCol))
+    val cf = c.select(col("vec_id"), col("embedding"))
+    val coarse = Barrier(kmeansLoopL2(cf,
+      cf.filter(col("vec_id") < nCells), coarseIters))
+    // residual index: (vec_id, cent_id, nrm, codes) — nrm is the TRUE
+    // vector norm (cosine denominators), codes quantize the residual
+    val res = Barrier(assignCellsL2(c, coarse)
+      .join(broadcast(coarse), "cent_id")
+      .select(col("vec_id"), col("cent_id"), col("nrm"),
+        zip_with(col("embedding"), col("c_emb"), (x, cc) => x - cc)
+          .as("embedding")))
+    val booksRow = booksRowOf(
+      pqTrain(res, "vec_id", "embedding", m, ks, pqIters))
+    val index = res.crossJoin(broadcast(booksRow))
+      .select(col("vec_id"), col("cent_id"), col("nrm"),
+        PqFunctions.pqEncode(col("books"), col("embedding")).as("codes"))
+    // query side: top-nProbe cells by ELEMENTWISE L2 (FloatVecL2 — the
+    // oracle's exact arithmetic; a norm-expansion would flip near-ties),
+    // dot(q, cell) per probed cell, one LUT per query
+    val probeW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cent_id"))
+    val qB = Barrier(normed(queries, idCol, vecCol)
+      .join(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        PqFunctions.vecL2(col("c_emb"), col("embedding")).as("d2"),
+        VectorFunctions.dot(col("embedding"), col("c_emb")).as("cell_dot"))
+      .withColumn("r", row_number().over(probeW))
+      .filter(col("r") <= nProbe)
+      .crossJoin(broadcast(booksRow))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id"), col("cell_dot"),
+        PqFunctions.pqLut(col("books"), col("embedding")).as("lut")))
+    val adcCos = (col("cell_dot") +
+      PqFunctions.pqAdc(col("lut"), col("codes"))) /
+      (col("q_nrm") * col("nrm"))
+    val scored = index.join(broadcast(qB),
+        qB("cent_id") === index("cent_id") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), adcCos.as("adc"))
+    adcSelectRerank(scored,
+      qB.select(col("q_id"), col("q_emb"), col("q_nrm")).distinct(),
+      c, k, rerank)
   }
 
   /** Shared IVF probe + exact re-rank tail: queries pick their nProbe

@@ -164,6 +164,39 @@ case class PqAdc(lut: Expression, codes: Expression)
       l: Expression, r: Expression): PqAdc = copy(lut = l, codes = r)
 }
 
+/** Elementwise squared-L2 distance of two float vectors — double
+  * accumulation ascending i, the exact arithmetic of
+  * [[PqFunctions.l2Sql]] (an expansion via ‖a‖² − 2a·b + ‖b‖² would
+  * produce DIFFERENT floats and flip near-ties against the oracle).
+  * Used for the query-side top-nProbe coarse-cell probing of IVFADC,
+  * where a ranking — not just an argmin — is needed. */
+case class FloatVecL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_l2 expects two array<float> args, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqKernels.vecL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PqKernels.vecL2($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): FloatVecL2 = copy(left = l, right = r)
+}
+
 /** Static kernels (shared by eval and generated code, like
   * [[VectorKernels]]). Iteration orders are part of the oracle
   * contract: L2 accumulates (x-c)² ascending i; argmins keep the FIRST
@@ -189,6 +222,18 @@ object PqKernels {
     else TypeCheckResult.TypeCheckFailure(
       s"$fn expects (array<array<struct<long,array<float>>>>, " +
         s"array<float>), got (${books.simpleString}, ${emb.simpleString})")
+  }
+
+  def vecL2(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
   }
 
   /** Σ (x[off+i] - c[i])² in double, ascending i. */
@@ -304,6 +349,8 @@ object PqFunctions {
       "pq_lut", exprs => PqLut(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_adc", exprs => PqAdc(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2", exprs => FloatVecL2(exprs(0), exprs(1)), "built-in")
   }
 
   def nearestCentroidL2(cents: Column, emb: Column): Column =
@@ -314,6 +361,8 @@ object PqFunctions {
     call_function("pq_lut", books, emb)
   def pqAdc(lut: Column, codes: Column): Column =
     call_function("pq_adc", lut, codes)
+  def vecL2(a: Column, b: Column): Column =
+    call_function("vec_l2", a, b)
 
   /** Squared-L2 SQL with the kernel's exact arithmetic: per-coordinate
     * (CAST-to-double difference) squared by self-multiplication,

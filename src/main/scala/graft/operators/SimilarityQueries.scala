@@ -181,6 +181,35 @@ object SimilarityQueries {
     root
   }
 
+  // -- s8: IVFADC — coarse cells × PQ residual codes -------------------
+  // The canonical FAISS composition (Jégou et al. 2011 §IV): L2 coarse
+  // cells prune the candidate scan nProbe/nCells-fold, PQ codes on the
+  // RESIDUALS (x − cell centroid) cut its bytes; dot(q, x) decomposes
+  // exactly as dot(q, cell) + ADC over the residual LUT. Residuals
+  // concentrate near zero, so the same code budget quantizes them
+  // better than raw vectors (8×16 codes here match the recall 8×64
+  // needs on raw vectors — tools/PqTune vs this query's measured
+  // recall).
+  // Geometry from tools/PqTune's IVFADC sweep (recall@5 vs the exact
+  // baseline at sf0.01): rerank is NOT the binding constraint here —
+  // recall plateaus at 0.86 from rerank 50 to 100 at nProbe 2, i.e.
+  // probe-limited (true neighbors in unprobed cells are unreachable),
+  // the classic IVF knob. nProbe 3 is the knee (0.88 scanning 3/8 of
+  // the codes; 4 probes + rerank 100 reach 0.94 = s6's full-scan
+  // recall at half the scan). Residual quantization carries it: 8×16
+  // residual codes match what raw vectors need 8×64 for.
+  private[graft] val AdcCells = 8     // coarse cells (vec_id < 8 seeds)
+  private[graft] val AdcCoarseIters = 2
+  private[graft] val AdcKs = 16       // residual codes per sub-quantizer
+  private[graft] val AdcProbe = 3     // cells probed per query (knee)
+
+  private def ivfadc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.api.Similarity.ivfadcTopK(
+      e, e.filter(col("vec_id") < NQueries), "vec_id", "embedding", K,
+      AdcCells, AdcCoarseIters, PqM, AdcKs, PqIters, AdcProbe, PqRerank)
+  }
+
   private def pqAsset(s: SparkSession, dir: String): DataFrame = {
     val root = seedPqAssets(s, dir)
     val emb = Tables.embeddings(s, dir)
@@ -384,6 +413,84 @@ object SimilarityQueries {
   private val pqAssetSql =
     pqSql(s" WHERE vec_id % ${DedupQueries.IncMod} <> 0")
 
+  /** s8 oracle: the full IVFADC chain — L2 coarse training + cell
+    * assignment, exact float residuals (double-subtract-then-round ==
+    * float subtraction), per-subspace residual PQ trainings, argmin
+    * encoding, query-side top-nProbe cells by elementwise L2 (the
+    * FloatVecL2 arithmetic), and adc = cell_dot + the m-ascending
+    * ordered residual-LUT fold, then the usual top-R / exact re-rank
+    * tail. */
+  private val ivfadcSql = {
+    import graft.functions.PqFunctions
+    val d = 8
+    val scale = graft.api.Similarity.KMeansQuantScale
+    val coarse =
+      s"""cf AS (SELECT vec_id, embedding FROM embeddings),
+         |${PqFunctions.l2KmeansCtes("co_", "cf", AdcCells, AdcCoarseIters, scale)},
+         |${PqFunctions.l2CellCte("cellassign", "cf", s"co_cents$AdcCoarseIters")},
+         |res AS (
+         |  SELECT a.vec_id, a.cent_id AS cell_id,
+         |    list_transform(range(1, len(a.embedding)+1),
+         |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(ct.c_emb[i] AS DOUBLE) AS FLOAT)) AS embedding
+         |  FROM cellassign a JOIN co_cents$AdcCoarseIters ct ON ct.cent_id = a.cent_id)""".stripMargin
+    val probed =
+      s"""probed AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cell_id, cell_dot FROM (
+         |    SELECT x.vec_id, x.embedding, x.nrm, ct.cent_id AS cell_id,
+         |      ${VectorFunctions.dotSql("x.embedding", "ct.c_emb")} AS cell_dot,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${PqFunctions.l2Sql("ct.c_emb", "x.embedding")} ASC, ct.cent_id) AS r
+         |    FROM c x CROSS JOIN co_cents$AdcCoarseIters ct
+         |    WHERE x.vec_id < $NQueries) t
+         |  WHERE r <= $AdcProbe)""".stripMargin
+    val subs = (0 until PqM).map { m =>
+      val slices =
+        s"""rp$m AS (
+           |  SELECT vec_id, list_slice(embedding, ${m * d + 1}, ${(m + 1) * d}) AS embedding
+           |  FROM res)""".stripMargin
+      val train = PqFunctions.l2KmeansCtes(s"rb${m}_", s"rp$m", AdcKs, PqIters, scale)
+      val enc = PqFunctions.l2CellCte(s"renc$m", s"rp$m", s"rb${m}_cents$PqIters")
+      val qSlice = s"list_slice(q.q_emb, ${m * d + 1}, ${(m + 1) * d})"
+      val contrib =
+        s"""rcontrib$m AS (
+           |  SELECT q.q_id, ca.vec_id AS n_id, $m AS m, q.cell_dot,
+           |    ${VectorFunctions.dotSql(qSlice, "ct.c_emb")} AS v
+           |  FROM probed q
+           |  JOIN cellassign ca ON ca.cent_id = q.cell_id AND ca.vec_id <> q.q_id
+           |  JOIN renc$m e ON e.vec_id = ca.vec_id
+           |  JOIN rb${m}_cents$PqIters ct ON ct.cent_id = e.cent_id)""".stripMargin
+      Seq(slices, train, enc, contrib).mkString(",\n")
+    }
+    val finalCos =
+      s"(${VectorFunctions.dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm))"
+    s"""WITH $normCte,
+       |$coarse,
+       |$probed,
+       |${subs.mkString(",\n")},
+       |rcontrib AS (
+       |  ${(0 until PqM).map(m => s"SELECT * FROM rcontrib$m")
+              .mkString("\n  UNION ALL ")}),
+       |radc AS (
+       |  SELECT q_id, n_id,
+       |    (MIN(cell_dot) + list_reduce(list(v ORDER BY m), (x, y) -> x + y)) AS adc
+       |  FROM rcontrib GROUP BY q_id, n_id),
+       |rsel AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT a.q_id, a.n_id,
+       |      row_number() OVER (PARTITION BY a.q_id
+       |        ORDER BY a.adc / (qn.nrm * cn.nrm) DESC, a.n_id) AS r
+       |    FROM radc a JOIN c qn ON qn.vec_id = a.q_id
+       |    JOIN c cn ON cn.vec_id = a.n_id) t
+       |  WHERE r <= $PqRerank)
+       |SELECT q_id, n_id, cos, rank FROM (
+       |  SELECT s.q_id, s.n_id, $finalCos AS cos,
+       |    CAST(row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY $finalCos DESC, s.n_id) AS INTEGER) AS rank
+       |  FROM rsel s JOIN c q ON q.vec_id = s.q_id
+       |  JOIN c n ON n.vec_id = s.n_id) t
+       |WHERE rank <= $K""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s1_cosine_topk", bruteTopK, Some(bruteTopKSql), bench = true),
     QueryDef("s2_ann_lsh", lshTopK, Some(lshTopKSql), bench = true),
@@ -392,5 +499,6 @@ object SimilarityQueries {
     QueryDef("s5_ann_ivf_hier", ivfHier, Some(ivfHierSql), bench = true),
     QueryDef("s6_ann_pq_adc", pqTopK, Some(pqTopKSql), bench = true),
     QueryDef("s7_ann_pq_asset", pqAsset, Some(pqAssetSql), bench = true),
+    QueryDef("s8_ann_ivfadc", ivfadc, Some(ivfadcSql), bench = true),
   )
 }

@@ -46,6 +46,26 @@ object PqTune {
       println(String.format(java.util.Locale.ROOT,
         "| %d | %d | %d | %.3f | %.2f |", m, ks, rr, recall, sec))
     }
+    // IVFADC at the shipped s8 geometry: residual quantization should
+    // buy back recall at a QUARTER of s6's code budget (8×16 vs 8×64),
+    // while the cell probe prunes the scan nProbe/nCells-fold
+    import graft.operators.SimilarityQueries.{AdcCells, AdcCoarseIters, AdcKs, AdcProbe}
+    println("| ivfadc nProbe | rerank | recall@k | sec |")
+    println("|---|---|---|---|")
+    for ((np, rr) <- Seq((2, 10), (2, 20), (2, 50), (2, 100),
+                         (3, 50), (4, 50), (4, 100))) {
+      val q = graft.api.Similarity.ivfadcTopK(
+        emb, queries, "vec_id", "embedding", K,
+        AdcCells, AdcCoarseIters, 8, AdcKs, PqIters, np, rr)
+      val t0 = System.nanoTime()
+      val got = q.select("q_id", "n_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = if (truth.isEmpty) 1.0
+        else got.intersect(truth).size.toDouble / truth.size
+      println(String.format(java.util.Locale.ROOT,
+        "| %d | %d | %.3f | %.2f |", np, rr, recall, sec))
+    }
     spark.stop()
   }
 }

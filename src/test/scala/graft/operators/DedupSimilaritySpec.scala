@@ -377,6 +377,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"PQ recall@5 only $recall")
   }
 
+  test("ivfadc: shipped geometry recalls most exact neighbors; every returned cosine is exact") {
+    import graft.operators.SimilarityQueries._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).groupBy(_._1)
+    val exact = topSets(graft.api.Similarity.cosineTopK(
+      emb, queries, "vec_id", "embedding", 5))
+    val adc = topSets(graft.api.Similarity.ivfadcTopK(
+      emb, queries, "vec_id", "embedding", 5,
+      AdcCells, AdcCoarseIters, PqM, AdcKs, PqIters, AdcProbe, PqRerank))
+    // recall floor (tools/PqTune measures 0.88 at sf0.01 at this
+    // geometry; the probe ceiling is the documented IVF knob)
+    val recall = exact.map { case (q, ns) =>
+      val got = adc.getOrElse(q, Array.empty).map(_._2).toSet
+      ns.map(_._2).count(got).toDouble / ns.size
+    }.sum / exact.size
+    assert(recall >= 0.7, s"IVFADC recall@5 only $recall")
+    // within the returned rows, cosines are EXACT — identical to the
+    // brute-force values for every (q, n) the two result sets share
+    val exactCos = exact.values.flatten.map(t => (t._1, t._2) -> t._3).toMap
+    adc.values.flatten.foreach { case (q, n, cos) =>
+      exactCos.get((q, n)).foreach(e => assert(e == cos,
+        s"re-ranked cosine for ($q,$n) differs from exact: $cos vs $e"))
+    }
+  }
+
   test("pq index asset: persisted codes + frozen books answer identically to the in-memory path") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val corpus = emb.filter(col("vec_id") % 10 =!= 0)
