@@ -49,7 +49,7 @@ object PqTune {
     // IVFADC at the shipped s8 geometry: residual quantization should
     // buy back recall at a QUARTER of s6's code budget (8×16 vs 8×64),
     // while the cell probe prunes the scan nProbe/nCells-fold
-    import graft.operators.SimilarityQueries.{AdcCells, AdcCoarseIters, AdcKs, AdcProbe}
+    import graft.operators.SimilarityQueries.{AdcCells, AdcCoarseIters, AdcKs}
     println("| ivfadc nProbe | rerank | recall@k | sec |")
     println("|---|---|---|---|")
     for ((np, rr) <- Seq((2, 10), (2, 20), (2, 50), (2, 100),
