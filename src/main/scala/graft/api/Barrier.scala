@@ -102,4 +102,26 @@ object Barrier {
     * and there is nothing to release under `none`. */
   def release(df: DataFrame): Unit =
     if (df.storageLevel != StorageLevel.NONE) { df.unpersist(false); () }
+
+  /** Run `body` on THIS thread and return its result plus every
+    * barrier it created — the seam for operators that fan work out to
+    * OTHER threads (concurrent Spark job submission): the scope stack
+    * is a ThreadLocal, so a barrier created on a pool thread would
+    * otherwise escape the caller's [[scoped]] block and, under
+    * `persist` mode, stay cached forever. The fan-out caller wraps
+    * each task body in `collecting`, then [[adopt]]s the returned
+    * frames into its own scope (see
+    * [[graft.api.Similarity.pqTrain]]). */
+  def collecting[T](body: => T): (T, Seq[DataFrame]) = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    scopeStack.set(buf :: scopeStack.get)
+    try { val r = body; (r, buf.toList) }
+    finally scopeStack.set(scopeStack.get.tail)
+  }
+
+  /** Register an already-materialized barrier into the CURRENT
+    * thread's innermost scope (no-op outside any scope) — the
+    * receiving half of [[collecting]]. */
+  def adopt(df: DataFrame): Unit =
+    scopeStack.get.headOption.foreach(_ += df)
 }

@@ -320,17 +320,24 @@ object Similarity {
     // driver-submitted jobs so wall-clock is one chain, not m chains.
     // Each job is small; the executor pool interleaves them. Output
     // order is fixed by the union below regardless of completion order.
+    // Barrier.collecting/adopt hands each pool thread's barriers back
+    // to THIS thread's scope — without it a caller's Barrier.scoped
+    // (e.g. a streaming seeding step under `persist` mode) could never
+    // release the training intermediates (scope stacks are per-thread).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val books = (0 until m).map { s => Future {
-      val sliced = Barrier(base.select(col("vec_id"),
-        slice(col("embedding"), s * d + 1, d).as("embedding")))
-      val book = kmeansLoopL2(sliced,
-        sliced.filter(col("vec_id") < ks), iters)
-      book.select(lit(s).as("m"), col("cent_id").as("code_id"), col("c_emb"))
+    val results = (0 until m).map { s => Future {
+      Barrier.collecting {
+        val sliced = Barrier(base.select(col("vec_id"),
+          slice(col("embedding"), s * d + 1, d).as("embedding")))
+        val book = kmeansLoopL2(sliced,
+          sliced.filter(col("vec_id") < ks), iters)
+        book.select(lit(s).as("m"), col("cent_id").as("code_id"), col("c_emb"))
+      }
     }}.map(Await.result(_, Duration.Inf))
-    books.reduce(_ union _)
+    results.foreach(_._2.foreach(Barrier.adopt))
+    results.map(_._1).reduce(_ union _)
   }
 
   /** L2 Lloyd loop over (vec_id, embedding) frames: argmin-L2 assign

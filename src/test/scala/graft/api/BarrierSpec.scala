@@ -54,6 +54,25 @@ class BarrierSpec extends AnyFunSuite with SparkSpec {
       assert(withMode(m)(run()) == base, s"mode $m diverged from localCheckpoint")
   }
 
+  test("persist-mode scoped pqTrain releases the pool-thread barriers (collecting/adopt)") {
+    // pqTrain submits its m sub-quantizer trainings from pool threads;
+    // the scope stack is a ThreadLocal, so without Barrier.collecting +
+    // adopt the per-thread barriers would escape the caller's scoped
+    // block and stay cached forever under persist mode (the FaaS
+    // deployment's barrier mode — a streaming seeding step would leak
+    // one cached frame per subspace per round)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    withMode("persist") {
+      val before = spark.sparkContext.getPersistentRDDs.size
+      Barrier.scoped {
+        Similarity.pqTrain(emb, "vec_id", "embedding", 4, 8, 2).collect()
+      }
+      val after = spark.sparkContext.getPersistentRDDs.size
+      assert(after - before == 0,
+        s"leaked ${after - before} cached barriers past the scope")
+    }
+  }
+
   test("persist-mode fixpoints release per-round barriers (no cache leak)") {
     import spark.implicits._
     // a 7-node chain forces ~6 label-propagation rounds; without
