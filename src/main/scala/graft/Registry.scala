@@ -13,6 +13,7 @@ object Registry {
       operators.TemporalQueries.all ++
       operators.PipelineQueries.all ++
       operators.SamplingQueries.all ++
+      operators.ExportQueries.all ++
       operators.TypedQueries.all ++
       multimodal.Multimodal.all ++
       mr.MRQueries.all

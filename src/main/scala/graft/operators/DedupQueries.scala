@@ -109,11 +109,15 @@ object DedupQueries {
   // round, diameter-bounded rounds — see Dedup.duplicateGroups); the
   // oracle computes the same fixpoint as a DuckDB recursive CTE over
   // the shared band-candidate chain.
-  private def dupGroups(s: SparkSession, dir: String): DataFrame =
+  private[operators] def dupGroups(s: SparkSession, dir: String): DataFrame =
     graft.api.Dedup.duplicateGroups(minhashLsh(s, dir), "doc_a", "doc_b")
 
-  private val dupGroupsSql =
-    s"""WITH RECURSIVE ${bandCtes(DD3Bands, DD3Rows)},
+  /** dd6's full oracle chain as CTE text ending in a `groups(doc_id,
+    * group_id)` CTE — shared with the export-survivor oracles (ex4/p5),
+    * which extend the chain instead of restating the fixpoint. Must be
+    * prefixed `WITH RECURSIVE`. */
+  private[operators] val dupGroupsCtes: String =
+    s"""${bandCtes(DD3Bands, DD3Rows)},
        |pairs AS (SELECT doc_a, doc_b FROM cand WHERE jac >= 0.8),
        |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
        |       UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -121,8 +125,12 @@ object DedupQueries {
        |reach AS (
        |  SELECT v, v AS r FROM verts
        |  UNION
-       |  SELECT reach.v, e.b AS r FROM reach JOIN ed e ON reach.r = e.a)
-       |SELECT v AS doc_id, MIN(r) AS group_id FROM reach GROUP BY v""".stripMargin
+       |  SELECT reach.v, e.b AS r FROM reach JOIN ed e ON reach.r = e.a),
+       |groups AS (SELECT v AS doc_id, MIN(r) AS group_id FROM reach GROUP BY v)""".stripMargin
+
+  private val dupGroupsSql =
+    s"""WITH RECURSIVE $dupGroupsCtes
+       |SELECT doc_id, group_id FROM groups""".stripMargin
 
   // -- dd7: incremental dedup — increment vs existing corpus ------------
   // The daily-pipeline verb the batch-global variants (dd1–dd6) lack:

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.api.Export
+import graft.functions.TextFunctions.tokenCount
+
+/** Training-data export fixture queries over [[graft.api.Export]] —
+  * the last-mile verbs after curation has chosen a keep-set:
+  * deterministic global shuffle, token-aware sequence packing,
+  * round-robin sharding, and quality-ranked duplicate-group survivor
+  * selection. No reference analogue (north-star extension; SURVEY.md
+  * §2.3 pipeline charter).
+  *
+  * Oracle strategy: the Spark side computes positions with the
+  * distributed two-phase prefix sum (see Export's scaladoc — no
+  * unpartitioned data-sized window anywhere); the DuckDB oracle uses
+  * the naive global `row_number()/SUM() OVER (ORDER BY key, id)`
+  * window — an INDEPENDENT formulation of the same total order, so a
+  * hash-match certifies the two-phase decomposition, not just the
+  * arithmetic. The order key is the Sampling scramble congruence —
+  * exact BIGINT in both engines, ties broken by doc_id.
+  */
+object ExportQueries {
+
+  private val Seed = 42L
+  private val Shift = 18
+  private val SeqLen = 256L
+  private val NShards = 16
+
+  private val keySql = Export.shuffleKeySql("doc_id", Seed)
+
+  /** Whitespace token count — the ds2/t3 twin pair (Spark
+    * [[tokenCount]] vs this DuckDB fragment). */
+  private val tokenCountSql =
+    """CAST(CASE WHEN trim(text) = '' THEN 0
+      |     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)"""
+      .stripMargin
+
+  // -- ex1: deterministic global shuffle + round-robin sharding ---------
+  private def globalShuffle(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val p = Export.globalPositions(docs, "doc_id", Seed, Shift)
+    val (shard, shardPos) = Export.roundRobinShard(col("pos"), NShards)
+    p.select(col("doc_id"), col("pos"),
+      shard.as("shard"), shardPos.as("shard_pos"))
+  }
+
+  private val globalShuffleSql =
+    s"""WITH k AS (SELECT doc_id, $keySql AS k FROM documents),
+       |p AS (SELECT doc_id,
+       |        CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) - 1 AS pos
+       |      FROM k)
+       |SELECT doc_id, pos, pos % $NShards AS shard,
+       |  CAST((pos - (pos % $NShards)) / $NShards AS BIGINT) AS shard_pos
+       |FROM p""".stripMargin
+
+  // -- ex2: concat-then-chunk sequence packing --------------------------
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+    Export.packSequences(docs, "doc_id", "n_tokens", Seed, SeqLen, Shift)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        col("seq_id"), col("seq_off"))
+  }
+
+  private val packSequencesSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, $tokenCountSql AS n_tokens FROM documents),
+       |k AS (SELECT doc_id, n_tokens, $keySql AS k FROM d),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM k)
+       |SELECT doc_id, n_tokens, cum_before,
+       |  CAST((cum_before - (cum_before % $SeqLen)) / $SeqLen AS BIGINT) AS seq_id,
+       |  cum_before % $SeqLen AS seq_off
+       |FROM c""".stripMargin
+
+  // -- ex3: shard manifest ----------------------------------------------
+  // What a training launch actually consumes: per-shard doc/token/byte
+  // totals of the shuffled corpus. Round-robin over the shuffled order
+  // makes every shard a uniform corpus sample; the manifest's token
+  // balance (pinned in ExportSpec) is the measurable consequence.
+  private def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+    val p = Export.globalPositions(docs, "doc_id", Seed, Shift)
+    val (shard, _) = Export.roundRobinShard(col("pos"), NShards)
+    p.withColumn("shard", shard)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+  }
+
+  private val shardManifestSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars, $tokenCountSql AS n_tokens FROM documents),
+       |k AS (SELECT doc_id, n_chars, n_tokens, $keySql AS k FROM d),
+       |p AS (SELECT doc_id, n_chars, n_tokens,
+       |        CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) - 1 AS pos
+       |      FROM k)
+       |SELECT pos % $NShards AS shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |FROM p GROUP BY 1""".stripMargin
+
+  // -- ex4: quality-ranked duplicate-group survivors --------------------
+  // dd6 says WHICH docs are near-duplicates of each other; the curation
+  // decision is WHICH COPY to keep. min-id (dd1/p1's rule) is arbitrary;
+  // the standard policy keeps the highest-quality member. Survivor =
+  // argmax t3 quality_score per dd6 group, ties to the lowest doc_id.
+  // Groups are near-dup-sized (small), so the rank window shuffles slim
+  // (group_id, doc_id, score) rows only — corpus text never moves.
+  private def bestOfGroup(s: SparkSession, dir: String): DataFrame = {
+    val g = DedupQueries.dupGroups(s, dir)
+    val q = TextQueries.quality(s, dir).select(col("doc_id"), col("quality_score"))
+    val wRank = Window.partitionBy(col("group_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val wGrp = Window.partitionBy(col("group_id"))
+    g.join(q, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(wGrp))
+      .withColumn("_rk", row_number().over(wRank))
+      .filter(col("_rk") === 1)
+      .select(col("group_id"), col("doc_id").as("survivor_id"),
+        col("quality_score").as("best_score"), col("n_members"))
+  }
+
+  private val bestOfGroupSql =
+    s"""WITH RECURSIVE ${DedupQueries.dupGroupsCtes},
+       |q AS (${TextQueries.qualitySql}),
+       |j AS (
+       |  SELECT g.group_id, g.doc_id, q.quality_score,
+       |    COUNT(*) OVER (PARTITION BY g.group_id) AS n_members,
+       |    row_number() OVER (PARTITION BY g.group_id
+       |      ORDER BY q.quality_score DESC, g.doc_id) AS rk
+       |  FROM groups g JOIN q ON g.doc_id = q.doc_id)
+       |SELECT group_id, doc_id AS survivor_id, quality_score AS best_score,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM j WHERE rk = 1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("ex1_global_shuffle", globalShuffle, Some(globalShuffleSql)),
+    QueryDef("ex2_pack_sequences", packSequences, Some(packSequencesSql), bench = true),
+    QueryDef("ex3_shard_manifest", shardManifest, Some(shardManifestSql)),
+    QueryDef("ex4_best_of_group", bestOfGroup, Some(bestOfGroupSql), bench = true),
+  )
+}

@@ -94,7 +94,7 @@ object TextQueries {
   // -- quality scoring --------------------------------------------------
   // score = 0.5*alpha_ratio + 0.3*min(n_tokens/100, 1) + 0.2*min(10*stop_density, 1)
   // computed with an identical IEEE op sequence in both engines.
-  private def quality(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def quality(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val nTok = tokenCount(col("text"))
     val alpha = alphaRatio(col("text"))
@@ -107,7 +107,7 @@ object TextQueries {
       score.as("quality_score"))
   }
 
-  private val qualitySql: String = {
+  private[operators] val qualitySql: String = {
     val nTok =
       """CASE WHEN trim(text) = '' THEN 0
         |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) END"""
