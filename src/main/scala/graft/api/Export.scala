@@ -135,14 +135,39 @@ object Export {
       .orderBy(col(KeyCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = col(OffCol) + sum(checked).over(wCum) - checked
-    // floor-div by construction: (cum - cum % L) is an exact multiple
-    // of L, so the double division is exact and the cast is lossless
-    k.join(broadcast(offsets), BucketCol)
-      .withColumn("cum_before", cum)
-      .withColumn("seq_id",
-        ((col("cum_before") - col("cum_before") % seqLen) / seqLen).cast("long"))
-      .withColumn("seq_off", col("cum_before") % seqLen)
+    addSeqCols(
+      k.join(broadcast(offsets), BucketCol).withColumn("cum_before", cum),
+      seqLen)
       .drop(KeyCol, BucketCol, OffCol)
+  }
+
+  /** seq_id/seq_off from an existing nonneg `cum_before`. Floor-div by
+    * construction: (cum - cum % L) is an exact multiple of L, so the
+    * double division is exact and the cast is lossless. */
+  private def addSeqCols(df: DataFrame, seqLen: Long): DataFrame = df
+    .withColumn("seq_id",
+      ((col("cum_before") - col("cum_before") % seqLen) / seqLen).cast("long"))
+    .withColumn("seq_off", col("cum_before") % seqLen)
+
+  /** Incremental packing — the daily verb: pack an INCREMENT after an
+    * already-packed corpus, without touching it. `base` is a 1-row
+    * frame holding the corpus's total token count (column
+    * `base_tokens`); the increment is shuffled among itself and its
+    * token layout continues where the corpus ended, so corpus
+    * sequences are never rewritten (append-only export, the dd7/p4p
+    * asset discipline applied to packing). Work is Θ(increment) plus
+    * the broadcast of one row. */
+  def packSequencesAfter(inc: DataFrame, idCol: String, tokensCol: String,
+      base: DataFrame, seed: Long, seqLen: Long, shift: Int = 18): DataFrame = {
+    require(base.columns.contains("base_tokens"),
+      "base must carry a base_tokens column (1-row corpus token total)")
+    val packed = packSequences(inc, idCol, tokensCol, seed, seqLen, shift)
+      .drop("seq_id", "seq_off")
+    addSeqCols(
+      packed.crossJoin(broadcast(base.select(col("base_tokens"))))
+        .withColumn("cum_before", col("cum_before") + col("base_tokens"))
+        .drop("base_tokens"),
+      seqLen)
   }
 
   /** Round-robin shard of a 0-based position: (pos % n, pos div n).

@@ -116,15 +116,21 @@ object ExportQueries {
   // argmax t3 quality_score per dd6 group, ties to the lowest doc_id.
   // Groups are near-dup-sized (small), so the rank window shuffles slim
   // (group_id, doc_id, score) rows only — corpus text never moves.
-  private def bestOfGroup(s: SparkSession, dir: String): DataFrame = {
+  /** dd6 group members ranked by quality (rank 1 = the survivor) —
+    * shared by ex4 (survivor report) and p5 (loser removal). */
+  private def rankedMembers(s: SparkSession, dir: String): DataFrame = {
     val g = DedupQueries.dupGroups(s, dir)
     val q = TextQueries.quality(s, dir).select(col("doc_id"), col("quality_score"))
     val wRank = Window.partitionBy(col("group_id"))
       .orderBy(col("quality_score").desc, col("doc_id"))
-    val wGrp = Window.partitionBy(col("group_id"))
     g.join(q, "doc_id")
-      .withColumn("n_members", count(lit(1)).over(wGrp))
       .withColumn("_rk", row_number().over(wRank))
+  }
+
+  private def bestOfGroup(s: SparkSession, dir: String): DataFrame = {
+    val wGrp = Window.partitionBy(col("group_id"))
+    rankedMembers(s, dir)
+      .withColumn("n_members", count(lit(1)).over(wGrp))
       .filter(col("_rk") === 1)
       .select(col("group_id"), col("doc_id").as("survivor_id"),
         col("quality_score").as("best_score"), col("n_members"))
@@ -143,10 +149,90 @@ object ExportQueries {
        |  CAST(n_members AS BIGINT) AS n_members
        |FROM j WHERE rk = 1""".stripMargin
 
+  // -- ex5: incremental packing — the daily export verb ------------------
+  // A day's intake is packed AFTER the frozen corpus layout (the dd7/
+  // p4p asset discipline applied to export): the increment shuffles
+  // among itself, its token layout continues at the corpus total, and
+  // no corpus sequence is ever rewritten. Work is Θ(increment) + one
+  // broadcast row; the oracle replays the same continuation via a
+  // scalar subquery.
+  private def packIncrement(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+    val base = d.filter(col("doc_id") % DedupQueries.IncMod =!= 0)
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("base_tokens"))
+    val inc = d.filter(col("doc_id") % DedupQueries.IncMod === 0)
+    Export.packSequencesAfter(inc, "doc_id", "n_tokens", base, Seed, SeqLen, Shift)
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        col("seq_id"), col("seq_off"))
+  }
+
+  private val packIncrementSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, $tokenCountSql AS n_tokens FROM documents),
+       |base AS (
+       |  SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS bt
+       |  FROM d WHERE doc_id % ${DedupQueries.IncMod} <> 0),
+       |k AS (SELECT doc_id, n_tokens, $keySql AS k FROM d
+       |      WHERE doc_id % ${DedupQueries.IncMod} = 0),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      + (SELECT bt FROM base) AS cum_before
+       |  FROM k)
+       |SELECT doc_id, n_tokens, cum_before,
+       |  CAST((cum_before - (cum_before % $SeqLen)) / $SeqLen AS BIGINT) AS seq_id,
+       |  cum_before % $SeqLen AS seq_off
+       |FROM c""".stripMargin
+
+  // -- p5: the composed export capstone ---------------------------------
+  // clean (drop every dup-group member that is not its group's
+  // quality survivor) → deterministic shuffle → sequence packing →
+  // per-sequence manifest (docs starting in each training sequence,
+  // their token mass). The whole curation-to-export tail in one plan:
+  // the loser set rides slim rows into a corpus-sized anti-join (p1's
+  // AQE-converts-to-broadcast shape), then the two-phase prefix sum
+  // lays out survivors.
+  private def exportManifest(s: SparkSession, dir: String): DataFrame = {
+    val losers = rankedMembers(s, dir).filter(col("_rk") > 1).select(col("doc_id"))
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+    val keep = d.join(losers, Seq("doc_id"), "leftanti")
+    Export.packSequences(keep, "doc_id", "n_tokens", Seed, SeqLen, Shift)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  private val exportManifestSql =
+    s"""WITH RECURSIVE ${DedupQueries.dupGroupsCtes},
+       |q AS (${TextQueries.qualitySql}),
+       |rkd AS (
+       |  SELECT g.doc_id, row_number() OVER (PARTITION BY g.group_id
+       |      ORDER BY q.quality_score DESC, g.doc_id) AS rnk
+       |  FROM groups g JOIN q ON g.doc_id = q.doc_id),
+       |losers AS (SELECT doc_id FROM rkd WHERE rnk > 1),
+       |d AS (
+       |  SELECT doc_id, $tokenCountSql AS n_tokens FROM documents dd
+       |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = dd.doc_id)),
+       |k AS (SELECT doc_id, n_tokens, $keySql AS k FROM d),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM k)
+       |SELECT CAST((cum_before - (cum_before % $SeqLen)) / $SeqLen AS BIGINT)
+       |    AS seq_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("ex1_global_shuffle", globalShuffle, Some(globalShuffleSql)),
     QueryDef("ex2_pack_sequences", packSequences, Some(packSequencesSql), bench = true),
     QueryDef("ex3_shard_manifest", shardManifest, Some(shardManifestSql)),
     QueryDef("ex4_best_of_group", bestOfGroup, Some(bestOfGroupSql), bench = true),
+    QueryDef("ex5_pack_increment", packIncrement, Some(packIncrementSql)),
+    QueryDef("p5_export_manifest", exportManifest, Some(exportManifestSql), bench = true),
   )
 }

@@ -84,6 +84,24 @@ class ExportSpec extends AnyFunSuite with SparkSpec {
     assert(two.exceptAll(naive).isEmpty && naive.exceptAll(two).isEmpty)
   }
 
+  test("packSequencesAfter continues exactly where the corpus ends") {
+    val corpus = toks.filter(col("doc_id") % 10 =!= 0)
+    val inc = toks.filter(col("doc_id") % 10 === 0)
+    val base = corpus.agg(coalesce(sum("n_tokens"), lit(0L)).as("base_tokens"))
+    val baseTotal = base.head.getLong(0)
+    val rows = Export.packSequencesAfter(inc, "doc_id", "n_tokens", base, 7L, 128L)
+      .select(col("cum_before"), col("n_tokens")).collect()
+    // the increment's layout starts at the corpus total and covers
+    // exactly [baseTotal, baseTotal + incTokens) — no gap, no overlap
+    assert(rows.map(_.getLong(0)).min == baseTotal)
+    val incTotal = inc.agg(sum("n_tokens")).head.getLong(0)
+    assert(rows.map(r => r.getLong(0) + r.getLong(1)).max == baseTotal + incTotal)
+    // and the corpus's own packing lives strictly below the boundary
+    val corpusMax = Export.packSequences(corpus, "doc_id", "n_tokens", 7L, 128L)
+      .agg(max(col("cum_before") + col("n_tokens"))).head.getLong(0)
+    assert(corpusMax == baseTotal)
+  }
+
   test("roundRobinShard balances to within one row") {
     val p = Export.globalPositions(docs, "doc_id", 7L)
     val (shard, shardPos) = Export.roundRobinShard(col("pos"), 7)
