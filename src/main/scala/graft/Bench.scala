@@ -37,6 +37,21 @@ object Bench {
   private[graft] val HeavySec = 3.0
   private[graft] val MinHeavyPasses = 3
 
+  /** The timing action: materialize EVERY output row through Spark's
+    * noop sink. A bare `count()` lets Catalyst prune per-row work the
+    * count doesn't need — unreferenced Window/Project towers vanish
+    * wholesale (a counted ex1_global_shuffle plan degenerates to a
+    * parquet row-count with both prefix-sum windows deleted; a counted
+    * t3_quality to a bare scan), so projection-shaped queries were
+    * under-measured through round 12's first bench. Aggregate/join
+    * shaped queries are unaffected (their row count depends on the
+    * full computation). The noop sink — Spark's standard benchmarking
+    * sink — executes the complete plan and iterates every row without
+    * writing anything. Shared by Bench and ScaleProbe so the two
+    * measurement mains cannot drift on what "ran the query" means. */
+  private[graft] def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   /** `SPARK_GRAFT_SHUFFLE_DIR=<uri>` switches the session to the
     * object-store shuffle (`GraftShuffleManager`) instead of
     * local-disk sort shuffle — the deployment-shaped configuration.
@@ -181,7 +196,7 @@ object Bench {
     // Pass 1: cold, at the target SF (doubles as the warmup for pass 2).
     val cold = SparkEntry.benchQueries.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count(); (name, (System.nanoTime() - t0) / 1e9) }
+      try { materialize(SparkEntry.queries(name)(spark, sfDir)); (name, (System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => (name, -1.0) } // failure surfaces in the warm pass
     }
 
@@ -192,7 +207,7 @@ object Bench {
       names.map { name =>
         val fn = SparkEntry.queries(name)
         try {
-          val (_, snap) = Metrics.track(spark)(fn(spark, sfDir).count())
+          val (_, snap) = Metrics.track(spark)(materialize(fn(spark, sfDir)))
           name -> ((snap.wallClockSec,
             math.max(snap.bytesRead, snap.fsBytesRead),
             snap.shuffleBytesWritten, snap.fsBytesRead))

@@ -267,7 +267,7 @@ object ScaleProbe {
     def time(name: String, dir: String): Double = {
       val fn = ExtraProbes.getOrElse(name, graft.Registry.queries(name))
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      graft.Bench.materialize(fn(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }
     // Bench's failure convention: a crashed query records -1.0 instead
