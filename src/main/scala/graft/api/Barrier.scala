@@ -116,6 +116,12 @@ object Barrier {
     val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     scopeStack.set(buf :: scopeStack.get)
     try { val r = body; (r, buf.toList) }
+    catch {
+      // On failure nobody will ever adopt buf's frames — release them
+      // here or they stay cached forever under `persist` mode (the
+      // exact leak collecting exists to prevent, on the error path).
+      case e: Throwable => buf.foreach(release); throw e
+    }
     finally scopeStack.set(scopeStack.get.tail)
   }
 

@@ -517,12 +517,17 @@ object Dedup {
       .withColumn("r", row_number().over(w))
       .filter(col("r") === 1)
       .select(col("vec_id"))
-    // groups/keepers are pair-bounded (tiny next to the corpus): both
-    // anti/semi sides broadcast, so the corpus streams through once.
-    assigned.join(broadcast(groups),
+    // NO broadcast hint on groups/keepers: SemDeDup prunes up to ~50%
+    // of a web corpus, so group membership scales with the corpus dup
+    // rate — a forced broadcast of an O(corpus)-row frame would OOM at
+    // the 100 TB scale this file targets. A shuffled anti/semi join on
+    // vec_id is safe at any dup rate, and AQE converts it to broadcast
+    // at runtime when the side measures small (the p1/p2 pattern,
+    // PLANS.md "AQE final plans").
+    assigned.join(groups,
         assigned("vec_id") === groups("doc_id"), "left_anti")
       .select(col("vec_id"), col("cent_id"))
-      .union(assigned.join(broadcast(keepers), Seq("vec_id"))
+      .union(assigned.join(keepers, Seq("vec_id"))
         .select(col("vec_id"), col("cent_id")))
   }
 

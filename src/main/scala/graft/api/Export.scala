@@ -141,12 +141,12 @@ object Export {
       .drop(KeyCol, BucketCol, OffCol)
   }
 
-  /** seq_id/seq_off from an existing nonneg `cum_before`. Floor-div by
-    * construction: (cum - cum % L) is an exact multiple of L, so the
-    * double division is exact and the cast is lossless. */
+  /** seq_id/seq_off from an existing nonneg `cum_before`. Integer
+    * `div` keeps the whole computation in BIGINT congruence arithmetic
+    * — Spark's `/` is double-valued and would lose exactness past
+    * 2^53 total tokens, a reachable number for a 100 TB corpus. */
   private def addSeqCols(df: DataFrame, seqLen: Long): DataFrame = df
-    .withColumn("seq_id",
-      ((col("cum_before") - col("cum_before") % seqLen) / seqLen).cast("long"))
+    .withColumn("seq_id", expr(s"cum_before div ${seqLen}L"))
     .withColumn("seq_off", col("cum_before") % seqLen)
 
   /** Incremental packing — the daily verb: pack an INCREMENT after an
@@ -177,8 +177,8 @@ object Export {
   def roundRobinShard(pos: Column, nShards: Int): (Column, Column) = {
     require(nShards > 0, s"nShards must be > 0, got $nShards")
     val shard = pos % nShards
-    // exact-multiple division, same argument as packSequences.seq_id
-    val shardPos = ((pos - shard) / nShards).cast("long")
+    // integer div, not double `/`: exact for any BIGINT position
+    val shardPos = call_function("div", pos, lit(nShards.toLong))
     (shard, shardPos)
   }
 }

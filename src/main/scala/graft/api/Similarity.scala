@@ -327,7 +327,7 @@ object Similarity {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val results = (0 until m).map { s => Future {
+    val futures = (0 until m).map { s => Future {
       Barrier.collecting {
         val sliced = Barrier(base.select(col("vec_id"),
           slice(col("embedding"), s * d + 1, d).as("embedding")))
@@ -335,7 +335,22 @@ object Similarity {
           sliced.filter(col("vec_id") < ks), iters)
         book.select(lit(s).as("m"), col("cent_id").as("code_id"), col("c_emb"))
       }
-    }}.map(Await.result(_, Duration.Inf))
+    }}
+    // Settle EVERY future before inspecting failures: if one subspace
+    // throws, the siblings that completed have collected frames nobody
+    // will adopt — release them before rethrowing, or `persist` mode
+    // leaks one cached frame per completed subspace (the failing
+    // thread's own frames are released inside collecting itself).
+    val settled = futures.map(f =>
+      scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.collectFirst { case scala.util.Failure(e) => e }.foreach { e =>
+      settled.foreach {
+        case scala.util.Success((_, frames)) => frames.foreach(Barrier.release)
+        case _ => ()
+      }
+      throw e
+    }
+    val results = settled.map(_.get)
     results.foreach(_._2.foreach(Barrier.adopt))
     results.map(_._1).reduce(_ union _)
   }

@@ -79,10 +79,12 @@ class LocalProcessFaasClient extends FaasClient {
     * then never place a straggler's copy. All 127.0.0.0/8 addresses
     * bind on Linux loopback, so executor↔executor block transfers keep
     * working. Octet collisions just co-host two invocations — benign. */
-  private def sandboxHost(executorId: String): String = {
+  private[lambda] def sandboxHost(executorId: String): String = {
     val digits = executorId.filter(_.isDigit)
+    // floorMod, not math.abs: abs(Int.MinValue) is still negative and
+    // would produce a malformed octet for a pathological hashCode.
     val n = if (digits.nonEmpty && digits.length <= 6) digits.toLong
-            else math.abs(executorId.hashCode).toLong
+            else java.lang.Math.floorMod(executorId.hashCode.toLong, 250L)
     s"127.0.0.${1 + (n % 250)}"
   }
 

@@ -73,6 +73,26 @@ class BarrierSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("collecting releases its barriers when the body throws (persist mode)") {
+    // On the error path nobody will ever adopt the collected frames:
+    // without the catch-release, a failed pool-thread task under
+    // persist mode leaks every barrier it created before the throw —
+    // the exact leak collecting exists to prevent, just on failure.
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    withMode("persist") {
+      val before = spark.sparkContext.getPersistentRDDs.size
+      intercept[RuntimeException] {
+        Barrier.collecting {
+          Barrier(docs.select("doc_id")) // materializes + registers
+          throw new RuntimeException("subspace failed")
+        }
+      }
+      val after = spark.sparkContext.getPersistentRDDs.size
+      assert(after - before == 0,
+        s"leaked ${after - before} cached barriers on the error path")
+    }
+  }
+
   test("persist-mode fixpoints release per-round barriers (no cache leak)") {
     import spark.implicits._
     // a 7-node chain forces ~6 label-propagation rounds; without

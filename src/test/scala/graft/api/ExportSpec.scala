@@ -123,6 +123,29 @@ class ExportSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("pos"))
   }
 
+  test("seq/shard arithmetic stays exact past 2^53 (BIGINT, not double)") {
+    // A 100 TB corpus can pass 2^53 total tokens; double-valued `/`
+    // rounds there and silently mis-shards/mis-sequences. Pin the
+    // integer-div forms on positions around and beyond 2^53.
+    val big = (0L to 4L).map(i => (1L << 53) + i * 3 - 1)
+    val df = spark.createDataFrame(big.map(Tuple1(_))).toDF("pos")
+    val (shard, shardPos) = Export.roundRobinShard(col("pos"), 7)
+    val got = df.select(col("pos"), shard.as("s"), shardPos.as("sp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (pos, s, sp) =>
+      assert(s == pos % 7 && sp == pos / 7, s"mis-shard at $pos: ($s, $sp)")
+    }
+    // and seq_id/seq_off over a base_tokens beyond 2^53
+    import spark.implicits._
+    val base = Seq((1L << 53) + 11L).toDF("base_tokens")
+    val inc = Seq((1L, 100L)).toDF("doc_id", "n_tokens")
+    val row = Export.packSequencesAfter(inc, "doc_id", "n_tokens", base, 1L, 128L)
+      .select("cum_before", "seq_id", "seq_off").head
+    val cum = row.getLong(0)
+    assert(cum == (1L << 53) + 11L)
+    assert(row.getLong(1) == cum / 128L && row.getLong(2) == cum % 128L)
+  }
+
   test("packSequences fails loud on negative token counts") {
     val df = spark.createDataFrame(Seq((1L, 5L), (2L, -3L)))
       .toDF("id", "nt")

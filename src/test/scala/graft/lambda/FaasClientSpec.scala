@@ -58,4 +58,22 @@ class FaasClientSpec extends AnyFunSuite {
     for (f <- Seq("AppID", "ExecutorID", "DriverURL", "Cores", "MemoryMB", "LeaseSeconds"))
       assert(json.contains("\"" + f + "\""), s"missing field $f in $json")
   }
+
+  test("sandboxHost yields a valid loopback octet for every id shape") {
+    val c = new LocalProcessFaasClient
+    val octet = "^127\\.0\\.0\\.(\\d+)$".r
+    // The pathological case: math.abs(Int.MinValue) == Int.MinValue, so
+    // the pre-fix fallback produced '127.0.0.-…' for an id hashing to
+    // Int.MinValue. "polygenelubricants" is the canonical such string.
+    val minId = "polygenelubricants"
+    assert(minId.hashCode == Int.MinValue) // fixture self-check
+    for (id <- Seq(minId, "7", "1234567890", "exec-42", "", "no-digits-at-all")) {
+      val host = c.sandboxHost(id)
+      host match {
+        case octet(o) =>
+          assert(o.toInt >= 1 && o.toInt <= 250, s"octet $o out of range for id '$id'")
+        case _ => fail(s"malformed host '$host' for id '$id'")
+      }
+    }
+  }
 }
