@@ -194,9 +194,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Pass 1: cold, at the target SF (doubles as the warmup for pass 2).
+    // Each pass runs under Barrier.scoped so its barriers release at
+    // pass end — a 46-query × N-pass session otherwise accumulates
+    // every pass's localCheckpoint blocks until GC (r13; the release
+    // cost is a few unpersist calls and is honestly inside the timing).
     val cold = SparkEntry.benchQueries.map { name =>
       val t0 = System.nanoTime()
-      try { materialize(SparkEntry.queries(name)(spark, sfDir)); (name, (System.nanoTime() - t0) / 1e9) }
+      try {
+        graft.api.Barrier.scoped(materialize(SparkEntry.queries(name)(spark, sfDir)))
+        (name, (System.nanoTime() - t0) / 1e9)
+      }
       catch { case _: Throwable => (name, -1.0) } // failure surfaces in the warm pass
     }
 
@@ -207,7 +214,8 @@ object Bench {
       names.map { name =>
         val fn = SparkEntry.queries(name)
         try {
-          val (_, snap) = Metrics.track(spark)(materialize(fn(spark, sfDir)))
+          val (_, snap) = Metrics.track(spark)(
+            graft.api.Barrier.scoped(materialize(fn(spark, sfDir))))
           name -> ((snap.wallClockSec,
             math.max(snap.bytesRead, snap.fsBytesRead),
             snap.shuffleBytesWritten, snap.fsBytesRead))

@@ -96,12 +96,23 @@ object Barrier {
   }
 
   /** Drop a barrier an iterative operator no longer reads (the
-    * previous round's labels/edges) so `persist` mode does not
-    * accumulate one cached copy per round. No-op in other modes:
-    * localCheckpoint/checkpoint blocks are reclaimed by the context,
-    * and there is nothing to release under `none`. */
+    * previous round's labels/edges) so cached copies do not
+    * accumulate. Under `persist` mode the frame itself is cached;
+    * under `localCheckpoint` the CHECKPOINTED RDD holds the blocks
+    * (the frame's own storageLevel reads NONE), and waiting for the
+    * GC-driven ContextCleaner to reclaim them let a multi-verb sf100
+    * probe session accumulate every verb's intermediates until the
+    * driver OOM'd at the default heap (r12 operational note) — so
+    * release unpersists that RDD eagerly too. `checkpoint` data lives
+    * in files, `none` has nothing to release. */
   def release(df: DataFrame): Unit =
     if (df.storageLevel != StorageLevel.NONE) { df.unpersist(false); () }
+    else df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.rdd.getStorageLevel != StorageLevel.NONE =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
 
   /** Run `body` on THIS thread and return its result plus every
     * barrier it created — the seam for operators that fan work out to

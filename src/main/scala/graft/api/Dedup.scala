@@ -492,6 +492,17 @@ object Dedup {
       Similarity.kmeansAssignHier(corpus, seeds, coarseSeeds,
         idCol, vecCol, iters, w)), threshold)
 
+  /** AUTO-SIZED [[semanticSurvivorsHier]]: the coarse table is derived
+    * inside [[Similarity.kmeansAssignHier]] at k₁ = √(w·k) — the
+    * routing cost stays √-shaped no matter how the caller grows the
+    * codebook (the sizing rule [[Similarity.coarseSizeFor]] enforces). */
+  def semanticSurvivorsHier(corpus: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String,
+      iters: Int, threshold: Double, w: Int): DataFrame =
+    semanticSurvivorsFrom(Barrier(
+      Similarity.kmeansAssignHier(corpus, seeds,
+        idCol, vecCol, iters, w)), threshold)
+
   /** The pair → components → keep-one-per-group step over an assigned
     * (vec_id, embedding, nrm, cent_id, ccos) frame (must already be
     * barriered — it feeds both sides of the pair self-join). */

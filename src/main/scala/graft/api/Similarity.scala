@@ -10,7 +10,64 @@ import graft.functions.VectorFunctions
   * ([[graft.operators.SimilarityQueries]]) are thin bindings of these.
   * Inputs: `idCol` (long), `vecCol` (array<float>). Output columns:
   * (q_id, n_id, cos, rank). */
-object Similarity {
+object Similarity extends org.apache.spark.internal.Logging {
+
+  /** Session conf governing the coarse-quantizer sizing check:
+    * `enforce` (default) throws on a k₁ outside the √ band, `warn`
+    * logs the cost model and proceeds, `off` skips the check. */
+  val HierSizingConfKey = "spark.graft.hier.sizing"
+
+  /** Max tolerated per-row routing cost as a multiple of the optimum:
+    * cost(k₁) = k₁ + w·k/k₁ is minimized at k₁* = √(w·k) where it is
+    * 2√(w·k); a ratio cap of 2 admits k₁ ∈ [≈0.27, ≈3.73]·k₁* and
+    * rejects the linearly-growing-k₁ regime whose measured decade-3
+    * exponent was 1.3 (STATUS r12 embedding tables). */
+  val HierSizingBand = 2.0
+
+  /** The cost-optimal coarse-cell count for a k-centroid codebook
+    * probed at width w: k₁* = √(w·k) (min of k₁ + w·k/k₁), which caps
+    * per-row routing work at 2√(w·k) dots — √-growth when k grows
+    * with the corpus, vs linear under k₁ ∝ k. */
+  def coarseSizeFor(k: Long, w: Int): Int =
+    math.max(1, math.round(math.sqrt(w.toDouble * k))).toInt
+
+  /** Throw (or warn, per [[HierSizingConfKey]]) when a pinned k₁ costs
+    * more than [[HierSizingBand]]× the optimal routing — the guard the
+    * r12 verdict asked for: the measured third-decade wall was
+    * "prevented only by documentation". */
+  private def validateHierSizing(k: Long, k1: Long, w: Int,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val mode = spark.conf.get(HierSizingConfKey, "enforce")
+    require(Set("enforce", "warn", "off").contains(mode),
+      s"$HierSizingConfKey must be enforce|warn|off, got '$mode'")
+    if (mode == "off" || k == 0 || k1 == 0) return
+    val actual = k1 + w.toDouble * k / k1
+    val optimal = 2.0 * math.sqrt(w.toDouble * k)
+    if (actual > HierSizingBand * optimal) {
+      val msg = f"hier routing k1=$k1 is outside the sqrt band for " +
+        f"k=$k, w=$w: per-row cost k1 + w*k/k1 = ${actual}%.0f dots vs " +
+        f"optimal 2*sqrt(w*k) = ${optimal}%.0f at k1* = " +
+        s"${coarseSizeFor(k, w)} (${f"${actual / optimal}%.1f"}x > " +
+        s"${HierSizingBand}x band). A k1 that grows linearly with k " +
+        "re-creates the n*k1 routing wall; size k1 ~ sqrt(w*k) (or use " +
+        s"the auto-sized overload), or set $HierSizingConfKey=warn|off."
+      if (mode == "warn") logWarning(msg)
+      else throw new IllegalArgumentException(msg)
+    }
+  }
+
+  /** Deterministic evenly-id-rank-spaced k₁-row subset of `seeds` —
+    * the auto-sizing path's coarse routing table. Spread (not prefix)
+    * so the coarse cells sample the seed population; tiny-frame window
+    * (seeds are k rows by contract). */
+  private def autoCoarseSeeds(seeds: DataFrame, idCol: String,
+      k1: Int, n: Long): DataFrame = {
+    val stride = math.max(1L, n / k1)
+    seeds.withColumn("_rk",
+        row_number().over(Window.orderBy(col(idCol))).cast("long") - 1)
+      .filter(col("_rk") % stride === 0 && col("_rk") / stride < k1)
+      .drop("_rk")
+  }
 
   private def normed(df: DataFrame, idCol: String, vecCol: String) = {
     VectorFunctions.register(df.sparkSession)
@@ -116,12 +173,26 @@ object Similarity {
   def kmeansCentroidsHier(corpus: DataFrame, seeds: DataFrame,
       coarseSeeds: DataFrame, idCol: String, vecCol: String,
       iters: Int, w: Int): DataFrame = {
+    validateHierSizing(seeds.count(), coarseSeeds.count(), w,
+      corpus.sparkSession)
     val coarse = normed(coarseSeeds, idCol, vecCol)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
     kmeansLoop(Barrier(normed(corpus, idCol, vecCol)),
       seeds, idCol, vecCol, iters,
-      (cc, cents) => hierAssign(cc, cents, coarse, w))
+      (cc, cents) => hierAssignImpl(cc, cents, coarse, w))
+  }
+
+  /** AUTO-SIZED [[kmeansCentroidsHier]]: derives k₁ = √(w·k) from the
+    * seed count and routes through an evenly-spaced k₁-row subset of
+    * the seeds — the sizing-by-construction path the r12 verdict asked
+    * for (a caller cannot recreate the linear-k₁ wall through it). */
+  def kmeansCentroidsHier(corpus: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String, iters: Int, w: Int): DataFrame = {
+    val k = seeds.count()
+    kmeansCentroidsHier(corpus, seeds,
+      autoCoarseSeeds(seeds, idCol, coarseSizeFor(k, w), k),
+      idCol, vecCol, iters, w)
   }
 
   private def kmeansLoop(c: DataFrame, seeds: DataFrame,
@@ -153,13 +224,26 @@ object Similarity {
   def kmeansAssignHier(corpus: DataFrame, seeds: DataFrame,
       coarseSeeds: DataFrame, idCol: String, vecCol: String,
       iters: Int, w: Int): DataFrame = {
+    validateHierSizing(seeds.count(), coarseSeeds.count(), w,
+      corpus.sparkSession)
     val c = Barrier(normed(corpus, idCol, vecCol))
     val coarse = normed(coarseSeeds, idCol, vecCol)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
     val assign = (cc: DataFrame, cents: DataFrame) =>
-      hierAssign(cc, cents, coarse, w)
+      hierAssignImpl(cc, cents, coarse, w)
     assign(c, kmeansLoop(c, seeds, idCol, vecCol, iters, assign))
+  }
+
+  /** AUTO-SIZED [[kmeansAssignHier]]: k₁ = √(w·k) derived from the
+    * seed count, coarse table = evenly-spaced seed subset (see
+    * [[coarseSizeFor]]). */
+  def kmeansAssignHier(corpus: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String, iters: Int, w: Int): DataFrame = {
+    val k = seeds.count()
+    kmeansAssignHier(corpus, seeds,
+      autoCoarseSeeds(seeds, idCol, coarseSizeFor(k, w), k),
+      idCol, vecCol, iters, w)
   }
 
   /** Nearest-centroid assignment by cosine — MAP-ONLY: the centroid
@@ -195,6 +279,17 @@ object Similarity {
     * embedding, nrm) — i.e. already-normed rows from this object's
     * operators — `cents`/`coarseCents` = (cent_id, c_emb, c_nrm). */
   def hierAssign(corpus: DataFrame, cents: DataFrame,
+      coarseCents: DataFrame, w: Int): DataFrame = {
+    validateHierSizing(cents.count(), coarseCents.count(), w,
+      corpus.sparkSession)
+    hierAssignImpl(corpus, cents, coarseCents, w)
+  }
+
+  /** [[hierAssign]] body without the sizing check — the per-round
+    * callee for loops that validated ONCE on the seed frames (the
+    * check costs two counts; a Lloyd loop would pay it every round,
+    * and a corpus-derived coarse frame would re-scan the corpus). */
+  private def hierAssignImpl(corpus: DataFrame, cents: DataFrame,
       coarseCents: DataFrame, w: Int): DataFrame = {
     // tag every fine centroid with ITS nearest coarse cell (flat argmax
     // over k₁ — a k-row input, not the corpus), then fold the grouped
@@ -290,6 +385,19 @@ object Similarity {
     val corpusCells = hierAssign(normed(corpus, idCol, vecCol),
       cents, centCols(coarseCentroids), w).drop("ccos")
     ivfProbe(corpusCells, normed(queries, idCol, vecCol), cents, k, nProbe)
+  }
+
+  /** AUTO-SIZED [[ivfTopKHier]]: the coarse routing table is an
+    * evenly-spaced √(w·k)-row subset of the (trained) centroids
+    * themselves — centroids make ideal coarse cells since they already
+    * summarize the corpus geometry. */
+  def ivfTopKHier(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, w: Int): DataFrame = {
+    val kc = centroids.count()
+    ivfTopKHier(corpus, queries, centroids,
+      autoCoarseSeeds(centroids, idCol, coarseSizeFor(kc, w), kc),
+      idCol, vecCol, k, nProbe, w)
   }
 
   /** PQ sub-quantizer codebooks [Jégou et al. 2011]: the vector space

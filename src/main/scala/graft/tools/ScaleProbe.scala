@@ -120,15 +120,16 @@ object ScaleProbe {
         "vec_id", "embedding", 5, 2)
     }),
     // the COARSE-ROUTED twins: same verbs with every corpus-wide
-    // assignment going through the two-level quantizer (coarse routing
-    // table = each replica's seed-0 vector, w = 2) — n·(k₁ + w·k/k₁)
-    // dots per assignment instead of the flat n·k, the difference
-    // between a probe-able and a wall-clock-prohibitive third decade
+    // assignment going through the two-level quantizer, AUTO-SIZED at
+    // k₁ = √(w·k) (r13; the r12 binding k₁ = replicas — one routing
+    // vector per replica — grew k₁ linearly and measured exponent 1.3
+    // at decade 3; Similarity's sizing enforcement now REJECTS that
+    // binding, and these probes exercise the sized path a caller gets
+    // by default) — n·2√(w·k) dots per assignment instead of n·k
     "dd11_semantic_hier_scaled" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.api.Dedup.semanticSurvivorsHier(
         emb, emb.filter(col("vec_id") % ReplicaOffset < 10),
-        emb.filter(col("vec_id") % ReplicaOffset === 0),
         "vec_id", "embedding", 2, 0.4, w = 2)
     }),
     // the PQ CONTRAST case: codebooks are FIXED size (M×Ks codes
@@ -145,14 +146,13 @@ object ScaleProbe {
     }),
     "s4_ann_ivf_hier_scaled" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val coarse = emb.filter(col("vec_id") % ReplicaOffset === 0)
       val cents = graft.api.Similarity.kmeansCentroidsHier(
         emb, emb.filter(col("vec_id") % ReplicaOffset < 16),
-        coarse, "vec_id", "embedding", 2, w = 2)
+        "vec_id", "embedding", 2, w = 2)
       graft.api.Similarity.ivfTopKHier(
         emb, emb.filter(col("vec_id") < 10),
         cents.select(col("cent_id").as("vec_id"), col("c_emb").as("embedding")),
-        coarse, "vec_id", "embedding", 5, 2, w = 2)
+        "vec_id", "embedding", 5, 2, w = 2)
     }))
 
   /** Per-replica alphabet: replica 0 is the identity (the original
@@ -267,7 +267,13 @@ object ScaleProbe {
     def time(name: String, dir: String): Double = {
       val fn = ExtraProbes.getOrElse(name, graft.Registry.queries(name))
       val t0 = System.nanoTime()
-      graft.Bench.materialize(fn(spark, dir))
+      // scoped: each pass releases its own barriers at pass end —
+      // without this a multi-verb multi-pass sf100 session accumulates
+      // every pass's localCheckpoint blocks until the 8g default heap
+      // OOMs (the r12 SPARK_DRIVER_MEM=24g operational note)
+      graft.api.Barrier.scoped {
+        graft.Bench.materialize(fn(spark, dir))
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Bench's failure convention: a crashed query records -1.0 instead

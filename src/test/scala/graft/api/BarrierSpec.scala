@@ -73,6 +73,23 @@ class BarrierSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("localCheckpoint-mode scoped releases checkpointed blocks eagerly") {
+    // localCheckpoint frames report storageLevel NONE (the blocks hang
+    // off the checkpointed RDD, not the cache manager) — release must
+    // free THEM too, or a multi-verb probe session accumulates every
+    // verb's intermediates until GC (the r12 sf100 24g-heap note).
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    withMode("localCheckpoint") {
+      val before = spark.sparkContext.getPersistentRDDs.size
+      Barrier.scoped {
+        assert(Barrier(docs.select("doc_id")).count() == 50)
+      }
+      val after = spark.sparkContext.getPersistentRDDs.size
+      assert(after - before == 0,
+        s"leaked ${after - before} localCheckpoint RDDs past the scope")
+    }
+  }
+
   test("collecting releases its barriers when the body throws (persist mode)") {
     // On the error path nobody will ever adopt the collected frames:
     // without the catch-release, a failed pool-thread task under

@@ -317,6 +317,41 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(agree >= 0.5, s"w=1 agreement with flat argmax only $agree")
   }
 
+  test("hier sizing: k1 ~ sqrt(w*k) is enforced, auto path derives it") {
+    val S = graft.api.Similarity
+    // the rule itself: k1* minimizes k1 + w*k/k1
+    assert(S.coarseSizeFor(16000, 2) == 179)
+    val cost = (k1: Double) => k1 + 2.0 * 16000 / k1
+    assert(cost(179) <= cost(1000) && cost(179) <= cost(50))
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val seeds = emb.filter(col("vec_id") < 64)
+    // the r12 probe's wall binding — k1 = k (linear growth): per-row
+    // cost 64 + 2 = 66 dots vs optimal 2*sqrt(128) = 22.6 → rejected
+    val e = intercept[IllegalArgumentException] {
+      S.hierarchicalAssign(emb, seeds, seeds, "vec_id", "embedding", w = 2)
+    }
+    assert(e.getMessage.contains("sqrt band"))
+    // warn mode logs and proceeds; off skips
+    for (m <- Seq("warn", "off")) {
+      spark.conf.set(S.HierSizingConfKey, m)
+      try assert(S.hierarchicalAssign(emb, seeds, seeds,
+        "vec_id", "embedding", w = 2).count() == 500)
+      finally spark.conf.unset(S.HierSizingConfKey)
+    }
+    // the auto overload routes through an evenly-spaced sqrt(w*k)-row
+    // seed subset: k=16, w=2 → k1=6, stride 2 → seed ranks 0,2,..,10
+    val seeds16 = emb.filter(col("vec_id") < 16)
+    val expectCoarse = emb.filter(col("vec_id").isin(0L, 2L, 4L, 6L, 8L, 10L))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(S.coarseSizeFor(16, 2) == 6)
+    val auto = key(S.kmeansAssignHier(emb, seeds16, "vec_id", "embedding", 1, 2))
+    val pinned = key(S.kmeansAssignHier(emb, seeds16, expectCoarse,
+      "vec_id", "embedding", 1, 2))
+    assert(auto == pinned)
+  }
+
   test("pq: encode shape, ADC = dot against the reconstruction, recall floor vs exact") {
     import graft.functions.PqFunctions
     val emb = graft.Tables.embeddings(spark, sf0001)
