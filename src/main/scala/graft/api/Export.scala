@@ -170,6 +170,96 @@ object Export {
       seqLen)
   }
 
+  // ---- pack asset: the streaming twin's durable state -----------------
+
+  /** Seed a PACK ASSET at `packDir`: the corpus packed under `base/`
+    * plus the running token total under `_totals/base` (1 row — the
+    * sidecar [[graft.streaming.StreamingOps.packIncrementStream]]
+    * advances per batch). The packed-rows dirs follow the dedup-asset
+    * layout contract (base/ + inc_* + generational folds), so
+    * [[Dedup.readSignatureAsset]] / [[Dedup.compactSignatureAsset]]
+    * manage them unchanged; `_totals` is invisible to that lifecycle
+    * (underscore prefix). The total is derived from the WRITTEN base
+    * (not the input plan), so the sidecar can never disagree with the
+    * durable data. */
+  def seedPackAsset(corpus: DataFrame, idCol: String, tokensCol: String,
+      packDir: String, seed: Long, seqLen: Long, shift: Int = 18): Unit = {
+    packSequences(corpus, idCol, tokensCol, seed, seqLen, shift)
+      .write.mode("overwrite").parquet(s"$packDir/base")
+    val s = corpus.sparkSession
+    s.read.parquet(s"$packDir/base")
+      .agg(coalesce(max(col("cum_before") + col(tokensCol)), lit(0L))
+        .as("end_total"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$packDir/_totals/base")
+  }
+
+  /** The pack asset's current running token total: max `end_total`
+    * across the `_totals` sidecar rows (totals are monotone — each
+    * batch's row is its predecessor's plus its own tokens, so max =
+    * newest; reading the sidecar costs one tiny-file scan per batch,
+    * never a corpus aggregate). `exclude` drops one dir's own row so
+    * a REPLAYED streaming batch reads its predecessor's total, not
+    * its own previous attempt's. */
+  def readPackTotal(spark: org.apache.spark.sql.SparkSession,
+      packDir: String, exclude: Option[String] = None): Long = {
+    val root = new org.apache.hadoop.fs.Path(s"$packDir/_totals")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root),
+      s"pack asset at $packDir is unseeded — call seedPackAsset first")
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => exclude.contains(p.getName)).map(_.toString).toSeq
+    require(dirs.nonEmpty, s"pack asset at $packDir has no totals rows")
+    spark.read.parquet(dirs: _*).agg(max(col("end_total"))).head.getLong(0)
+  }
+
+  /** Collapse the `_totals` sidecar to one `fold` row — the pack
+    * asset's quiesce-point maintenance (run it with
+    * [[Dedup.compactSignatureAsset]] over the packed dirs). Crash-safe
+    * in this order: the fold row lands first, and lingering per-batch
+    * rows never change the max (totals are monotone). */
+  def collapsePackTotals(spark: org.apache.spark.sql.SparkSession,
+      packDir: String): Unit = {
+    val total = readPackTotal(spark, packDir)
+    import spark.implicits._
+    Seq(total).toDF("end_total").coalesce(1)
+      .write.mode("overwrite").parquet(s"$packDir/_totals/fold")
+    val root = new org.apache.hadoop.fs.Path(s"$packDir/_totals")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filterNot(_.getName == "fold").foreach(p => fs.delete(p, true))
+  }
+
+  /** MATERIALIZE the deterministic shuffle as real shard files — the
+    * artifact a training launch actually reads (the reference's jobs
+    * likewise end in written `output-part-<B>` files,
+    * `/root/reference/internal/pkg/corral/job.go:113`; our export tail
+    * should too, not stop at a declarative manifest). Layout: parquet
+    * partitioned by `shard` (`<out>/shard=<s>/…`), each row carrying
+    * `shard_pos` — its 0-based read order within the shard — plus
+    * every input column.
+    *
+    * Scale shape: positions come from the two-phase prefix sum (no
+    * unpartitioned data-sized window), then ONE hash exchange on
+    * `shard` co-locates each shard before the write — that exchange is
+    * the movement any sharded export inherently pays. Rows are sorted
+    * by `shard_pos` within each written file, so a shard-sequential
+    * reader streams the shuffled order without a sort. `nShards` is
+    * the exporter's parallelism knob: size it so a shard fits a
+    * reader (thousands at corpus scale — one task each here). Works
+    * against any registered FileSystem scheme (`file:`, `graftfs://`,
+    * `s3g://` — pinned in ExportWriteSpec). */
+  def writeShards(df: DataFrame, idCol: String, seed: Long, nShards: Int,
+      out: String, shift: Int = 18): Unit = {
+    requireFree(df, "shard", "shard_pos")
+    val p = globalPositions(df, idCol, seed, shift)
+    val (shard, shardPos) = roundRobinShard(col("pos"), nShards)
+    p.withColumn("shard", shard).withColumn("shard_pos", shardPos)
+      .drop("pos")
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+  }
+
   /** Round-robin shard of a 0-based position: (pos % n, pos div n).
     * Contiguous positions spread across shards, so each shard is a
     * uniform sample of the shuffled corpus and shard sizes differ by

@@ -186,6 +186,63 @@ object ExportQueries {
        |  cum_before % $SeqLen AS seq_off
        |FROM c""".stripMargin
 
+  // -- ex6: written-shard round-trip -------------------------------------
+  // ex1–ex3 compute positions/manifests declaratively; this verb READS
+  // BACK real shard files written by [[Export.writeShards]] and
+  // certifies their content against the oracle's independent
+  // recomputation from the documents table: per-shard row count, token
+  // mass, dense position range, and an order-free content signature
+  // (the scramble congruence over doc_id + shard_pos — a misplaced,
+  // duplicated, or dropped row in the FILES changes it). Shards are
+  // written once per fixture dir (cold pass), like the dd10p/s7p
+  // asset seeding.
+  private val seededShardRoots = scala.collection.mutable.Set.empty[String]
+
+  private[operators] def seedShards(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val root = s"target/graft_bench/ex6/$key/shards"
+    synchronized {
+      if (!seededShardRoots.contains(root)) {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        Export.writeShards(docs, "doc_id", Seed, NShards, root, Shift)
+        seededShardRoots += root
+      }
+    }
+    root
+  }
+
+  private def shardRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = seedShards(s, dir)
+    s.read.parquet(root)
+      .select(col("doc_id"), col("n_tokens"),
+        col("shard").cast("long").as("shard"), col("shard_pos"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("shard_pos")).as("min_pos"),
+        max(col("shard_pos")).as("max_pos"),
+        sum(graft.api.Sampling.scramble(col("doc_id") + col("shard_pos")))
+          .as("content_sig"))
+  }
+
+  private val shardRoundtripSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, $tokenCountSql AS n_tokens FROM documents),
+       |k AS (SELECT doc_id, n_tokens, $keySql AS k FROM d),
+       |p AS (SELECT doc_id, n_tokens,
+       |        CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) - 1 AS pos
+       |      FROM k),
+       |sh AS (SELECT doc_id, n_tokens, pos % $NShards AS shard,
+       |         CAST((pos - (pos % $NShards)) / $NShards AS BIGINT) AS shard_pos
+       |       FROM p)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MIN(shard_pos) AS min_pos, MAX(shard_pos) AS max_pos,
+       |  CAST(SUM(${graft.api.Sampling.scrambleSql("(doc_id + shard_pos)")})
+       |    AS BIGINT) AS content_sig
+       |FROM sh GROUP BY 1""".stripMargin
+
   // -- p5: the composed export capstone ---------------------------------
   // clean (drop every dup-group member that is not its group's
   // quality survivor) → deterministic shuffle → sequence packing →
@@ -233,6 +290,7 @@ object ExportQueries {
     QueryDef("ex3_shard_manifest", shardManifest, Some(shardManifestSql)),
     QueryDef("ex4_best_of_group", bestOfGroup, Some(bestOfGroupSql), bench = true),
     QueryDef("ex5_pack_increment", packIncrement, Some(packIncrementSql)),
+    QueryDef("ex6_shard_roundtrip", shardRoundtrip, Some(shardRoundtripSql), bench = true),
     QueryDef("p5_export_manifest", exportManifest, Some(exportManifestSql), bench = true),
   )
 }

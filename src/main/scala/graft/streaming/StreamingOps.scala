@@ -402,6 +402,59 @@ object StreamingOps {
     query
   }
 
+  /** ex5's streaming twin — CONTINUOUS sequence packing: each
+    * micro-batch of documents continue-packs AFTER the frozen corpus
+    * layout ([[graft.api.Export.packSequencesAfter]] — corpus
+    * sequences never rewritten, Θ(batch) work + one broadcast row),
+    * appending `inc_<batchId>` to the pack asset at `packDir` (seed
+    * with [[graft.api.Export.seedPackAsset]]) and advancing the
+    * `_totals` sidecar — the sidecar row is derived from the WRITTEN
+    * inc dir and lands strictly after it, so a crashed attempt is
+    * invisible to the next batch. Replay-idempotent: a replayed batch
+    * overwrites its own dirs and reads its PREDECESSOR's total (its
+    * own sidecar row is excluded from the max). Lineage-stamped like
+    * the dedup assets. `compactOnFinish` folds the drained inc dirs
+    * into a new generation at the AvailableNow quiesce point — pure
+    * concatenation, since the per-batch layouts are disjoint token
+    * ranges — and collapses the sidecar. Batch ≡ stream (pinned in
+    * StreamingSpec): the asset after N batches equals applying
+    * packSequencesAfter sequentially at the same batch boundaries. */
+  def packIncrementStream(docs: DataFrame, idCol: String, tokensCol: String,
+      packDir: String, checkpointDir: String, seed: Long, seqLen: Long,
+      compactOnFinish: Boolean = false, keepSuperseded: Int = 1):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val query = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        requireLineage(s, packDir, checkpointDir)
+        graft.api.Barrier.scoped {
+          val prev = graft.api.Export.readPackTotal(s, packDir,
+            exclude = Some(s"inc_$batchId"))
+          val base = s.range(1).select(lit(prev).as("base_tokens"))
+          graft.api.Export.packSequencesAfter(batch.toDF(), idCol, tokensCol,
+              base, seed, seqLen)
+            .write.mode("overwrite").parquet(s"$packDir/inc_$batchId")
+          s.read.parquet(s"$packDir/inc_$batchId")
+            .agg(coalesce(max(col("cum_before") + col(tokensCol)), lit(prev))
+              .as("end_total"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$packDir/_totals/inc_$batchId")
+        }
+        ()
+      }
+      .start()
+    if (compactOnFinish) {
+      query.awaitTermination()
+      graft.api.Dedup.compactSignatureAsset(
+        docs.sparkSession, packDir, keepSuperseded)
+      graft.api.Export.collapsePackTotals(docs.sparkSession, packDir)
+      ()
+    }
+    query
+  }
+
   /** Idempotent micro-batch sink: foreachBatch + deterministic
     * per-batch output paths, the standard exactly-once-to-storage
     * recipe (a replayed batch overwrites the same path instead of

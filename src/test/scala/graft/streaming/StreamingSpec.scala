@@ -714,4 +714,75 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val u2 = out.find(_.user_id == 2L).get
     assert(u2.n_events == 1)
   }
+
+  test("pack increment stream: per-batch continue-pack equals sequential batch application; compaction folds") {
+    import java.nio.file.Files
+    val E = graft.api.Export
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    val work = Files.createTempDirectory("graft-packstream")
+    val landing = Files.createTempDirectory("graft-packstream-landing")
+    val pack = s"$work/pack"
+    try {
+      E.seedPackAsset(corpus, "doc_id", "n_tokens", pack, 7L, 128L)
+      val baseTotal = E.readPackTotal(spark, pack)
+      assert(baseTotal == corpus.agg(sum("n_tokens")).head.getLong(0))
+      // two landing files → two AvailableNow micro-batches
+      Seq(col("doc_id") % 20 === 0, col("doc_id") % 20 =!= 0).zipWithIndex.foreach {
+        case (pred, i) =>
+          val tmp = work.resolve(s"half$i")
+          inc.filter(pred).coalesce(1).write.parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get
+          Files.copy(part, landing.resolve(s"inc$i.parquet"))
+      }
+      val q = StreamingOps.packIncrementStream(
+        spark.readStream.schema(inc.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+        "doc_id", "n_tokens", pack, s"$work/ckpt", 7L, 128L)
+      assert(q.awaitTermination(180000), "AvailableNow query did not stop")
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "cum_before", "seq_id", "seq_off").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch ≡ stream at the SAME batch boundaries: take each inc
+      // dir's membership from the asset itself and replay
+      // packSequencesAfter sequentially over it
+      import spark.implicits._
+      val b0 = spark.read.parquet(s"$pack/inc_0")
+      val b1 = spark.read.parquet(s"$pack/inc_1")
+      val docs0 = inc.join(b0.select("doc_id"), Seq("doc_id"), "semi")
+      val docs1 = inc.join(b1.select("doc_id"), Seq("doc_id"), "semi")
+      assert(b0.count() > 0 && b1.count() > 0 &&
+        b0.count() + b1.count() == inc.count())
+      val exp0 = E.packSequencesAfter(docs0, "doc_id", "n_tokens",
+        Seq(baseTotal).toDF("base_tokens"), 7L, 128L)
+      val mid = baseTotal + docs0.agg(sum("n_tokens")).head.getLong(0)
+      val exp1 = E.packSequencesAfter(docs1, "doc_id", "n_tokens",
+        Seq(mid).toDF("base_tokens"), 7L, 128L)
+      assert(key(b0) == key(exp0))
+      assert(key(b1) == key(exp1))
+      // the sidecar advanced to the full corpus+increment token total
+      assert(E.readPackTotal(spark, pack) ==
+        docs.agg(sum("n_tokens")).head.getLong(0))
+      // quiesce maintenance: fold the packed dirs, collapse the sidecar
+      val before = key(graft.api.Dedup.readSignatureAsset(spark, pack))
+      assert(graft.api.Dedup.compactSignatureAsset(spark, pack) == 2)
+      E.collapsePackTotals(spark, pack)
+      assert(new java.io.File(pack).listFiles()
+        .exists(_.getName == "base_gen1"))
+      assert(new java.io.File(s"$pack/_totals").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet == Set("fold"))
+      assert(key(graft.api.Dedup.readSignatureAsset(spark, pack)) == before)
+      assert(E.readPackTotal(spark, pack) ==
+        docs.agg(sum("n_tokens")).head.getLong(0))
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
 }
