@@ -28,6 +28,35 @@ import org.apache.spark.sql.SparkSession
   * Warm passes wrap each query in Metrics.track, so the JSON line also
   * carries per-query bytesRead / shuffleWrite (reference F22 parity,
   * `/root/reference/driver.go:246-249`'s per-job byte log lines).
+  *
+  * THE BENCH SUBSET (`QueryDef.bench`; pinned name-by-name in
+  * RegistrySpec so membership changes are deliberate diffs): the
+  * composite times the 47 queries that carry distinct COST SHAPES,
+  * not all 93 oracle entries — the oracle gate certifies correctness
+  * of everything; the bench only needs one timed representative per
+  * plan family, and padding it with duplicates would bury real
+  * regressions in noise and round-over-round incomparability.
+  * Exclusion rules, applied in this order:
+  *  - FACADE/RECOMPUTE TWINS of a benched verb: mr1/mr2s/a1 (string-KV
+  *    and typed facades over the same plans as q2/mr2/q7), dd10 and
+  *    p4 (per-run recompute legs whose asset twins dd10p/p4p are the
+  *    shapes a production pipeline actually pays), ex1/ex3 (position
+  *    assignment alone; ex2/ex6 time the same prefix sum plus the
+  *    packing/read-back work that dominates it).
+  *  - SUB-SECOND SINGLE-SHAPE RELATIONAL PROBES (q4/q5/q8–q15,
+  *    q17–q19, q22–q27, q29): each shares its plan family with a
+  *    benched representative (scan+filter → q3, join → q6/q7/q28,
+  *    window → q16/q30, agg/rollup → q1, broadcast star → q20,
+  *    set ops/distinct → covered by the dedup family at real volume).
+  *  - SAME-KERNEL TEXT/SAMPLING VERBS (t1/t2/t4/t5/t6/t8, ds2/ds3):
+  *    one-pass per-row kernels identical in shape to the benched
+  *    t3/t7/ds1, differing only in the arithmetic inside the loop.
+  *  - MEDIA-DECODE STAGES (mm1–mm7, p3): their cost is the decode
+  *    mapPartitions, timed once through mm8 (decode + banded dedup,
+  *    the capstone that also moves shuffle bytes); timing seven more
+  *    decode variants re-measures the same codec loop.
+  *  - ex5 (Θ(increment) continue-pack, sub-second by design — its
+  *    scaling story lives in the ScaleProbe tables, not the bench).
   */
 object Bench {
   /** One warm measurement: (wallClockSec — -1.0 on failure, bytesRead,

@@ -155,6 +155,56 @@ object ScaleProbe {
         "vec_id", "embedding", 5, 2, w = 2)
     }))
 
+  /** The replica fixture's home — encodes reps, so a rerun with a
+    * different reps builds its own fixture, never silently reusing one
+    * at the wrong scale (dir family renamed from target/sf1* when the
+    * cipher changed from rotation to permutation — a rotation-era
+    * fixture must never be silently reused under the new cipher's
+    * collision claims). */
+  private[tools] def fixtureDir(reps: Int): String = s"target/scale_r$reps"
+
+  /** Build (idempotently) the reps-replica fixture — documents under
+    * the letter-permutation cipher, embeddings (when `needEmb`) under
+    * the sign cipher — and return its dir. Shared by the wall-clock
+    * probe and [[RecallProbe]], so both measure the SAME corpus. */
+  private[tools] def ensureFixture(spark: SparkSession, src: String,
+      reps: Int, needEmb: Boolean): String = {
+    val dir = fixtureDir(reps)
+    val docsOut = new java.io.File(s"$dir/documents.parquet")
+    if (!docsOut.exists()) {
+      val docs = graft.Tables.documents(spark, src)
+      val salted = (0 until reps).map { r =>
+        val alpha = replicaAlphabet(r)
+        docs.select(
+          (col("doc_id") + lit(r.toLong * ReplicaOffset)).as("doc_id"),
+          translate(col("text"), Lower + Lower.toUpperCase,
+            alpha + alpha.toUpperCase).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ union _)
+      salted.repartition(math.max(32, reps / 2))
+        .write.mode("overwrite").parquet(docsOut.toString)
+      println(s"[probe] built $dir: ${reps}x ${src} documents, " +
+        "letter-permuted per replica")
+    }
+    val embOut = new java.io.File(s"$dir/embeddings.parquet")
+    if (!embOut.exists() && needEmb) {
+      val embs = graft.Tables.embeddings(spark, src)
+      val dim = embs.select(size(col("embedding"))).head().getInt(0)
+      val salted = (0 until reps).map { r =>
+        val signs = typedLit(replicaSigns(r, dim).toSeq)
+        embs.select(
+          (col("vec_id") + lit(r.toLong * ReplicaOffset)).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"),
+          col("label"))
+      }.reduce(_ union _)
+      salted.repartition(math.max(32, reps / 10))
+        .write.mode("overwrite").parquet(embOut.toString)
+      println(s"[probe] built $dir: ${reps}x ${src} embeddings, " +
+        "sign-flipped per replica")
+    }
+    dir
+  }
+
   /** Per-replica alphabet: replica 0 is the identity (the original
     * corpus); replica r > 0 is a Fisher–Yates shuffle of the 26
     * letters driven by an LCG seeded from r — deterministic, and with
@@ -227,41 +277,10 @@ object ScaleProbe {
     // (dir family renamed from target/sf1* when the cipher changed from
     // rotation to permutation — a rotation-era fixture must never be
     // silently reused under the new cipher's collision claims)
-    def fixtureDir(reps: Int): String = s"target/scale_r$reps"
     repsList.foreach { reps =>
-      val dir = fixtureDir(reps)
-      val docsOut = new java.io.File(s"$dir/documents.parquet")
-      if (!docsOut.exists()) {
-        val docs = graft.Tables.documents(spark, src)
-        val salted = (0 until reps).map { r =>
-          val alpha = replicaAlphabet(r)
-          docs.select(
-            (col("doc_id") + lit(r.toLong * ReplicaOffset)).as("doc_id"),
-            translate(col("text"), Lower + Lower.toUpperCase,
-              alpha + alpha.toUpperCase).as("text"),
-            col("lang"), col("source"), col("n_chars"))
-        }.reduce(_ union _)
-        salted.repartition(math.max(32, reps / 2))
-          .write.mode("overwrite").parquet(docsOut.toString)
-        println(s"[probe] built $dir: ${reps}x ${src} documents, " +
-          "letter-permuted per replica")
-      }
-      val embOut = new java.io.File(s"$dir/embeddings.parquet")
-      if (!embOut.exists() && probes.exists(ExtraProbes.contains)) {
-        val embs = graft.Tables.embeddings(spark, src)
-        val dim = embs.select(size(col("embedding"))).head().getInt(0)
-        val salted = (0 until reps).map { r =>
-          val signs = typedLit(replicaSigns(r, dim).toSeq)
-          embs.select(
-            (col("vec_id") + lit(r.toLong * ReplicaOffset)).as("vec_id"),
-            zip_with(col("embedding"), signs, (x, s) => x * s).as("embedding"),
-            col("label"))
-        }.reduce(_ union _)
-        salted.repartition(math.max(32, reps / 10))
-          .write.mode("overwrite").parquet(embOut.toString)
-        println(s"[probe] built $dir: ${reps}x ${src} embeddings, " +
-          "sign-flipped per replica")
-      }
+      ensureFixture(spark, src, reps,
+        needEmb = probes.exists(ExtraProbes.contains))
+      ()
     }
 
     def time(name: String, dir: String): Double = {

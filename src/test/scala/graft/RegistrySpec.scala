@@ -18,6 +18,40 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.benchQueries.toSet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("the bench subset is exactly the pinned representative set") {
+    // One timed representative per cost shape — the selection rationale
+    // lives in Bench's scaladoc ("THE BENCH SUBSET"). Pinned literally
+    // so membership changes are deliberate, reviewed diffs: composite
+    // comparability across rounds depends on this set's stability.
+    val pinned = Set(
+      // relational / MR representatives
+      "q1_pricing_summary", "q2_wordcount", "q3_scan_filter", "q6_join",
+      "q7_join_agg", "q16_window_topn", "q20_broadcast_star",
+      "q21_event_window", "q28_asof_join", "q30_topk_agg", "mr2_join_avg",
+      // text / quality / decontamination kernels
+      "t3_quality", "t7_repetition", "q31_decontaminate",
+      "q32_substring_overlap",
+      // dedup family (near-dup, groups, increments, semantic)
+      "dd1_exact_dedup", "dd2_ngram_jaccard", "dd3_minhash_lsh",
+      "dd4_simhash", "dd5_embed_dup", "dd6_dup_groups", "dd7_incremental",
+      "dd8_inc_simhash", "dd9_inc_embed", "dd10p_inc_groups_asset",
+      "dd11_semantic",
+      // similarity ladder
+      "s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_ivf_trained",
+      "s5_ann_ivf_hier", "s6_ann_pq_adc", "s7_ann_pq_asset", "s8_ann_ivfadc",
+      // sketches, sampling, sessions, multimodal capstone
+      "qs3_bloom_semijoin", "qs4_hll_per_key", "qs5_hist_quantile",
+      "ds1_stratified_sample", "st1_sessionize", "mm8_ahash_dedup",
+      // pipelines + export
+      "p1_clean_corpus", "p2_clean_corpus_transitive",
+      "p4p_daily_increment_asset", "p5_export_manifest",
+      "ex2_pack_sequences", "ex4_best_of_group", "ex6_shard_roundtrip")
+    assert(SparkEntry.benchQueries.toSet == pinned,
+      s"bench set drifted: +${SparkEntry.benchQueries.toSet -- pinned} " +
+        s"-${pinned -- SparkEntry.benchQueries.toSet}")
+    assert(SparkEntry.benchQueries.size == 47)
+  }
+
   test("approx_count_distinct tracks the exact distinct count within 5%") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf0001)
