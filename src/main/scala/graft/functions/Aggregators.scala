@@ -122,20 +122,34 @@ object Aggregators {
   object TopK {
     val K = 3 // the fixture queries' k
     private val Slot = 16
+    // 4-byte count header. A 1-byte count wrapped at k > 255 and
+    // CORRUPTED the buffer — found by RecallProbe (r13): pqTopK with
+    // rerank = 500 returned recall 0.0 where 50 returned 0.43, because
+    // the candidate aggregate's count byte overflowed. k is a scale
+    // knob (rerank grows with the corpus); the header must not cap it.
+    private val Header = 4
 
-    def zero(k: Int): Array[Byte] = new Array[Byte](1 + k * Slot) // [count][price,id]*k
+    def zero(k: Int): Array[Byte] = new Array[Byte](Header + k * Slot)
     def zero: Array[Byte] = zero(K)
 
+    private def count(b: Array[Byte]): Int =
+      ((b(0) & 0xFF) << 24) | ((b(1) & 0xFF) << 16) |
+        ((b(2) & 0xFF) << 8) | (b(3) & 0xFF)
+    private def setCount(b: Array[Byte], n: Int): Unit = {
+      b(0) = (n >>> 24).toByte; b(1) = (n >>> 16).toByte
+      b(2) = (n >>> 8).toByte; b(3) = n.toByte
+    }
     private def price(b: Array[Byte], i: Int): Double =
-      java.lang.Double.longBitsToDouble(readLong(b, 1 + i * Slot))
-    private def id(b: Array[Byte], i: Int): Long = readLong(b, 1 + i * Slot + 8)
+      java.lang.Double.longBitsToDouble(readLong(b, Header + i * Slot))
+    private def id(b: Array[Byte], i: Int): Long =
+      readLong(b, Header + i * Slot + 8)
     private def readLong(b: Array[Byte], o: Int): Long = {
       var v = 0L; var j = 0
       while (j < 8) { v = (v << 8) | (b(o + j) & 0xFFL); j += 1 }
       v
     }
     private def writeSlot(b: Array[Byte], i: Int, p: Double, x: Long): Unit = {
-      var v = java.lang.Double.doubleToLongBits(p); var o = 1 + i * Slot
+      var v = java.lang.Double.doubleToLongBits(p); var o = Header + i * Slot
       var j = 7
       while (j >= 0) { b(o + j) = v.toByte; v >>>= 8; j -= 1 }
       v = x; o += 8; j = 7
@@ -148,8 +162,8 @@ object Aggregators {
     /** Insertion into the sorted fixed buffer (shifts ≤ k slots); k is
       * implied by the buffer's size. */
     def insert(b: Array[Byte], p: Double, x: Long): Array[Byte] = {
-      val k = (b.length - 1) / Slot
-      val n = b(0) & 0xFF
+      val k = (b.length - Header) / Slot
+      val n = count(b)
       if (n == k && !better(p, x, price(b, k - 1), id(b, k - 1))) return b
       var pos = if (n == k) k - 1 else n
       while (pos > 0 && better(p, x, price(b, pos - 1), id(b, pos - 1))) {
@@ -157,19 +171,19 @@ object Aggregators {
         pos -= 1
       }
       writeSlot(b, pos, p, x)
-      if (n < k) b(0) = (n + 1).toByte
+      if (n < k) setCount(b, n + 1)
       b
     }
 
     def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
       var out = a; var i = 0
-      val n = b(0) & 0xFF
+      val n = count(b)
       while (i < n) { out = insert(out, price(b, i), id(b, i)); i += 1 }
       out
     }
 
     def entries(b: Array[Byte]): Seq[(Double, Long)] =
-      (0 until (b(0) & 0xFF)).map(i => (price(b, i), id(b, i)))
+      (0 until count(b)).map(i => (price(b, i), id(b, i)))
   }
 
   final case class Priced(key: Long, price: Double, id: Long)

@@ -61,26 +61,37 @@ object RecallProbe {
         val exact = topkSets(S.cosineTopK(emb, queries,
           "vec_id", "embedding", K))
 
-        def report(verb: String, approx: DataFrame): Unit = {
+        def report(verb: String, rerank: Int, approx: DataFrame): Unit = {
           val got = topkSets(approx)
           val recalls = exact.map { case (q, truth) =>
             got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / K
           }
           val mean = recalls.sum / recalls.size
           println(f"""{"probe":"recall","verb":"$verb","reps":$reps,""" +
-            f""""n_queries":$nq,"k":$K,"recall":${mean}%.4f}""")
+            f""""rerank":$rerank,"n_queries":$nq,"k":$K,""" +
+            f""""recall":${mean}%.4f}""")
         }
 
-        report("s6_pq_adc", S.pqTopK(emb, queries,
-          "vec_id", "embedding", K, 8, 64, 2, 50))
+        // Two points per verb: the geometry AS TUNED at sf0.001/0.01
+        // (rerank = 50 — the fixed-R wall this probe exists to expose:
+        // on near-uniform vectors the count of corpus points whose ADC
+        // noise exceeds the true kth-neighbor gap grows ~linearly in
+        // n, so a fixed candidate budget must drown) and the ∝n knee
+        // (rerank = 50 per 50 k vectors, i.e. 50·reps on this fixture).
+        val reranks = Seq(50, 50 * reps)
         // s7's operating shape: train once, encode the corpus into a
         // persisted-index-shaped frame, answer from the index
         val books = S.pqTrain(emb, "vec_id", "embedding", 8, 64, 2)
-        report("s7_pq_index", S.pqTopKFromIndex(
-          S.pqEncodeIndex(emb, books, "vec_id", "embedding"),
-          emb, queries, books, "vec_id", "embedding", K, 50))
-        report("s8_ivfadc", S.ivfadcTopK(emb, queries,
-          "vec_id", "embedding", K, 8, 2, 8, 16, 2, 3, 50))
+        val index = graft.api.Barrier(
+          S.pqEncodeIndex(emb, books, "vec_id", "embedding"))
+        for (r <- reranks) {
+          report("s6_pq_adc", r, S.pqTopK(emb, queries,
+            "vec_id", "embedding", K, 8, 64, 2, r))
+          report("s7_pq_index", r, S.pqTopKFromIndex(
+            index, emb, queries, books, "vec_id", "embedding", K, r))
+          report("s8_ivfadc", r, S.ivfadcTopK(emb, queries,
+            "vec_id", "embedding", K, 8, 2, 8, 16, 2, 3, r))
+        }
       }
     }
     spark.stop()

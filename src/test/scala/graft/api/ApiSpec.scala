@@ -201,6 +201,25 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
     assert(top == Set((1L, 101L, 1), (1L, 103L, 2), (2L, 200L, 1)))
   }
 
+  test("TopKPerKey is exact past k = 255 (the count-byte overflow regression)") {
+    // The buffer's entry count was one byte: k > 255 wrapped at 256 and
+    // corrupted the aggregate (RecallProbe r13 — pqTopK at rerank 500
+    // returned recall 0.0 where rerank 50 returned 0.43). rerank is a
+    // scale knob that grows with the corpus, so k must be unbounded.
+    import spark.implicits._
+    val k = 500
+    val df = (0 until 2000).map(i => (1L, (i * 7919 % 2000).toDouble, i.toLong))
+      .toDF("grp", "score", "rid")
+    val got = TopKPerKey(df, "grp", "score", "rid", k)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == k)
+    // equals the window-function formulation
+    val want = df.collect().map(r => (r.getDouble(1), r.getLong(2)))
+      .sortBy { case (s, id) => (-s, id) }.take(k).zipWithIndex
+      .map { case ((s, id), i) => (id, s, i + 1) }
+    assert(got.sortBy(_._3).toSeq == want.toSeq)
+  }
+
   test("dedup operators survive null text / null vectors under ANSI mode") {
     val withNulls = spark.createDataFrame(Seq(
       (1L, "some real content here for the shingles to chew on"),

@@ -94,6 +94,21 @@ class ExportWriteSpec extends AnyFunSuite with SparkSpec {
     roundTrip(s"graftfs://${tmp.toString}/shards")
   }
 
+  test("writeShards round-trips over the s3g:// S3 wire (FakeS3)") {
+    val fake = new graft.s3.FakeS3()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3g.impl", classOf[graft.s3.S3SigV4Fs].getName)
+      hc.set("fs.s3g.impl.disable.cache", "true")
+      hc.set("fs.s3g.endpoint", fake.endpoint)
+      hc.set("fs.s3g.region", "us-east-1")
+      hc.set("fs.s3g.access.key", "AKIDTEST")
+      hc.set("fs.s3g.secret.key", "secret")
+      hc.setInt("fs.s3g.part.size", 65536)
+      roundTrip("s3g://export-bucket/shards")
+    } finally fake.close()
+  }
+
   test("writeShards refuses colliding shard/shard_pos input columns") {
     val bad = docs.withColumn("shard", lit(1L))
     val e = intercept[IllegalArgumentException] {
