@@ -31,8 +31,8 @@ import org.apache.spark.sql.SparkSession
   *
   * THE BENCH SUBSET (`QueryDef.bench`; pinned name-by-name in
   * RegistrySpec so membership changes are deliberate diffs): the
-  * composite times the 47 queries that carry distinct COST SHAPES,
-  * not all 93 oracle entries — the oracle gate certifies correctness
+  * composite times the 48 queries that carry distinct COST SHAPES,
+  * not all 94 oracle entries — the oracle gate certifies correctness
   * of everything; the bench only needs one timed representative per
   * plan family, and padding it with duplicates would bury real
   * regressions in noise and round-over-round incomparability.

@@ -180,6 +180,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Hamming duplicate GROUPS via exact-signature contraction — the
+    * scale-shaped composition of [[hammingPairs]] + [[duplicateGroups]]
+    * for corpora where many rows share one signature (re-crawled
+    * images, boilerplate pages — and the r13 mm probe's measured wall:
+    * the synthetic image fixture saturates at 716 distinct ahash
+    * values at EVERY corpus size, so all-pairs output grows
+    * quadratically — 6.5×10⁸ intra-bucket pairs at 500 k docs OOM'd
+    * the probe). Output ≡ `duplicateGroups(hammingPairs(sigs))` —
+    * (doc_id, group_id = min doc id of the component) for every member
+    * of every component with ≥ 2 members (property-pinned in
+    * DedupSimilaritySpec) — but the work is linear in n:
+    *
+    *  - contract to DISTINCT signatures (one pass, map-side combine);
+    *  - band + pair over the contracted table only (≤ distinct-sig
+    *    rows — 716² candidate pairs instead of n²);
+    *  - connected components over the SIG graph (the dd10 contraction
+    *    argument: a fixpoint over ≤ distinct-sig nodes, never members);
+    *  - label members through one sig→group join (AQE picks broadcast
+    *    when the contracted table is small; no forced hint — the
+    *    distinct-sig count is corpus-dependent).
+    *
+    * Member-level pairs are never materialized: a 10 k-copy image is
+    * 10 k rows here, not 5×10⁷ pairs. */
+  def hammingGroups(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = Barrier(
+      sigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig")))
+    val perSig = Barrier(docs.groupBy("sig")
+      .agg(count(lit(1)).as("n_members"), min("doc_id").as("min_doc")))
+    val sigPairs = hammingPairs(
+      perSig.select(col("sig").as("s_id"), col("sig")), "s_id", "sig",
+      maxHamming)
+    val sigComp = duplicateGroups(sigPairs, "doc_a", "doc_b")
+      .select(col("doc_id").as("sig"), col("group_id").as("gsig"))
+    val labeled = perSig.join(sigComp, Seq("sig"), "left")
+      .withColumn("gsig", coalesce(col("gsig"), col("sig")))
+    val comp = labeled.groupBy("gsig")
+      .agg(sum("n_members").as("c_members"), min("min_doc").as("group_id"))
+    val keep = labeled.join(comp, "gsig")
+      .filter(col("c_members") >= 2)
+      .select(col("sig"), col("group_id"))
+    docs.join(keep, "sig").select(col("doc_id"), col("group_id"))
+  }
+
   /** dd8 — incremental Hamming near-dup over PRECOMPUTED 64-bit
     * signatures: pairs (doc_a, doc_b, hamming) with hamming ≤
     * maxHamming where AT LEAST one side is in `incSigs`. The corpus

@@ -511,7 +511,18 @@ object Similarity extends org.apache.spark.internal.Logging {
     *
     * Approximation contract: a true neighbor outside the ADC top-R is
     * lost (quantization error decides R's recall); within the returned
-    * rows the cosines and ranking are EXACT. */
+    * rows the cosines and ranking are EXACT.
+    *
+    * SIZING `rerank` (measured, RecallProbe r13): R is a
+    * per-corpus-size knob, not a constant. On near-uniform vectors —
+    * PQ's worst case — the number of corpus points whose ADC noise
+    * exceeds the true kth-neighbor gap grows ~linearly in n, so
+    * holding R fixed while the corpus grows collapses recall (0.90 at
+    * the 50 k tuning scale → 0.43/0.40 at 500 k/5 M with R = 50);
+    * R ∝ n restores it. Real text embeddings concentrate on a
+    * lower-dimensional manifold and need milder growth — re-measure
+    * the R-recall knee at the operating scale (tools/RecallProbe)
+    * rather than shipping the tuning-scale constant. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int, ks: Int, iters: Int, rerank: Int): DataFrame = {

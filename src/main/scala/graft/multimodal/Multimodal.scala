@@ -413,6 +413,52 @@ object Multimodal {
        |    ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  // -- mm9: ahash duplicate GROUPS via exact-sig contraction ------------
+  // The scale path the r13 probe forced: this fixture's ahash space
+  // saturates at 716 distinct values at EVERY corpus size, so mm8's
+  // all-pairs output grows quadratically (6.5e8 intra-bucket pairs at
+  // 500k docs — probe OOM). hammingGroups contracts to distinct sigs
+  // first: banding over ≤716 rows, components over the SIG graph,
+  // members labeled through one join — linear in n. Oracle replays the
+  // same contraction over the shared CTE chain.
+  private def ahashGroupsQ(s: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.hammingGroups(
+      ahashSigs(s, dir), "doc_id", "sig", AHashMaxHamming)
+
+  private val ahashGroupsSql: String =
+    s"""WITH RECURSIVE $ahashCtes,
+       |persig AS (
+       |  SELECT sig, MIN(p0) AS p0, MIN(p1) AS p1, MIN(p2) AS p2,
+       |    MIN(p3) AS p3, COUNT(*) AS n_members, MIN(doc_id) AS min_doc
+       |  FROM sigs GROUP BY sig),
+       |spieces AS (
+       |  SELECT sig, 0 AS piece, p0 AS pval FROM persig
+       |  UNION ALL SELECT sig, 1, p1 FROM persig
+       |  UNION ALL SELECT sig, 2, p2 FROM persig
+       |  UNION ALL SELECT sig, 3, p3 FROM persig),
+       |spairs AS (
+       |  SELECT DISTINCT a.sig AS sa, b.sig AS sb
+       |  FROM spieces a JOIN spieces b
+       |    ON a.piece = b.piece AND a.pval = b.pval AND a.sig < b.sig
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $AHashMaxHamming),
+       |sed AS (SELECT sa AS a, sb AS b FROM spairs
+       |        UNION ALL SELECT sb, sa FROM spairs),
+       |sverts AS (SELECT DISTINCT a AS v FROM sed),
+       |sreach AS (
+       |  SELECT v, v AS r FROM sverts
+       |  UNION
+       |  SELECT sreach.v, e.b AS r FROM sreach JOIN sed e ON sreach.r = e.a),
+       |scomp AS (SELECT v AS sig, MIN(r) AS gsig FROM sreach GROUP BY v),
+       |lab AS (
+       |  SELECT p.sig, p.n_members, p.min_doc, COALESCE(sc.gsig, p.sig) AS gsig
+       |  FROM persig p LEFT JOIN scomp sc ON p.sig = sc.sig),
+       |comp AS (SELECT gsig, SUM(n_members) AS cm, MIN(min_doc) AS group_id
+       |         FROM lab GROUP BY gsig),
+       |keep AS (SELECT l.sig, c.group_id FROM lab l
+       |         JOIN comp c ON l.gsig = c.gsig WHERE c.cm >= 2)
+       |SELECT s.doc_id, k.group_id FROM sigs s JOIN keep k ON s.sig = k.sig"""
+      .stripMargin
+
   // -- p3: image-dedup corpus (multimodal capstone) ---------------------
   // mm8's perceptual pairs → connected components (min-label
   // propagation, the dd6 machinery) → keep exactly one document per
@@ -453,6 +499,7 @@ object Multimodal {
     QueryDef("mm6_wav_decode", wavDecodeQ, Some(wavDecodeSql)),
     QueryDef("mm7_wav_energy", wavEnergyQ, Some(wavEnergySql)),
     QueryDef("mm8_ahash_dedup", ahashDedupQ, Some(ahashDedupSql), bench = true),
+    QueryDef("mm9_ahash_groups", ahashGroupsQ, Some(ahashGroupsSql), bench = true),
     QueryDef("p3_image_dedup", imageDedupCorpus, Some(imageDedupCorpusSql)),
   )
 }

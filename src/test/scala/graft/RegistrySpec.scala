@@ -42,6 +42,7 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
       // sketches, sampling, sessions, multimodal capstone
       "qs3_bloom_semijoin", "qs4_hll_per_key", "qs5_hist_quantile",
       "ds1_stratified_sample", "st1_sessionize", "mm8_ahash_dedup",
+      "mm9_ahash_groups",
       // pipelines + export
       "p1_clean_corpus", "p2_clean_corpus_transitive",
       "p4p_daily_increment_asset", "p5_export_manifest",
@@ -49,7 +50,7 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.benchQueries.toSet == pinned,
       s"bench set drifted: +${SparkEntry.benchQueries.toSet -- pinned} " +
         s"-${pinned -- SparkEntry.benchQueries.toSet}")
-    assert(SparkEntry.benchQueries.size == 47)
+    assert(SparkEntry.benchQueries.size == 48)
   }
 
   test("approx_count_distinct tracks the exact distinct count within 5%") {

@@ -317,6 +317,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(agree >= 0.5, s"w=1 agreement with flat argmax only $agree")
   }
 
+  test("hammingGroups == duplicateGroups(hammingPairs) incl. exact-dup heaps") {
+    import spark.implicits._
+    // a fixture with a LARGE exact-duplicate heap (one sig shared by
+    // 40 docs — the shape whose all-pairs form is quadratic), a near
+    // pair bridging two sigs, an exact pair, and singletons
+    val rows =
+      (1L to 40L).map(i => (i, 0x0F0F0F0F0F0F0F0FL)) ++          // heap of 40
+      Seq((50L, 0x0F0F0F0F0F0F0F0EL),                            // hamming 1 off the heap
+        (60L, 0x7000000000000000L), (61L, 0x7000000000000000L),  // exact pair
+        (70L, 0x1234567890ABCDEFL),                              // singleton
+        (71L, -0x0F0F0F0F0F0F0F10L))                             // negative-sig singleton
+    val sigs = rows.toDF("doc_id", "sig")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "group_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contracted = key(graft.api.Dedup.hammingGroups(sigs, "doc_id", "sig", 2))
+    val naive = key(graft.api.Dedup.duplicateGroups(
+      graft.api.Dedup.hammingPairs(sigs, "doc_id", "sig", 2), "doc_a", "doc_b"))
+    assert(contracted == naive)
+    // the heap + its hamming-1 neighbor form one 41-member group at
+    // min id 1; the exact pair groups at 60; singletons are absent
+    assert(contracted.count(_._2 == 1L) == 41)
+    assert(contracted.filter(_._2 == 60L).map(_._1) == Set(60L, 61L))
+    assert(!contracted.exists(t => t._1 == 70L || t._1 == 71L))
+  }
+
   test("hier sizing: k1 ~ sqrt(w*k) is enforced, auto path derives it") {
     val S = graft.api.Similarity
     // the rule itself: k1* minimizes k1 + w*k/k1
