@@ -175,6 +175,18 @@ object Aggregators {
       b
     }
 
+    /** True iff inserting (p, x) would leave the buffer unchanged —
+      * the O(1) fast path [[TopKAgg.reduce]] takes to skip the
+      * defensive clone: the clone is O(k) bytes PER ROW, and in steady
+      * state almost every row loses to the kth entry (at the
+      * corpus-scaled rerank budgets — k in the thousands — the clone
+      * would dominate the whole aggregate). */
+    def rejects(b: Array[Byte], p: Double, x: Long): Boolean = {
+      val k = (b.length - Header) / Slot
+      val n = count(b)
+      n == k && !better(p, x, price(b, k - 1), id(b, k - 1))
+    }
+
     def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
       var out = a; var i = 0
       val n = count(b)
@@ -194,10 +206,13 @@ object Aggregators {
     override def zero: Array[Byte] = TopK.zero(k)
     // NEVER mutate the incoming buffer: Spark may hand the same zero
     // instance (or a shared backing array) to several groups — in-place
-    // insertion cross-contaminated groups in testing. 49-byte clone per
-    // row is noise next to the shuffle it saves.
+    // insertion cross-contaminated groups in testing. The clone is
+    // skipped entirely when the row cannot change the buffer (the
+    // steady-state case — without this, an O(k)-byte copy per row
+    // dominates at corpus-scaled k).
     override def reduce(b: Array[Byte], r: Priced): Array[Byte] =
-      TopK.insert(b.clone(), r.price, r.id)
+      if (TopK.rejects(b, r.price, r.id)) b
+      else TopK.insert(b.clone(), r.price, r.id)
     override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
       TopK.mergeInto(a.clone(), b)
     override def finish(b: Array[Byte]): Array[Byte] = b

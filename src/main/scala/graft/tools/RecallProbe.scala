@@ -78,7 +78,9 @@ object RecallProbe {
         // noise exceeds the true kth-neighbor gap grows ~linearly in
         // n, so a fixed candidate budget must drown) and the ∝n knee
         // (rerank = 50 per 50 k vectors, i.e. 50·reps on this fixture).
-        val reranks = Seq(50, 50 * reps)
+        val reranks = sys.env.get("SPARK_GRAFT_RECALL_RERANKS")
+          .map(_.split(",").map(_.trim.toInt).toSeq)
+          .getOrElse(Seq(50, 50 * reps))
         // s7's operating shape: train once, encode the corpus into a
         // persisted-index-shaped frame, answer from the index
         val books = S.pqTrain(emb, "vec_id", "embedding", 8, 64, 2)
