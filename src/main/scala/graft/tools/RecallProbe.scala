@@ -91,8 +91,13 @@ object RecallProbe {
             "vec_id", "embedding", K, 8, 64, 2, r))
           report("s7_pq_index", r, S.pqTopKFromIndex(
             index, emb, queries, books, "vec_id", "embedding", K, r))
-          report("s8_ivfadc", r, S.ivfadcTopK(emb, queries,
-            "vec_id", "embedding", K, 8, 2, 8, 16, 2, 3, r))
+          // SPARK_GRAFT_RECALL_S8_KS sweeps the residual codebook size
+          // (committed geometry: 16) — the knob that decides whether
+          // s8's ceiling is probe-limited or quantization-limited
+          val s8ks = sys.env.getOrElse("SPARK_GRAFT_RECALL_S8_KS", "16").toInt
+          val s8probe = sys.env.getOrElse("SPARK_GRAFT_RECALL_S8_PROBE", "3").toInt
+          report(s"s8_ivfadc_ks${s8ks}_p$s8probe", r, S.ivfadcTopK(emb, queries,
+            "vec_id", "embedding", K, 8, 2, 8, s8ks, 2, s8probe, r))
         }
       }
     }
