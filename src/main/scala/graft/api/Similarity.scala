@@ -65,7 +65,8 @@ object Similarity extends org.apache.spark.internal.Logging {
     val stride = math.max(1L, n / k1)
     seeds.withColumn("_rk",
         row_number().over(Window.orderBy(col(idCol))).cast("long") - 1)
-      .filter(col("_rk") % stride === 0 && col("_rk") / stride < k1)
+      // integer form of rank/stride < k1 (no double-valued `/`)
+      .filter(col("_rk") % stride === 0 && col("_rk") < lit(stride * k1))
       .drop("_rk")
   }
 
