@@ -84,7 +84,18 @@ object Barrier {
     * barriers its own intermediates and has no release hook). Nested
     * scopes release only their own barriers; releasing an
     * already-released frame is a no-op, so operators that release
-    * eagerly (the dd6 fixpoint) compose fine. */
+    * eagerly (the dd6 fixpoint) compose fine.
+    *
+    * INVARIANT (r13 — [[release]] is destructive under
+    * `localCheckpoint` mode, where it used to be a no-op): any result
+    * that transitively reads a barriered frame must be FULLY
+    * MATERIALIZED (written, collected, or re-barriered into an outer
+    * scope via [[adopt]]) before the scope exits. A lazy DataFrame
+    * returned OUT of a scope fails at materialization with missing
+    * checkpoint blocks — the blocks were unpersisted at scope exit.
+    * Under `persist` mode the same escape recomputes from lineage
+    * (slow but correct); code must not rely on that mode-dependent
+    * rescue. */
   def scoped[T](body: => T): T = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     scopeStack.set(buf :: scopeStack.get)

@@ -206,9 +206,21 @@ object Export {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root),
       s"pack asset at $packDir is unseeded — call seedPackAsset first")
+    // Only dirs holding committed parquet files count: a crash mid-write
+    // (e.g. of collapsePackTotals' fold dir) leaves an empty/partial dir
+    // whose totals row was never acknowledged — reading it would throw an
+    // opaque schema-inference error and block recovery until someone
+    // hand-deletes it. Such dirs are skipped; the batch protocol writes
+    // each totals row strictly AFTER its data dir, so a skipped dir never
+    // hides an acknowledged total.
     val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filterNot(p => exclude.contains(p.getName)).map(_.toString).toSeq
-    require(dirs.nonEmpty, s"pack asset at $packDir has no totals rows")
+      .filterNot(p => exclude.contains(p.getName))
+      .filter(p => fs.listStatus(p).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet") && f.getLen > 0))
+      .map(_.toString).toSeq
+    require(dirs.nonEmpty,
+      s"pack asset at $packDir has no committed totals rows " +
+        "(crashed-attempt dirs without parquet files are ignored)")
     spark.read.parquet(dirs: _*).agg(max(col("end_total"))).head.getLong(0)
   }
 

@@ -48,13 +48,16 @@ object ExportQueries {
       shard.as("shard"), shardPos.as("shard_pos"))
   }
 
+  // shard_pos uses DuckDB integer division (`//`) — the same
+  // BIGINT-exact form as Export.roundRobinShard's `div`, exact for any
+  // position (a double-valued `/` loses exactness past 2^53)
   private val globalShuffleSql =
     s"""WITH k AS (SELECT doc_id, $keySql AS k FROM documents),
        |p AS (SELECT doc_id,
        |        CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) - 1 AS pos
        |      FROM k)
        |SELECT doc_id, pos, pos % $NShards AS shard,
-       |  CAST((pos - (pos % $NShards)) / $NShards AS BIGINT) AS shard_pos
+       |  CAST(pos // $NShards AS BIGINT) AS shard_pos
        |FROM p""".stripMargin
 
   // -- ex2: concat-then-chunk sequence packing --------------------------
@@ -234,7 +237,7 @@ object ExportQueries {
        |        CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) - 1 AS pos
        |      FROM k),
        |sh AS (SELECT doc_id, n_tokens, pos % $NShards AS shard,
-       |         CAST((pos - (pos % $NShards)) / $NShards AS BIGINT) AS shard_pos
+       |         CAST(pos // $NShards AS BIGINT) AS shard_pos
        |       FROM p)
        |SELECT shard, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,

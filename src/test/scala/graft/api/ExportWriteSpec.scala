@@ -86,26 +86,43 @@ class ExportWriteSpec extends AnyFunSuite with SparkSpec {
     assert(dirs.length == NShards)
   }
 
-  test("writeShards round-trips through the graftfs:// object store (sf0.01)") {
+  /** Run `body` with the given hadoopConfiguration keys set, restoring
+    * their previous values (or clearing them) afterwards — the shared
+    * SparkContext outlives this suite, and a leftover fs.s3g endpoint
+    * pointing at a closed FakeS3 (or a stale fs impl) would bleed into
+    * later suites' s3g/graftfs tests in the same JVM. */
+  private def withHadoopConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
-    hc.set("fs.graftfs.impl", classOf[graft.mr.GraftObjectFs].getName)
-    hc.set("fs.graftfs.impl.disable.cache", "true")
+    val saved = kvs.map { case (k, _) => k -> Option(hc.get(k)) }
+    try { kvs.foreach { case (k, v) => hc.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => hc.set(k, v)
+      case (k, None) => hc.unset(k)
+    }
+  }
+
+  test("writeShards round-trips through the graftfs:// object store (sf0.01)") {
     val tmp = Files.createTempDirectory("export-shards-fs")
-    roundTrip(s"graftfs://${tmp.toString}/shards")
+    withHadoopConf(
+      "fs.graftfs.impl" -> classOf[graft.mr.GraftObjectFs].getName,
+      "fs.graftfs.impl.disable.cache" -> "true") {
+      roundTrip(s"graftfs://${tmp.toString}/shards")
+    }
   }
 
   test("writeShards round-trips over the s3g:// S3 wire (FakeS3)") {
     val fake = new graft.s3.FakeS3()
     try {
-      val hc = spark.sparkContext.hadoopConfiguration
-      hc.set("fs.s3g.impl", classOf[graft.s3.S3SigV4Fs].getName)
-      hc.set("fs.s3g.impl.disable.cache", "true")
-      hc.set("fs.s3g.endpoint", fake.endpoint)
-      hc.set("fs.s3g.region", "us-east-1")
-      hc.set("fs.s3g.access.key", "AKIDTEST")
-      hc.set("fs.s3g.secret.key", "secret")
-      hc.setInt("fs.s3g.part.size", 65536)
-      roundTrip("s3g://export-bucket/shards")
+      withHadoopConf(
+        "fs.s3g.impl" -> classOf[graft.s3.S3SigV4Fs].getName,
+        "fs.s3g.impl.disable.cache" -> "true",
+        "fs.s3g.endpoint" -> fake.endpoint,
+        "fs.s3g.region" -> "us-east-1",
+        "fs.s3g.access.key" -> "AKIDTEST",
+        "fs.s3g.secret.key" -> "secret",
+        "fs.s3g.part.size" -> "65536") {
+        roundTrip("s3g://export-bucket/shards")
+      }
     } finally fake.close()
   }
 
