@@ -132,6 +132,30 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_S3_SECRET", "graft-bench"))
   }
 
+  /** Task-slot count for a PROBE session (ScaleProbe/RecallProbe):
+    * the requested `SPARK_GRAFT_CPUS` (default 32), capped under the
+    * object-store shuffle leg by heap ÷ per-slot budget. A probe JVM
+    * is simultaneously driver, all N executors AND the FS-shuffle
+    * client; the r13 sf100 embedding campaign measured ~250 MB/slot
+    * peak on that leg — 32 slots exactly exhaust the 8 g default heap
+    * (one warm pass OOM'd in Spark's spill read-ahead), which forced
+    * a labeled 12 g run. Deriving slots from the heap
+    * (`SPARK_GRAFT_SLOT_MB`, default 320) keeps the campaign at the
+    * default heap with a few fewer slots instead of a bigger driver.
+    * Local-sort legs are uncapped (measured clean at 32 × 8 g — and
+    * capping them would silently change the probe baseline). In
+    * production each executor owns its heap, so the per-slot budget,
+    * not the corpus, sets this bound — the cap models exactly that. */
+  private[graft] def probeCpus: String = {
+    val req = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val n = if (sys.env.contains("SPARK_GRAFT_SHUFFLE_DIR")) {
+      val slotMb = sys.env.getOrElse("SPARK_GRAFT_SLOT_MB", "320").toInt
+      val heapMb = (Runtime.getRuntime.maxMemory() / (1024L * 1024L)).toInt
+      math.max(4, math.min(req, heapMb / slotMb))
+    } else req
+    n.toString
+  }
+
   /** What the artifact's `shuffle` field should say for this run. */
   private[graft] def shuffleMode: String =
     sys.env.get("SPARK_GRAFT_SHUFFLE_DIR").fold("local-sort")(d => s"fs:$d")
@@ -224,7 +248,7 @@ object Bench {
 
     // Pass 1: cold, at the target SF (doubles as the warmup for pass 2).
     // Each pass runs under Barrier.scoped so its barriers release at
-    // pass end — a 46-query × N-pass session otherwise accumulates
+    // pass end — a full-set × N-pass session otherwise accumulates
     // every pass's localCheckpoint blocks until GC (r13; the release
     // cost is a few unpersist calls and is honestly inside the timing).
     val cold = SparkEntry.benchQueries.map { name =>

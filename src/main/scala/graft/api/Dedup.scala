@@ -13,7 +13,7 @@ import graft.functions.{HashFunctions, MinHashConstants, VectorFunctions}
   * rows); band geometry is the caller's selectivity knob and should
   * grow ~log(n) at cluster scale.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
   import MinHashConstants.Prime
 
   /** Exact dedup groups: one row per distinct normalized content, with
@@ -147,13 +147,73 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Session conf governing [[hammingPairs]]' candidate-pair budget
+    * check: `enforce` (default) throws when the banded self-join's
+    * estimated output exceeds [[PairBudgetMaxKey]], `warn` logs and
+    * proceeds, `off` skips (also skips the precheck aggregate). */
+  val PairBudgetConfKey = "spark.graft.dedup.pairbudget"
+
+  /** Candidate-pair ceiling for the budget check (long). The default
+    * 1e8 sits well under the measured wall: the r13 multimodal probe
+    * OOM'd a 32-slot/8 g session at Σc² ≈ 6.5×10⁸ intra-bucket pairs
+    * (500 k docs whose ahash space saturates at 716 distinct values —
+    * mm8's all-pairs form IS quadratic on duplicate-heaped data). */
+  val PairBudgetMaxKey = "spark.graft.dedup.pairbudget.max"
+  val PairBudgetDefault: Long = 100000000L
+
+  /** Estimate the GUARANTEED pair output — Σ over exact-signature
+    * buckets of C(c, 2), every one of which survives the hamming
+    * filter at distance 0 — and fail loud (per [[PairBudgetConfKey]])
+    * when it exceeds the budget: pair output on duplicate-heaped
+    * corpora is QUADRATIC (a 10 k-copy image is 5×10⁷ pairs), and no
+    * downstream consumer survives what the join emits. Exact-sig
+    * heaps — not band-bucket collisions — are the killer the r13
+    * probe measured: random 16-bit-piece collisions at large n stream
+    * through the hamming filter and vanish, but equal-sig pairs all
+    * land in the result (and its distinct). The precheck is one
+    * map-side-combined aggregate over the slim (id, sig) rows —
+    * trivial next to the join it guards. Double arithmetic: the
+    * estimate saturates instead of overflowing (precision is
+    * irrelevant at the 1e8 boundary). */
+  private def validatePairBudget(docs: DataFrame, what: String): Unit = {
+    val spark = docs.sparkSession
+    val mode = spark.conf.get(PairBudgetConfKey, "enforce")
+    require(Set("enforce", "warn", "off").contains(mode),
+      s"$PairBudgetConfKey must be enforce|warn|off, got '$mode'")
+    if (mode == "off") return
+    val budget = spark.conf.get(PairBudgetMaxKey,
+      PairBudgetDefault.toString).toLong
+    val est = docs.groupBy(col("sig"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1.0) / 2.0), lit(0.0)))
+      .head.getDouble(0)
+    if (est > budget) {
+      val msg = f"$what: equal-signature heaps alone guarantee ~$est%.3g " +
+        s"output pairs (> budget $budget, conf $PairBudgetMaxKey) — the " +
+        "quadratic all-pairs regime on duplicate-heaped signatures " +
+        "(measured r13: 6.5e8 intra-bucket pairs at 500k docs OOM'd a " +
+        "32-slot/8g session). Use Dedup.hammingGroups (contracts to " +
+        "distinct signatures first — linear in n, members never " +
+        s"pair-expanded), or set $PairBudgetConfKey=warn|off."
+      if (mode == "warn") logWarning(msg)
+      else throw new IllegalArgumentException(msg)
+    }
+  }
+
   /** Hamming-distance near-dup pairs over PRECOMPUTED 64-bit signatures
     * (SimHash, perceptual image hashes, any 64-bit sketch):
     * pigeonhole-complete 16-bit piece banding — hamming ≤ 3 implies at
     * least one of the 4 pieces is identical, so an equi-join on
     * (piece_idx, piece_value) finds ALL qualifying pairs with
     * O(n·4) shuffled rows at any corpus size.
-    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, each pair once. */
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, each pair once.
+    *
+    * PAIR-OUTPUT caveat (guarded since r14, [[PairBudgetConfKey]]):
+    * shuffled INPUT is linear, but the join's OUTPUT is Σ C(c, 2) over
+    * band buckets — quadratic when many rows share a signature (exact
+    * duplicate heaps: re-crawled images, boilerplate). The budget
+    * precheck throws with the estimate before the join runs; the
+    * scale-shaped form for such corpora is [[hammingGroups]]. */
   def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "16-bit piece banding is complete only for hamming <= 3")
@@ -168,6 +228,7 @@ object Dedup {
         posexplode(array((0 until 4).map(i =>
           shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "piece").withColumnRenamed("col", "pval")
+    validatePairBudget(docs, "hammingPairs")
     val a = pieces.alias("a")
     val b = pieces.alias("b")
     val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))

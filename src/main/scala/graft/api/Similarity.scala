@@ -56,6 +56,120 @@ object Similarity extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Session conf governing the PQ-family rerank-budget check
+    * ([[validateRerankSizing]]): `enforce` (default) throws on a
+    * caller-pinned rerank an order of magnitude below the calibrated
+    * curve, `warn` logs and proceeds, `off` skips. */
+  val RerankSizingConfKey = "spark.graft.rerank.sizing"
+
+  /** Tolerated shortfall below the calibrated rerank curve before the
+    * sizing check trips: pinned R < [[rerankFor]]/10 is the measured
+    * collapse regime (R = 50 at 2 M vectors is 100× under the curve
+    * and read recall 0.35; R at the /10 boundary — 500 at 50 k — read
+    * 0.85: degraded, tolerated under an explicit pin). */
+  val RerankBand = 10
+
+  /** Calibration point of the rerank auto-sizing curve — the r13
+    * RecallProbe measurement (target/r13_recall3.log): R = 5000 at
+    * n = 200 k vectors reads recall@5 = 0.97 on the near-uniform
+    * fixture (PQ's worst case), and the third decade showed required
+    * growth is SUBLINEAR (the SAME R = 5000 still reads 0.91 at 2 M
+    * vectors — the required fraction fell 10×), so the curve
+    * extrapolates as √n. NB on scale labels: the replica fixtures
+    * hold 20 k / 200 k / 2 M EMBEDDINGS at reps = 10/100/1000 (the
+    * sf0.1 source has 2 000 vectors); the r12/r13 STATUS tables
+    * labeled these decades by the 50 k / 500 k / 5 M DOCUMENT counts —
+    * the calibration here uses the true vector counts. */
+  val RerankCalibN: Long = 200000L
+  val RerankCalibR: Int = 5000
+
+  /** Corpus-derived rerank budget for the PQ family:
+    * R(n) = [[RerankCalibR]]·√(n/[[RerankCalibN]]), floored at 10·k
+    * and capped at n−1 (more candidates than corpus rows is
+    * meaningless). The √ shape is the conservative reading of the r13
+    * recall-vs-scale measurement: on near-uniform vectors the count of
+    * corpus points whose ADC noise exceeds the true kth-neighbor gap
+    * grows ~linearly in n, but codebooks trained on more data quantize
+    * better, and the measured requirement for recall ≥ 0.9 grew
+    * sublinearly (R/n fell 10× between the second and third measured
+    * decades). Real manifold-concentrated embeddings need milder
+    * growth still —
+    * re-measure the knee at the operating scale (tools/RecallProbe)
+    * before trimming below this curve. */
+  def rerankFor(n: Long, k: Int): Int = {
+    if (n <= 1) return math.max(1, k)
+    val curve = math.ceil(
+      RerankCalibR * math.sqrt(n.toDouble / RerankCalibN)).toLong
+    math.min(math.max(10L * k, curve), n - 1).toInt
+  }
+
+  /** Throw (or warn, per [[RerankSizingConfKey]]) when a pinned rerank
+    * budget sits [[RerankBand]]× below the calibrated curve for the
+    * corpus size — the guard the r13 verdict asked for: the probe
+    * measured recall collapsing 0.94 → 0.35 under a fixed tuning-scale
+    * R while nothing in the API stopped a caller from pinning it. */
+  private def validateRerankSizing(n: Long, k: Int, rerank: Int,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val mode = spark.conf.get(RerankSizingConfKey, "enforce")
+    require(Set("enforce", "warn", "off").contains(mode),
+      s"$RerankSizingConfKey must be enforce|warn|off, got '$mode'")
+    if (mode == "off" || n <= 0) return
+    val auto = rerankFor(n, k)
+    val floor = math.max(k.toLong, auto.toLong / RerankBand)
+    if (rerank < floor) {
+      val msg = s"PQ rerank budget $rerank is >${RerankBand}x below the " +
+        s"calibrated curve for a $n-row corpus: R(n) = $RerankCalibR * " +
+        s"sqrt(n/$RerankCalibN) = $auto (floor $floor). A tuning-scale " +
+        "constant collapses recall as the corpus grows (measured r13: " +
+        "R=50 read recall@5 0.35 at 2M vectors vs 0.91 at the " +
+        "corpus-scaled R=5000). Use the auto-sized overload (no rerank " +
+        "arg), re-measure the knee at this scale with tools/RecallProbe, " +
+        s"or set $RerankSizingConfKey=warn|off."
+      if (mode == "warn") logWarning(msg)
+      else throw new IllegalArgumentException(msg)
+    }
+  }
+
+  /** Session conf governing the IVFADC probe-width check: same
+    * enforce|warn|off contract as [[RerankSizingConfKey]]. */
+  val ProbeSizingConfKey = "spark.graft.nprobe.sizing"
+
+  /** Cell-probe width for a recall-robust IVFADC scan: half the cells —
+    * the measured 0.94-recall point of the r12 PqTune sweep (nProbe 4
+    * of 8 + corpus-scaled rerank matches cell-free s6's recall at half
+    * the code scan). The committed s8 knee (3 of 8, recall 0.88 at
+    * tune scale) sits inside the tolerated band below this. */
+  def probeFor(nCells: Int): Int = math.max(1, (nCells + 1) / 2)
+
+  /** Throw (or warn, per [[ProbeSizingConfKey]]) when a pinned nProbe
+    * is below HALF of [[probeFor]] (i.e. < nCells/4) — the
+    * probe-starved regime: the r13 sweep measured s8's recall ceiling
+    * as PROBE-limited (nProbe 3 → 8 moved 0.70 → 0.87 at 200 k while
+    * 4× the residual codes moved it only 0.70 → 0.73), so too few
+    * probed cells is unfixable by any rerank budget: true neighbors
+    * in unprobed cells are unreachable. */
+  private def validateProbeSizing(nCells: Int, nProbe: Int,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val mode = spark.conf.get(ProbeSizingConfKey, "enforce")
+    require(Set("enforce", "warn", "off").contains(mode),
+      s"$ProbeSizingConfKey must be enforce|warn|off, got '$mode'")
+    if (mode == "off") return
+    val floor = math.max(1, (nCells + 3) / 4)
+    if (nProbe < floor) {
+      val msg = s"IVFADC nProbe=$nProbe of $nCells cells is below the " +
+        s"probe-starved floor $floor (= nCells/4; the recall-robust " +
+        s"width is probeFor(nCells) = ${probeFor(nCells)}). Recall in " +
+        "this regime is PROBE-limited — true neighbors in unprobed " +
+        "cells are unreachable at any rerank budget (measured r13: " +
+        "nProbe 3->8 moved recall 0.70->0.87 at 200k vectors while 4x " +
+        "the residual codes moved it 0.70->0.73). Use the auto-sized " +
+        "overload, re-measure with tools/RecallProbe, or set " +
+        s"$ProbeSizingConfKey=warn|off."
+      if (mode == "warn") logWarning(msg)
+      else throw new IllegalArgumentException(msg)
+    }
+  }
+
   /** Deterministic evenly-id-rank-spaced k₁-row subset of `seeds` —
     * the auto-sizing path's coarse routing table. Spread (not prefix)
     * so the coarse cells sample the seed population; tiny-frame window
@@ -519,15 +633,39 @@ object Similarity extends org.apache.spark.internal.Logging {
     * PQ's worst case — the number of corpus points whose ADC noise
     * exceeds the true kth-neighbor gap grows ~linearly in n, so
     * holding R fixed while the corpus grows collapses recall (0.90 at
-    * the 50 k tuning scale → 0.43/0.40 at 500 k/5 M with R = 50);
+    * the 20 k tuning-fixture decade → 0.43/0.40 at 200 k/2 M with R = 50);
     * R ∝ n restores it. Real text embeddings concentrate on a
     * lower-dimensional manifold and need milder growth — re-measure
     * the R-recall knee at the operating scale (tools/RecallProbe)
-    * rather than shipping the tuning-scale constant. */
+    * rather than shipping the tuning-scale constant. Since r14 this is
+    * ENFORCED, not advisory: a pinned rerank more than [[RerankBand]]×
+    * below the calibrated [[rerankFor]] curve throws (conf-gated,
+    * [[RerankSizingConfKey]]), and the no-rerank overload derives the
+    * budget from the corpus count. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int, ks: Int, iters: Int, rerank: Int): DataFrame = {
     val c = Barrier(normed(corpus, idCol, vecCol))
+    // the count is over the barriered (materialized) frame — cheap
+    validateRerankSizing(c.count(), k, rerank, corpus.sparkSession)
+    pqTopKImpl(c, queries, idCol, vecCol, k, m, ks, iters, rerank)
+  }
+
+  /** AUTO-SIZED [[pqTopK]]: the rerank budget is derived from the
+    * corpus row count ([[rerankFor]]) — the sizing-by-construction
+    * path (a caller cannot recreate the measured fixed-R recall
+    * collapse through it). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int, ks: Int, iters: Int): DataFrame = {
+    val c = Barrier(normed(corpus, idCol, vecCol))
+    pqTopKImpl(c, queries, idCol, vecCol, k, m, ks, iters,
+      rerankFor(c.count(), k))
+  }
+
+  private def pqTopKImpl(c: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int, ks: Int, iters: Int, rerank: Int): DataFrame = {
     val booksRow = booksRowOf(pqTrain(c, "vec_id", "embedding", m, ks, iters))
     pqQueryTail(pqIndexOf(c, booksRow), c,
       normed(queries, idCol, vecCol), booksRow, k, rerank)
@@ -575,10 +713,27 @@ object Similarity extends org.apache.spark.internal.Logging {
       books: DataFrame, idCol: String, vecCol: String,
       k: Int, rerank: Int): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
+    // n for the sizing check is the BASE corpus row count (the index
+    // covers the base table by contract): counting the base is a
+    // metadata-only parquet count in the production shape, where
+    // counting the index frame could replay the increment's encode
+    validateRerankSizing(base.count(), k, rerank, queries.sparkSession)
     pqQueryTail(
       index.select(col(idCol).as("vec_id"), col("nrm"), col("codes")),
       normed(base, idCol, vecCol),
       normed(queries, idCol, vecCol), booksRowOf(books), k, rerank)
+  }
+
+  /** AUTO-SIZED [[pqTopKFromIndex]]: rerank derived from the base
+    * corpus row count ([[rerankFor]]). */
+  def pqTopKFromIndex(index: DataFrame, base: DataFrame, queries: DataFrame,
+      books: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    pqQueryTail(
+      index.select(col(idCol).as("vec_id"), col("nrm"), col("codes")),
+      normed(base, idCol, vecCol),
+      normed(queries, idCol, vecCol), booksRowOf(books), k,
+      rerankFor(base.count(), k))
   }
 
   /** Shared PQ query tail: per-query LUTs (broadcast), ADC scoring of
@@ -641,8 +796,32 @@ object Similarity extends org.apache.spark.internal.Logging {
       idCol: String, vecCol: String, k: Int,
       nCells: Int, coarseIters: Int, m: Int, ks: Int, pqIters: Int,
       nProbe: Int, rerank: Int): DataFrame = {
-    import graft.functions.PqFunctions
     val c = Barrier(normed(corpus, idCol, vecCol))
+    validateProbeSizing(nCells, nProbe, corpus.sparkSession)
+    validateRerankSizing(c.count(), k, rerank, corpus.sparkSession)
+    ivfadcTopKImpl(c, queries, idCol, vecCol, k, nCells, coarseIters,
+      m, ks, pqIters, nProbe, rerank)
+  }
+
+  /** AUTO-SIZED [[ivfadcTopK]]: nProbe = [[probeFor]] (half the
+    * cells — the measured recall-robust width) and rerank =
+    * [[rerankFor]] (the corpus-calibrated √n curve) are both derived —
+    * the path a caller gets when they have no operating-scale recall
+    * measurement of their own. */
+  def ivfadcTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int, coarseIters: Int, m: Int, ks: Int,
+      pqIters: Int): DataFrame = {
+    val c = Barrier(normed(corpus, idCol, vecCol))
+    ivfadcTopKImpl(c, queries, idCol, vecCol, k, nCells, coarseIters,
+      m, ks, pqIters, probeFor(nCells), rerankFor(c.count(), k))
+  }
+
+  private def ivfadcTopKImpl(c: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int, coarseIters: Int, m: Int, ks: Int, pqIters: Int,
+      nProbe: Int, rerank: Int): DataFrame = {
+    import graft.functions.PqFunctions
     val cf = c.select(col("vec_id"), col("embedding"))
     val coarse = Barrier(kmeansLoopL2(cf,
       cf.filter(col("vec_id") < nCells), coarseIters))

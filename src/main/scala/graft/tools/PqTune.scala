@@ -18,6 +18,11 @@ object PqTune {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
+      // the tuner's whole job is sweeping geometries BELOW the sizing
+      // floors to locate the knees — the enforcement (r14) must not
+      // veto the sweep that calibrates it
+      .config(graft.api.Similarity.RerankSizingConfKey, "off")
+      .config(graft.api.Similarity.ProbeSizingConfKey, "off")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -482,16 +482,118 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     val indexRt = spark.read.parquet(s"$dir/index")
       .unionByName(graft.api.Similarity.pqEncodeIndex(inc, booksRt, "vec_id", "embedding"))
     val fromAsset = graft.api.Similarity.pqTopKFromIndex(
-      indexRt, emb, queries, booksRt, "vec_id", "embedding", 5, 20)
+      indexRt, emb, queries, booksRt, "vec_id", "embedding", 5, 50)
     val inMem = graft.api.Similarity.pqTopKFromIndex(
       graft.api.Similarity.pqEncodeIndex(corpus, books, "vec_id", "embedding")
         .unionByName(graft.api.Similarity.pqEncodeIndex(inc, books, "vec_id", "embedding")),
-      emb, queries, books, "vec_id", "embedding", 5, 20)
+      emb, queries, books, "vec_id", "embedding", 5, 50)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val a = key(fromAsset)
     assert(a.size == 50)
     assert(a == key(inMem))
+  }
+
+  test("rerank sizing: calibrated floor enforced, warn/off downgrade, auto path derives it") {
+    val S = graft.api.Similarity
+    // the curve: calibration point, 10k floor, n-1 cap, monotone in n
+    assert(S.rerankFor(S.RerankCalibN, 5) == S.RerankCalibR)
+    assert(S.rerankFor(10L, 3) == 9) // capped at n-1
+    assert(S.rerankFor(1000L, 50) == 500) // 10k floor binds at small n
+    val rs = Seq(1000L, 10000L, 100000L, 1000000L).map(S.rerankFor(_, 5))
+    assert(rs == rs.sorted && rs.distinct == rs)
+    val emb = graft.Tables.embeddings(spark, sf0001) // 500 vectors
+    val queries = emb.filter(col("vec_id") < 3)
+    // pinned R an order of magnitude under the curve throws — floor
+    // at n=500 is rerankFor(500,5)/10 = 25, so R=10 is rejected...
+    val e = intercept[IllegalArgumentException] {
+      S.pqTopK(emb, queries, "vec_id", "embedding", 5, 8, 16, 1, 10)
+    }
+    assert(e.getMessage.contains("rerank") &&
+      e.getMessage.contains("RecallProbe"))
+    // ...while the committed fixture geometry (R=50) stays in-band
+    // (s6/s7 pass the oracle gate under the default enforce mode)
+    assert(50 >= S.rerankFor(500L, 5) / S.RerankBand)
+    // warn and off modes proceed
+    for (m <- Seq("warn", "off")) {
+      spark.conf.set(S.RerankSizingConfKey, m)
+      try assert(S.pqTopK(emb, queries,
+        "vec_id", "embedding", 5, 8, 16, 1, 10).count() == 15)
+      finally spark.conf.unset(S.RerankSizingConfKey)
+    }
+    // the auto overload ≡ pinned at rerankFor(n, k) — the
+    // sizing-by-construction path
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val auto = key(S.pqTopK(emb, queries, "vec_id", "embedding", 5, 8, 16, 1))
+    val pinned = key(S.pqTopK(emb, queries, "vec_id", "embedding", 5, 8, 16, 1,
+      S.rerankFor(emb.count(), 5)))
+    assert(auto == pinned && auto.size == 15)
+    // the index path enforces through the BASE corpus count
+    val books = S.pqTrain(emb, "vec_id", "embedding", 8, 16, 1)
+    val index = S.pqEncodeIndex(emb, books, "vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      S.pqTopKFromIndex(index, emb, queries, books, "vec_id", "embedding", 5, 10)
+    }
+    assert(e2.getMessage.contains("rerank"))
+    val autoIdx = key(S.pqTopKFromIndex(index, emb, queries, books,
+      "vec_id", "embedding", 5))
+    val pinnedIdx = key(S.pqTopKFromIndex(index, emb, queries, books,
+      "vec_id", "embedding", 5, S.rerankFor(emb.count(), 5)))
+    assert(autoIdx == pinnedIdx && autoIdx.size == 15)
+  }
+
+  test("ivfadc probe sizing: probe-starved nProbe rejected, auto derives half the cells") {
+    val S = graft.api.Similarity
+    assert(S.probeFor(8) == 4 && S.probeFor(1) == 1 && S.probeFor(16) == 8)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 3)
+    // nProbe=1 of 8 cells < the nCells/4 floor — the probe-starved
+    // regime the r13 sweep measured as unfixable by rerank
+    val e = intercept[IllegalArgumentException] {
+      S.ivfadcTopK(emb, queries, "vec_id", "embedding", 5,
+        8, 1, 8, 16, 1, 1, 50)
+    }
+    assert(e.getMessage.contains("nProbe") &&
+      e.getMessage.contains("PROBE-limited"))
+    // the committed s8 knee (3 of 8) stays inside the band
+    assert(3 >= (8 + 3) / 4)
+    // auto overload ≡ pinned at (probeFor(nCells), rerankFor(n, k))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val auto = key(S.ivfadcTopK(emb, queries, "vec_id", "embedding", 5,
+      8, 1, 8, 16, 1))
+    val pinned = key(S.ivfadcTopK(emb, queries, "vec_id", "embedding", 5,
+      8, 1, 8, 16, 1, S.probeFor(8), S.rerankFor(emb.count(), 5)))
+    assert(auto == pinned && auto.size == 15)
+  }
+
+  test("hammingPairs pair budget: duplicate heaps fail loud, pointing at hammingGroups") {
+    import spark.implicits._
+    val D = graft.api.Dedup
+    // a 40-copy exact-signature heap: C(40,2) = 780 guaranteed pairs
+    val heap = (0L until 40L).map(i => (i, 0x1234ABCDL)).toDF("doc_id", "sig")
+    spark.conf.set(D.PairBudgetMaxKey, "500")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        D.hammingPairs(heap, "doc_id", "sig")
+      }
+      assert(e.getMessage.contains("hammingGroups") &&
+        e.getMessage.contains("780"))
+      // warn mode proceeds and the join emits the full heap
+      spark.conf.set(D.PairBudgetConfKey, "warn")
+      try assert(D.hammingPairs(heap, "doc_id", "sig").count() == 780)
+      finally spark.conf.unset(D.PairBudgetConfKey)
+      // the component form passes UNDER THE SAME 500-pair budget: it
+      // contracts to one distinct signature before banding, so its
+      // inner pair join sees 0 guaranteed pairs — the whole point
+      val groups = D.hammingGroups(heap, "doc_id", "sig").collect()
+      assert(groups.length == 40 && groups.forall(_.getLong(1) == 0L))
+    } finally spark.conf.unset(D.PairBudgetMaxKey)
+    // fixture-scale corpora pass untouched under the DEFAULT budget
+    // (mm8/dd4's oracle-gated calls run with no conf set)
+    assert(run("dd4_simhash").columns.sameElements(
+      Seq("doc_a", "doc_b", "hamming")))
   }
 
   test("vec_dot expression matches higher-order-function dot") {

@@ -514,11 +514,11 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       val fromAsset = graft.api.Similarity.pqTopKFromIndex(
         graft.api.Dedup.readSignatureAsset(spark, s"$work/index"),
         emb, queries, spark.read.parquet(s"$work/books"),
-        "vec_id", "embedding", 5, 20).collect()
+        "vec_id", "embedding", 5, 50).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
       val inMem = graft.api.Similarity.pqTopKFromIndex(
         graft.api.Similarity.pqEncodeIndex(emb, books, "vec_id", "embedding"),
-        emb, queries, books, "vec_id", "embedding", 5, 20).collect()
+        emb, queries, books, "vec_id", "embedding", 5, 50).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
       assert(fromAsset == inMem)
       assert(fromAsset.size == 50)
