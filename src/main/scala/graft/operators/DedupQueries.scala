@@ -143,7 +143,7 @@ object DedupQueries {
   // is dd3's band CTE restricted to inc-touching pairs, which
   // dd7(corpus, inc) equals exactly (same candidates, same
   // verification; property-pinned in DedupSimilaritySpec).
-  private[operators] val IncMod = 10
+  private[graft] val IncMod = 10
 
   private def incremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)

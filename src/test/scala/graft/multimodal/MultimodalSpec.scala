@@ -107,4 +107,20 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     } yield (a, b)
     assert(missing.isEmpty, s"missed ${missing.take(5)} of the family pairs")
   }
+
+  test("p6 daily image increment ≡ batch-global image-dedup survivors") {
+    // the composed daily verb (seed corpus assets → increment sigs →
+    // dd8 pairs → dd10 groups → upsert+compact → keep/drop) must
+    // reproduce the batch-global answer p3 computes in one shot —
+    // increment ≡ recompute for the whole image pipeline (the same
+    // equivalence p4's oracle pins for text)
+    val p6 = graft.Registry.queries("p6_daily_image_increment")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.Registry.queries("p3_image_dedup")(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(p6 == batch)
+    // the verb actually dropped someone (the fixture plants near-dup
+    // families spanning the corpus/increment split) and kept leaders
+    assert(p6.nonEmpty && p6.size < 500)
+  }
 }
