@@ -35,7 +35,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // SPARK_GRAFT_JVM_CONFS="spark.a=1,spark.b=2" → -Dspark.a=1 ... :
+  // SparkConf reads spark.* system properties, so measurement mains can
+  // run A/B legs (e.g. sizing guards off) without code changes
+  sys.env.get("SPARK_GRAFT_JVM_CONFS").toSeq.flatMap(_.split(",").toSeq)
+    .map(kv => s"-D${kv.trim}")
 // suites share one SparkSession and a few tests toggle session confs
 // (AQE, broadcast threshold) — run suites sequentially for determinism
 Test / parallelExecution := false

@@ -344,7 +344,24 @@ object Dedup extends org.apache.spark.internal.Logging {
     * so expanding ONE side of the self-join is complete. Candidates stay
     * O(n·tables·(1+probes)) — recall at the low-similarity end grows
     * ~linearly in probes without adding hash tables (each of which
-    * would re-shuffle the corpus). */
+    * would re-shuffle the corpus).
+    *
+    * SIZING at corpus scale (measured, r14 LSH recall probe — three
+    * decades to 2 M vectors): candidate-generation recall is
+    * SCALE-FREE (a collision is a per-pair Bernoulli in the pair's
+    * angle — 0.94 at the committed 8×6 geometry at every decade; the
+    * PQ fixed-R collapse has no analogue here), but candidate VOLUME
+    * grows as n²·tables/2^planes (measured ×100 per decade —
+    * 1.8×10¹² at 2 M rows at the committed geometry). The documented
+    * planes ~ log(n) discipline controls volume at a measured recall
+    * price (0.94 → 0.61 → 0.26 at planes 6/9/12), compensated by
+    * tables per [[Similarity.lshTablesFor]] (T*(0.9) = 7/20/61 —
+    * from the scale-free measured per-table rate). For
+    * LOW-similarity thresholds (≈0.4, this fixture's regime) the
+    * rate decays faster than 2^planes prunes, so at corpus scale
+    * banded LSH cannot hold both linear volume and 0.9 recall there:
+    * it is the HIGH-similarity near-dup tool; use the PQ/IVF family
+    * for low-similarity search. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       tables: Int, planes: Int, threshold: Double, probes: Int = 0): DataFrame = {
     require(probes >= 0 && probes <= planes,

@@ -170,6 +170,29 @@ object Similarity extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Hash tables needed for a target candidate recall given a
+    * measured per-table collision rate — the hyperplane-LSH
+    * compensation knee: collisions are independent across tables, so
+    * recall = 1 − (1−r)^T and T*(R) = ln(1−R)/ln(1−r). `r` is a
+    * per-pair property of the similarity regime and the geometry,
+    * NOT of the corpus size (measured scale-free across three
+    * decades, r14 LSH recall probe: r = 0.301/0.110/0.037 at
+    * planes 6/9/12 with full multi-probe on the cos≈0.4–0.5 fixture
+    * → T*(0.9) = 7/20/61) — measure r at the operating geometry with
+    * tools/RecallProbe (family=lsh), then size tables here. Candidate
+    * volume scales as n²·T/2^planes: for LOW-similarity thresholds
+    * r(planes) decays faster than 2^planes prunes, so no (T, planes)
+    * holds both linear volume and high recall at corpus scale — use
+    * the PQ/IVF family there; banded LSH is the high-similarity
+    * near-dup tool. */
+  def lshTablesFor(recallTarget: Double, perTableRate: Double): Int = {
+    require(recallTarget > 0 && recallTarget < 1,
+      s"recallTarget must be in (0,1), got $recallTarget")
+    require(perTableRate > 0 && perTableRate < 1,
+      s"perTableRate must be in (0,1), got $perTableRate")
+    math.ceil(math.log1p(-recallTarget) / math.log1p(-perTableRate)).toInt
+  }
+
   /** Deterministic evenly-id-rank-spaced k₁-row subset of `seeds` —
     * the auto-sizing path's coarse routing table. Spread (not prefix)
     * so the coarse cells sample the seed population; tiny-frame window
@@ -214,7 +237,20 @@ object Similarity extends org.apache.spark.internal.Logging {
 
   /** ANN via hyperplane-LSH buckets: candidates from a (tbl, sig)
     * equi-join, exact re-rank inside buckets. O(n·tables) candidate
-    * rows — the scale path; planes ~ log(n). */
+    * rows — the scale path; planes ~ log(n).
+    *
+    * RECALL contract (measured, r14 LSH recall probe): a true
+    * neighbor is returned only if it shares a bucket — a per-pair
+    * Bernoulli whose rate depends on the pair's ANGLE, not the
+    * corpus size. One-shot bucketing at the committed 4×12 geometry
+    * recalls high-similarity neighbors (near-dups) and almost none
+    * of a DIFFUSE corpus's top-k (measured 0.01–0.07 recall@5 on the
+    * near-uniform fixture at every scale, where the true top-5
+    * cosines sit at 0.4–0.7): this verb is a high-similarity
+    * retrieval tool; for top-k on diffuse embeddings use
+    * [[cosineTopK]] (small query sets) or the PQ/IVF family
+    * ([[pqTopK]]/[[ivfadcTopK]]) with corpus-scaled budgets. Size
+    * tables from a measured per-table rate via [[lshTablesFor]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       tables: Int, planes: Int): DataFrame = {

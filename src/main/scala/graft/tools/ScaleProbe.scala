@@ -278,7 +278,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(s"[probe] shuffle: ${graft.Bench.shuffleMode}")
+    println(s"[probe] shuffle: ${graft.Bench.shuffleMode}, slots: $cpus")
 
     // the fixture dir encodes reps: a rerun with a different reps must
     // build its own fixture, not silently reuse one at the wrong scale

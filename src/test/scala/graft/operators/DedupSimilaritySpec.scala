@@ -502,6 +502,11 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(S.rerankFor(1000L, 50) == 500) // 10k floor binds at small n
     val rs = Seq(1000L, 10000L, 100000L, 1000000L).map(S.rerankFor(_, 5))
     assert(rs == rs.sorted && rs.distinct == rs)
+    // the LSH compensation knee: T = ln(1-R)/ln(1-r), pinned at the
+    // r14-measured scale-free per-table rates (planes 6/9/12)
+    assert(S.lshTablesFor(0.9, 0.301) == 7)
+    assert(S.lshTablesFor(0.9, 0.110) == 20)
+    assert(S.lshTablesFor(0.9, 0.037) == 62)
     val emb = graft.Tables.embeddings(spark, sf0001) // 500 vectors
     val queries = emb.filter(col("vec_id") < 3)
     // pinned R an order of magnitude under the curve throws — floor
