@@ -250,18 +250,48 @@ object Similarity extends org.apache.spark.internal.Logging {
     * retrieval tool; for top-k on diffuse embeddings use
     * [[cosineTopK]] (small query sets) or the PQ/IVF family
     * ([[pqTopK]]/[[ivfadcTopK]]) with corpus-scaled budgets. Size
-    * tables from a measured per-table rate via [[lshTablesFor]]. */
+    * tables from a measured per-table rate via [[lshTablesFor]];
+    * `probes` buys back recall on the QUERY side without touching
+    * the corpus (see below). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      tables: Int, planes: Int): DataFrame = {
+      tables: Int, planes: Int): DataFrame =
+    lshTopK(corpus, queries, idCol, vecCol, k, tables, planes, probes = 0)
+
+  /** Multi-probe [[lshTopK]] — the measured fix for the one-shot
+    * recall floor: each query additionally probes `probes` Hamming-1
+    * neighbor buckets per table (bit p flipped, p < probes — the
+    * [[graft.api.Dedup.embeddingPairs]] mechanics applied to the
+    * query side). The corpus side is UNTOUCHED — n·tables slim rows
+    * as before — and the probe expansion multiplies only the (tiny)
+    * broadcast query bucket set by (1+probes), so recall per table
+    * rises from p^planes to p^planes + probes·p^(planes−1)(1−p) at
+    * ~zero corpus-side cost. The r14 probe measured the one-shot
+    * committed geometry at 0.01–0.07 recall@5 on the diffuse fixture;
+    * full multi-probe lifts the per-table rate several-fold (see the
+    * dd5 one-shot-vs-probed columns in the same table: 0.43 → 0.93 at
+    * 8×6). For high recall on DIFFUSE corpora the PQ family remains
+    * the scale path — multi-probe raises the floor, not the law. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      tables: Int, planes: Int, probes: Int): DataFrame = {
+    require(probes >= 0 && probes <= planes,
+      s"probes must be in [0, planes=$planes], got $probes")
     def tagged(df: DataFrame) = normed(df, idCol, vecCol).select(
         col("vec_id"), col("embedding"), col("nrm"),
         posexplode(VectorFunctions.lshSignatures(col("embedding"), tables, planes)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
     val c = tagged(corpus)
+    // the query side visits its own bucket plus `probes` bit-flipped
+    // neighbors; Hamming-1 adjacency is symmetric, so expanding the
+    // query side alone finds every pair within one probed bit
+    val buckets = array(lit(0L) +:
+      (0 until probes).map(p => lit(1L << p)): _*)
     val q = tagged(queries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("tbl").as("q_tbl"), col("sig").as("q_sig"))
+        col("nrm").as("q_nrm"), col("tbl").as("q_tbl"),
+        explode(transform(buckets, f => col("sig").bitwiseXOR(f)))
+          .as("q_sig"))
     val cos = VectorFunctions.cosinePre(
       VectorFunctions.dot(col("q_emb"), col("embedding")),
       col("q_nrm"), col("nrm"))
@@ -269,7 +299,7 @@ object Similarity extends org.apache.spark.internal.Logging {
         col("q_tbl") === col("tbl") && col("q_sig") === col("sig") &&
           col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
-      .distinct() // a pair may share buckets in several tables
+      .distinct() // a pair may share buckets in several tables/probes
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k)
   }

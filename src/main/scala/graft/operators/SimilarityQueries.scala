@@ -68,6 +68,22 @@ object SimilarityQueries {
       NTables, NPlanes)
   }
 
+  // -- s2p: multi-probe LSH ANN ------------------------------------------
+  // The measured fix for s2's one-shot recall floor (r14 LSH recall
+  // probe: the 4×12 one-shot geometry recalls 1–7% of exact top-5 on
+  // the diffuse fixture at every scale): each query also probes every
+  // Hamming-1 neighbor bucket per table — the dd5 multi-probe
+  // mechanics applied to the query side. The corpus side is untouched
+  // (n·tables slim rows); the expansion multiplies only the broadcast
+  // query bucket set by (1+planes).
+  private def lshProbedTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimConstants.{NPlanes, NTables}
+    val e = Tables.embeddings(s, dir)
+    graft.api.Similarity.lshTopK(
+      e, e.filter(col("vec_id") < NQueries), "vec_id", "embedding", K,
+      NTables, NPlanes, probes = NPlanes)
+  }
+
   // -- s3: IVF ANN ------------------------------------------------------
   // deterministic "training": seed centroids are the first NCells vectors
   private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
@@ -491,9 +507,44 @@ object SimilarityQueries {
        |WHERE rank <= $K""".stripMargin
   }
 
+  /** s2p oracle: s2's chain with the query side expanded to its own
+    * bucket plus every Hamming-1 flipped bucket (xor with 2^p) —
+    * replays the multi-probe band condition exactly. */
+  private val lshProbedTopKSql = {
+    import graft.functions.SimConstants.{NPlanes, NTables}
+    val sigBranches = VectorFunctions.lshSigsSql(NTables, NPlanes)
+    val flips = "sig" +: (0 until NPlanes).map(p => s"xor(sig, ${1L << p})")
+    val qprobe = flips.map(f =>
+      s"SELECT vec_id, embedding, nrm, tbl, $f AS sig FROM qsigs")
+      .mkString("\n  UNION ALL\n")
+    val cos = s"(${VectorFunctions.dotSql("q.embedding", "p.embedding")} / (q.nrm * p.nrm))"
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${VectorFunctions.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |sigs AS (
+       |$sigBranches),
+       |qsigs AS (SELECT * FROM sigs WHERE vec_id < $NQueries),
+       |qprobe AS (
+       |$qprobe),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, p.vec_id AS n_id, $cos AS cos
+       |  FROM qprobe q JOIN sigs p
+       |    ON q.tbl = p.tbl AND q.sig = p.sig AND q.vec_id <> p.vec_id)
+       |SELECT q_id, n_id, cos, rank FROM (
+       |  SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id) AS INTEGER) AS rank
+       |  FROM cand) t
+       |WHERE rank <= $K""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("s1_cosine_topk", bruteTopK, Some(bruteTopKSql), bench = true),
     QueryDef("s2_ann_lsh", lshTopK, Some(lshTopKSql), bench = true),
+    // same kernel family as s2 (the bench-subset rule excludes
+    // same-kernel twins), so correctness-gated but not benched
+    QueryDef("s2p_ann_lsh_probed", lshProbedTopK, Some(lshProbedTopKSql)),
     QueryDef("s3_ann_ivf", ivfTopK, Some(ivfTopKSql), bench = true),
     QueryDef("s4_ann_ivf_trained", ivfTrained, Some(ivfTrainedSql), bench = true),
     QueryDef("s5_ann_ivf_hier", ivfHier, Some(ivfHierSql), bench = true),

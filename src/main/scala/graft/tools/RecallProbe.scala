@@ -296,6 +296,19 @@ object RecallProbe {
           f""""planes":${graft.functions.SimConstants.NPlanes},""" +
           f""""n_queries":${exact.size},"k":$K,""" +
           f""""recall":${recalls.sum / recalls.size}%.4f}""")
+        // s2p: the multi-probe variant (query side also visits every
+        // Hamming-1 bucket) — the r14 fix for the one-shot floor
+        val s2p = topkSets(S.lshTopK(emb, queries, "vec_id", "embedding", K,
+          graft.functions.SimConstants.NTables,
+          graft.functions.SimConstants.NPlanes,
+          probes = graft.functions.SimConstants.NPlanes))
+        val recallsP = exact.map { case (q, t) =>
+          s2p.getOrElse(q, Set.empty).intersect(t).size.toDouble / K
+        }
+        println(f"""{"probe":"lsh_recall","verb":"s2p_ann_lsh_probed",""" +
+          f""""reps":$reps,"n":$n,""" +
+          f""""n_queries":${exact.size},"k":$K,""" +
+          f""""recall":${recallsP.sum / recallsP.size}%.4f}""")
       }
     }
   }

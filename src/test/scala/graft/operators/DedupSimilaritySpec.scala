@@ -601,6 +601,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       Seq("doc_a", "doc_b", "hamming")))
   }
 
+  test("s2p multi-probe lshTopK: probes=0 is exactly s2, full probes never lowers recall") {
+    import graft.functions.SimConstants.{NPlanes, NTables}
+    val S = graft.api.Similarity
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = key(S.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      NTables, NPlanes))
+    assert(oneShot == key(S.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      NTables, NPlanes, probes = 0)))
+    val probed = key(S.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      NTables, NPlanes, probes = NPlanes))
+    val exact = key(S.cosineTopK(emb, queries, "vec_id", "embedding", 5))
+    // probing Hamming-1 buckets only ADDS candidates, and the re-rank
+    // is exact, so recall vs the exact baseline cannot drop
+    def recall(got: Set[(Long, Long)]) =
+      exact.count(got).toDouble / exact.size
+    assert(recall(probed) >= recall(oneShot),
+      s"probed ${recall(probed)} < one-shot ${recall(oneShot)}")
+  }
+
   test("vec_dot expression matches higher-order-function dot") {
     VectorFunctions.register(spark)
     val e = graft.Tables.embeddings(spark, sf0001).limit(50)
