@@ -80,7 +80,7 @@ object ExportQueries {
        |      AS cum_before
        |  FROM k)
        |SELECT doc_id, n_tokens, cum_before,
-       |  CAST((cum_before - (cum_before % $SeqLen)) / $SeqLen AS BIGINT) AS seq_id,
+       |  CAST(cum_before // $SeqLen AS BIGINT) AS seq_id,
        |  cum_before % $SeqLen AS seq_off
        |FROM c""".stripMargin
 
@@ -185,7 +185,7 @@ object ExportQueries {
        |      + (SELECT bt FROM base) AS cum_before
        |  FROM k)
        |SELECT doc_id, n_tokens, cum_before,
-       |  CAST((cum_before - (cum_before % $SeqLen)) / $SeqLen AS BIGINT) AS seq_id,
+       |  CAST(cum_before // $SeqLen AS BIGINT) AS seq_id,
        |  cum_before % $SeqLen AS seq_off
        |FROM c""".stripMargin
 
@@ -282,7 +282,7 @@ object ExportQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
        |      AS cum_before
        |  FROM k)
-       |SELECT CAST((cum_before - (cum_before % $SeqLen)) / $SeqLen AS BIGINT)
+       |SELECT CAST(cum_before // $SeqLen AS BIGINT)
        |    AS seq_id,
        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
        |FROM c GROUP BY 1""".stripMargin
