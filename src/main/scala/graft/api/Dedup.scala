@@ -161,6 +161,73 @@ object Dedup extends org.apache.spark.internal.Logging {
   val PairBudgetMaxKey = "spark.graft.dedup.pairbudget.max"
   val PairBudgetDefault: Long = 100000000L
 
+  /** Session conf governing [[embeddingPairs]]' candidate-VOLUME
+    * check: `enforce` (default) throws when the LSH band join's
+    * estimated candidate count exceeds [[CandBudgetMaxKey]], `warn`
+    * logs and proceeds, `off` skips. Distinct from
+    * [[PairBudgetConfKey]] in SEMANTICS and scale: hammingPairs'
+    * budget bounds pairs that SURVIVE to the output (exact-dup heaps
+    * — an output/downstream explosion at ~1e8), while LSH candidates
+    * are mostly filtered by the exact-cosine verification and cost
+    * compute/shuffle linearly — the wall is later (default 1e10
+    * ≈ hundreds of GB of candidate shuffle; the r14 probe measured
+    * the committed dd5 geometry at 1.8e12 candidates on 2 M rows —
+    * DNF territory — growing ×100 per decade at fixed planes). */
+  val CandBudgetConfKey = "spark.graft.dedup.candbudget"
+  val CandBudgetMaxKey = "spark.graft.dedup.candbudget.max"
+  val CandBudgetDefault: Long = 10000000000L
+
+  /** Estimate the LSH band join's candidate volume from the bucket
+    * histogram — Σ C(c,2) same-bucket plus, under multi-probe, the
+    * Hamming-1 cross-bucket products — and fail loud (per
+    * [[CandBudgetConfKey]]) when it exceeds the budget. The histogram
+    * is one map-side-combined aggregate over the slim banded rows
+    * (≤ tables·2^planes result rows), and the probe cross-terms join
+    * that tiny histogram against itself `probes` times — trivial next
+    * to the join it guards. Candidate volume scales as
+    * n²·tables/2^planes (measured, r14 LSH probe): the remedy at
+    * corpus scale is planes ~ log n with tables resized per
+    * [[graft.api.Similarity.lshTablesFor]], or the PQ/IVF family for
+    * low-similarity regimes (see [[embeddingPairs]]' scaladoc). */
+  private def validateCandBudget(banded: DataFrame, probes: Int,
+      what: String): Unit = {
+    val spark = banded.sparkSession
+    val mode = spark.conf.get(CandBudgetConfKey, "enforce")
+    require(Set("enforce", "warn", "off").contains(mode),
+      s"$CandBudgetConfKey must be enforce|warn|off, got '$mode'")
+    if (mode == "off") return
+    val budget = spark.conf.get(CandBudgetMaxKey,
+      CandBudgetDefault.toString).toLong
+    val hist = Barrier(banded.groupBy(col("tbl"), col("sig"))
+      .agg(count(lit(1)).cast("double").as("c")))
+    val oneShot = hist
+      .agg(coalesce(sum(col("c") * (col("c") - 1.0) / 2.0), lit(0.0)))
+      .head.getDouble(0)
+    // all probed flips in ONE union → one aggregate job, not `probes`
+    val crossTerms = if (probes == 0) 0.0 else {
+      val flips = (0 until probes).map(p => hist.select(col("tbl"),
+          col("sig").bitwiseXOR(lit(1L << p)).as("sig"), col("c").as("cn")))
+        .reduce(_ union _)
+      hist.join(flips, Seq("tbl", "sig"))
+        .agg(coalesce(sum(col("c") * col("cn")), lit(0.0)))
+        .head.getDouble(0) / 2.0
+    }
+    val est = oneShot + crossTerms
+    Barrier.release(hist)
+    if (est > budget) {
+      val msg = f"$what: the band join would generate ~$est%.3g candidate " +
+        s"pairs (> budget $budget, conf $CandBudgetMaxKey) — candidate " +
+        "volume grows as n^2*tables/2^planes at a fixed geometry " +
+        "(measured r14: 1.8e12 at 2M rows for the 8x6 fixture " +
+        "geometry, x100 per decade). Grow planes ~ log(n) and resize " +
+        "tables from the measured per-table rate " +
+        "(Similarity.lshTablesFor), use the PQ/IVF family for " +
+        s"low-similarity search, or set $CandBudgetConfKey=warn|off."
+      if (mode == "warn") logWarning(msg)
+      else throw new IllegalArgumentException(msg)
+    }
+  }
+
   /** Estimate the GUARANTEED pair output — Σ over exact-signature
     * buckets of C(c, 2), every one of which survives the hamming
     * filter at distance 0 — and fail loud (per [[PairBudgetConfKey]])
@@ -378,6 +445,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     val tagged = Barrier(e.select(col("vec_id"),
         posexplode(VectorFunctions.lshSignatures(col("embedding"), tables, planes)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig"))
+    validateCandBudget(tagged, probes, "embeddingPairs")
     val probed =
       if (probes == 0) tagged
       else tagged.select(col("vec_id"), col("tbl"),

@@ -601,6 +601,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       Seq("doc_a", "doc_b", "hamming")))
   }
 
+  test("embeddingPairs candidate budget: volume estimate trips a lowered budget, warn proceeds") {
+    val D = graft.api.Dedup
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    // the 500-row fixture at the committed 8x6 multi-probe geometry
+    // estimates ~1e4 candidates — a 1000-candidate budget trips
+    spark.conf.set(D.CandBudgetMaxKey, "1000")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        D.embeddingPairs(emb, "vec_id", "embedding", 8, 6, 0.4, probes = 6)
+      }
+      assert(e.getMessage.contains("candidate") &&
+        e.getMessage.contains("lshTablesFor"))
+      // warn mode proceeds and the verified pairs still come out
+      spark.conf.set(D.CandBudgetConfKey, "warn")
+      try assert(D.embeddingPairs(emb, "vec_id", "embedding",
+        8, 6, 0.4, probes = 6).count() > 0)
+      finally spark.conf.unset(D.CandBudgetConfKey)
+    } finally spark.conf.unset(D.CandBudgetMaxKey)
+    // the committed dd5 binding passes untouched under the DEFAULT
+    // budget (its oracle row stays green in the full gate)
+    assert(run("dd5_embed_dup").columns.sameElements(
+      Seq("vec_a", "vec_b", "cos")))
+  }
+
   test("s2p multi-probe lshTopK: probes=0 is exactly s2, full probes never lowers recall") {
     import graft.functions.SimConstants.{NPlanes, NTables}
     val S = graft.api.Similarity
