@@ -38,9 +38,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // SPARK_GRAFT_JVM_CONFS="spark.a=1,spark.b=2" → -Dspark.a=1 ... :
   // SparkConf reads spark.* system properties, so measurement mains can
-  // run A/B legs (e.g. sizing guards off) without code changes
-  sys.env.get("SPARK_GRAFT_JVM_CONFS").toSeq.flatMap(_.split(",").toSeq)
-    .map(kv => s"-D${kv.trim}")
+  // run A/B legs (e.g. sizing guards off) without code changes.
+  // Empty segments (trailing comma) are dropped — a bare "-D" aborts the
+  // JVM; comma-CONTAINING values are rejected loudly instead of being
+  // silently mangled into bogus flags (the split has no escape syntax).
+  sys.env.get("SPARK_GRAFT_JVM_CONFS").toSeq
+    .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    .map { kv =>
+      require(kv.contains("="),
+        s"SPARK_GRAFT_JVM_CONFS segment '$kv' is not key=value — " +
+          "comma-separated list; values containing commas are unsupported")
+      s"-D$kv"
+    }
 // suites share one SparkSession and a few tests toggle session confs
 // (AQE, broadcast threshold) — run suites sequentially for determinism
 Test / parallelExecution := false

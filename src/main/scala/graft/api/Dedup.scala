@@ -47,20 +47,44 @@ object Dedup extends org.apache.spark.internal.Logging {
       bands: Int, rows: Int, threshold: Double): DataFrame = {
     require(bands * rows == MinHashConstants.K,
       s"bands*rows must equal ${MinHashConstants.K}")
-    val docs = shingled(df, idCol, textCol).filter(col("nh") > 0)
+    jaccardPairsFromShingled(
+      shingled(df, idCol, textCol).filter(col("nh") > 0),
+      bands, rows, threshold)
+  }
+
+  /** [[jaccardPairs]] body over an already-shingled barriered
+    * (doc_id, hs, nh) frame — the callee [[jaccardGroups]] reuses on
+    * its CONTRACTED representative set (one row per distinct shingle
+    * set), where the heap guard below is structurally silent. */
+  private def jaccardPairsFromShingled(docs: DataFrame,
+      bands: Int, rows: Int, threshold: Double): DataFrame = {
     // Slim band join: only (doc_id, band, bkey) shuffles during candidate
     // generation — the hs arrays would otherwise be copied bands× through
     // the exchange. Candidates dedupe BEFORE verification, so the exact
     // intersect runs once per pair, not once per colliding band.
-    // barrier the slim (id, band, bkey) rows: both self-join sides
-    // re-derive `banded`, which would otherwise compute the K minhashes
-    // twice per document
-    val banded = Barrier(docs
-      .select(col("doc_id"), HashFunctions.minhashSig(col("hs")).as("sig"))
+    // The signature frame gets its own (slim: id + 32 longs) barrier so
+    // the budget precheck reads materialized rows and the band explosion
+    // never recomputes the K minhashes; it is released as soon as the
+    // banded rows are materialized.
+    val sigged = Barrier(docs
+      .select(col("doc_id"), HashFunctions.minhashSig(col("hs")).as("sig")))
+    // r15 guard (the r14 verdict's top task): identical texts ⇒
+    // identical minhash signatures ⇒ every band collides AND every
+    // pair survives verification at jac = 1.0, with the full hs
+    // shingle arrays re-attached per pair — the exact duplicate-heap
+    // blowup hammingPairs got guarded against in r14, one signature
+    // family over.
+    validatePairBudget(sigged, col("sig"), "jaccardPairs",
+      "Use Dedup.jaccardGroups (contracts to distinct shingle sets " +
+        "first — linear in n, heap members never pair-expanded), or " +
+        "exact-dedup by fingerprint (Dedup.exactGroups) and near-dup " +
+        "only the keepers")
+    val banded = Barrier(sigged
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => bandKey(col("sig"), b, rows))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey"))
+    Barrier.release(sigged)
     val cands = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -121,6 +145,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     def explodeBands(sigs: DataFrame): DataFrame = sigs
       .select(col("doc_id"), posexplode(col("bkeys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    // r15 guard: the full band-key ARRAY is the asset's stored stand-in
+    // for the minhash signature (equal texts ⇒ equal signatures ⇒ equal
+    // bkeys ⇒ every band collides and every pair verifies at jac = 1.0)
+    validateIncPairBudget(corpusSigs, incSigs, col("bkeys"),
+      "incrementalJaccardPairs",
+      "Exact-dedup the increment first (Dedup.exactGroups) or contract " +
+        "heaps with Dedup.jaccardGroups before pairing")
     // barrier: the increment's banded rows are probed against the union
     // below, so they would otherwise be derived twice
     val incBanded = Barrier(explodeBands(incSigs))
@@ -228,21 +259,87 @@ object Dedup extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Two-sided [[validateCandBudget]] for [[incrementalEmbeddingPairs]]:
+    * the probe join's candidate volume is Σ over (tbl, sig) buckets of
+    * c_inc·c_corpus + C(c_inc, 2), plus — under multi-probe, which
+    * lives on the INC side only — Σ over probed bit flips of
+    * c_inc(sig⊕bit)·c_all(sig) (one-sided probing: no /2). A daily
+    * increment is small, so the one-shot terms are usually tiny — the
+    * wall this guards is a hot bucket in the corpus ASSET (a saturated
+    * signature space at a too-small `planes` geometry): every
+    * increment row landing in it drags the whole bucket through the
+    * join, day after day. Costs one map-side-combined aggregate over
+    * both sides' slim banded rows (the corpus side is one streamed
+    * scan of the signature asset's sigs column). */
+  private def validateIncCandBudget(corpusBanded: DataFrame,
+      incBanded: DataFrame, probes: Int, what: String): Unit = {
+    val spark = corpusBanded.sparkSession
+    val mode = spark.conf.get(CandBudgetConfKey, "enforce")
+    require(Set("enforce", "warn", "off").contains(mode),
+      s"$CandBudgetConfKey must be enforce|warn|off, got '$mode'")
+    if (mode == "off") return
+    val budget = spark.conf.get(CandBudgetMaxKey,
+      CandBudgetDefault.toString).toLong
+    val hist = Barrier(
+      corpusBanded.select(col("tbl"), col("sig"), lit(0).as("side"))
+        .union(incBanded.select(col("tbl"), col("sig"), lit(1).as("side")))
+        .groupBy("tbl", "sig")
+        .agg(sum(when(col("side") === 0, 1.0).otherwise(0.0)).as("cc"),
+          sum(when(col("side") === 1, 1.0).otherwise(0.0)).as("ci")))
+    val oneShot = hist
+      .agg(coalesce(sum(col("ci") * col("cc") +
+        col("ci") * (col("ci") - 1.0) / 2.0), lit(0.0)))
+      .head.getDouble(0)
+    val crossTerms = if (probes == 0) 0.0 else {
+      val flips = (0 until probes).map(p => hist.select(col("tbl"),
+          col("sig").bitwiseXOR(lit(1L << p)).as("sig"),
+          col("ci").as("cin")))
+        .reduce(_ union _)
+      hist.join(flips, Seq("tbl", "sig"))
+        .agg(coalesce(sum(col("cin") * (col("cc") + col("ci"))), lit(0.0)))
+        .head.getDouble(0)
+    }
+    val est = oneShot + crossTerms
+    Barrier.release(hist)
+    if (est > budget) {
+      val msg = f"$what: the probe join would generate ~$est%.3g " +
+        s"candidate pairs (> budget $budget, conf $CandBudgetMaxKey) — " +
+        "a hot bucket in the corpus signature asset drags its whole " +
+        "population through the join for every increment row landing " +
+        "in it. Re-generate the asset at planes ~ log(n) with tables " +
+        "from the measured per-table rate (Similarity.lshTablesFor), " +
+        "use the PQ/IVF family for low-similarity search, or set " +
+        s"$CandBudgetConfKey=warn|off."
+      if (mode == "warn") logWarning(msg)
+      else throw new IllegalArgumentException(msg)
+    }
+  }
+
   /** Estimate the GUARANTEED pair output — Σ over exact-signature
-    * buckets of C(c, 2), every one of which survives the hamming
-    * filter at distance 0 — and fail loud (per [[PairBudgetConfKey]])
-    * when it exceeds the budget: pair output on duplicate-heaped
-    * corpora is QUADRATIC (a 10 k-copy image is 5×10⁷ pairs), and no
-    * downstream consumer survives what the join emits. Exact-sig
-    * heaps — not band-bucket collisions — are the killer the r13
-    * probe measured: random 16-bit-piece collisions at large n stream
-    * through the hamming filter and vanish, but equal-sig pairs all
-    * land in the result (and its distinct). The precheck is one
-    * map-side-combined aggregate over the slim (id, sig) rows —
-    * trivial next to the join it guards. Double arithmetic: the
-    * estimate saturates instead of overflowing (precision is
-    * irrelevant at the 1e8 boundary). */
-  private def validatePairBudget(docs: DataFrame, what: String): Unit = {
+    * buckets of C(c, 2), every one of which survives verification
+    * (equal signatures come from equal inputs: hamming 0 / jac 1.0) —
+    * and fail loud (per [[PairBudgetConfKey]]) when it exceeds the
+    * budget: pair output on duplicate-heaped corpora is QUADRATIC (a
+    * 10 k-copy image is 5×10⁷ pairs), and no downstream consumer
+    * survives what the join emits. Exact-sig heaps — not band-bucket
+    * collisions — are the killer the r13 probe measured: random
+    * band-bucket collisions at large n stream through the verification
+    * filter and vanish, but equal-sig pairs all land in the result
+    * (and its distinct). The precheck is one map-side-combined
+    * aggregate over the slim keyed rows — trivial next to the join it
+    * guards. Double arithmetic: the estimate saturates instead of
+    * overflowing (precision is irrelevant at the 1e8 boundary).
+    *
+    * `key` is the full-signature column equal values of which
+    * GUARANTEE a surviving pair: the 64-bit sig for the hamming
+    * family, the 32-minhash signature array for the jaccard family
+    * (identical texts ⇒ identical signatures ⇒ every band collides
+    * AND every pair verifies at jac = 1.0 — the r14 verdict's
+    * duplicate-heap mechanism, one signature family over from mm8's
+    * measured wall). `remedy` names the contraction verb the caller
+    * should compose instead. */
+  private def validatePairBudget(docs: DataFrame, key: Column,
+      what: String, remedy: String): Unit = {
     val spark = docs.sparkSession
     val mode = spark.conf.get(PairBudgetConfKey, "enforce")
     require(Set("enforce", "warn", "off").contains(mode),
@@ -250,7 +347,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     if (mode == "off") return
     val budget = spark.conf.get(PairBudgetMaxKey,
       PairBudgetDefault.toString).toLong
-    val est = docs.groupBy(col("sig"))
+    val est = docs.groupBy(key.as("k"))
       .agg(count(lit(1)).cast("double").as("c"))
       .agg(coalesce(sum(col("c") * (col("c") - 1.0) / 2.0), lit(0.0)))
       .head.getDouble(0)
@@ -259,9 +356,46 @@ object Dedup extends org.apache.spark.internal.Logging {
         s"output pairs (> budget $budget, conf $PairBudgetMaxKey) — the " +
         "quadratic all-pairs regime on duplicate-heaped signatures " +
         "(measured r13: 6.5e8 intra-bucket pairs at 500k docs OOM'd a " +
-        "32-slot/8g session). Use Dedup.hammingGroups (contracts to " +
-        "distinct signatures first — linear in n, members never " +
-        s"pair-expanded), or set $PairBudgetConfKey=warn|off."
+        s"32-slot/8g session). $remedy, or set " +
+        s"$PairBudgetConfKey=warn|off."
+      if (mode == "warn") logWarning(msg)
+      else throw new IllegalArgumentException(msg)
+    }
+  }
+
+  /** Two-sided [[validatePairBudget]] for the INCREMENTAL pair
+    * generators: the guaranteed surviving pairs of the probe join are
+    * Σ over exact-signature buckets of c_corpus·c_inc + C(c_inc, 2)
+    * (inc×corpus plus inc×inc; corpus×corpus is never paired by
+    * construction). A duplicate heap ALREADY IN the corpus asset costs
+    * nothing until an increment doc lands in it — then every corpus
+    * copy pairs with it, which is exactly how a re-crawled boilerplate
+    * page detonates a daily run. One map-side-combined aggregate over
+    * the union of both sides' slim keyed rows. */
+  private def validateIncPairBudget(corpus: DataFrame, inc: DataFrame,
+      key: Column, what: String, remedy: String): Unit = {
+    val spark = corpus.sparkSession
+    val mode = spark.conf.get(PairBudgetConfKey, "enforce")
+    require(Set("enforce", "warn", "off").contains(mode),
+      s"$PairBudgetConfKey must be enforce|warn|off, got '$mode'")
+    if (mode == "off") return
+    val budget = spark.conf.get(PairBudgetMaxKey,
+      PairBudgetDefault.toString).toLong
+    val est = corpus.select(key.as("k"), lit(0).as("side"))
+      .union(inc.select(key.as("k"), lit(1).as("side")))
+      .groupBy("k")
+      .agg(sum(when(col("side") === 0, 1.0).otherwise(0.0)).as("cc"),
+        sum(when(col("side") === 1, 1.0).otherwise(0.0)).as("ci"))
+      .agg(coalesce(sum(col("cc") * col("ci") +
+        col("ci") * (col("ci") - 1.0) / 2.0), lit(0.0)))
+      .head.getDouble(0)
+    if (est > budget) {
+      val msg = f"$what: equal-signature heaps alone guarantee ~$est%.3g " +
+        s"inc-touching output pairs (> budget $budget, conf " +
+        s"$PairBudgetMaxKey) — an increment doc landing in a corpus " +
+        "duplicate heap pairs with EVERY copy (the r13-measured " +
+        s"quadratic regime, incremental form). $remedy, or set " +
+        s"$PairBudgetConfKey=warn|off."
       if (mode == "warn") logWarning(msg)
       else throw new IllegalArgumentException(msg)
     }
@@ -295,7 +429,9 @@ object Dedup extends org.apache.spark.internal.Logging {
         posexplode(array((0 until 4).map(i =>
           shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "piece").withColumnRenamed("col", "pval")
-    validatePairBudget(docs, "hammingPairs")
+    validatePairBudget(docs, col("sig"), "hammingPairs",
+      "Use Dedup.hammingGroups (contracts to distinct signatures " +
+        "first — linear in n, members never pair-expanded)")
     val a = pieces.alias("a")
     val b = pieces.alias("b")
     val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
@@ -352,6 +488,50 @@ object Dedup extends org.apache.spark.internal.Logging {
     docs.join(keep, "sig").select(col("doc_id"), col("group_id"))
   }
 
+  /** Jaccard duplicate GROUPS via exact-shingle-set contraction — the
+    * [[hammingGroups]] analogue for the MinHash text family (r14
+    * verdict task #1's compose pattern), and the verb the
+    * [[jaccardPairs]] pair-budget guard points at. Output ≡
+    * `duplicateGroups(jaccardPairs(df, …))` — (doc_id, group_id = min
+    * doc id of the component) for every member of every component with
+    * ≥ 2 members (property-pinned in DedupSimilaritySpec) — but the
+    * work is linear in n on duplicate-heaped corpora (boilerplate,
+    * re-crawls — exactly where jaccardPairs' output is quadratic):
+    *
+    *  - contract to DISTINCT shingle sets (one groupBy on the hs
+    *    array; equal texts always contract, as do distinct texts with
+    *    equal 3-shingle sets — which are jac = 1.0 duplicates anyway);
+    *  - band + verify over one representative per distinct set
+    *    (threshold ≤ 1 keeps every heap internally connected at
+    *    jac = 1.0, so contraction loses no component structure);
+    *  - connected components over the REPRESENTATIVE graph;
+    *  - label members back through one hs-keyed join (heap members
+    *    are never pair-expanded: a 10 k-copy boilerplate page is 10 k
+    *    rows here, not 5×10⁷ pairs). */
+  def jaccardGroups(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rows: Int, threshold: Double): DataFrame = {
+    require(bands * rows == MinHashConstants.K,
+      s"bands*rows must equal ${MinHashConstants.K}")
+    require(threshold <= 1.0,
+      s"threshold must be <= 1.0 (jaccard is bounded), got $threshold")
+    val docs = shingled(df, idCol, textCol).filter(col("nh") > 0)
+    val perSet = Barrier(docs.groupBy("hs")
+      .agg(count(lit(1)).as("n_members"), min("doc_id").as("min_doc")))
+    val reps = perSet.select(col("min_doc").as("doc_id"), col("hs"),
+      size(col("hs")).as("nh"))
+    val repPairs = jaccardPairsFromShingled(reps, bands, rows, threshold)
+    val comp = duplicateGroups(repPairs, "doc_a", "doc_b")
+      .select(col("doc_id").as("min_doc"), col("group_id").as("grep"))
+    val labeled = perSet.join(comp, Seq("min_doc"), "left")
+      .withColumn("grep", coalesce(col("grep"), col("min_doc")))
+    val cgroups = labeled.groupBy("grep")
+      .agg(sum("n_members").as("c_members"), min("min_doc").as("group_id"))
+    val keep = labeled.join(cgroups, "grep")
+      .filter(col("c_members") >= 2)
+      .select(col("hs"), col("group_id"))
+    docs.join(keep, "hs").select(col("doc_id"), col("group_id"))
+  }
+
   /** dd8 — incremental Hamming near-dup over PRECOMPUTED 64-bit
     * signatures: pairs (doc_a, doc_b, hamming) with hamming ≤
     * maxHamming where AT LEAST one side is in `incSigs`. The corpus
@@ -372,6 +552,14 @@ object Dedup extends org.apache.spark.internal.Logging {
         posexplode(array((0 until 4).map(i =>
           shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "piece").withColumnRenamed("col", "pval")
+    // r15 guard: two-sided exact-signature heap estimate (an increment
+    // image landing in a corpus duplicate heap pairs with every copy)
+    validateIncPairBudget(
+      corpusSigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig")),
+      incSigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig")),
+      col("sig"), "incrementalHammingPairs",
+      "Contract the corpus heaps with Dedup.hammingGroups (persist the " +
+        "contracted signature asset) or exact-dedup the increment first")
     // barrier: the increment's pieces are probed against the union below,
     // so the (possibly expensive) signature computation would otherwise
     // run twice per increment row
@@ -422,7 +610,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     * 1.8×10¹² at 2 M rows at the committed geometry). The documented
     * planes ~ log(n) discipline controls volume at a measured recall
     * price (0.94 → 0.61 → 0.26 at planes 6/9/12), compensated by
-    * tables per [[Similarity.lshTablesFor]] (T*(0.9) = 7/20/61 —
+    * tables per [[Similarity.lshTablesFor]] (T*(0.9) = 7/20/62 —
     * from the scale-free measured per-table rate). For
     * LOW-similarity thresholds (≈0.4, this fixture's regime) the
     * rate decays faster than 2^planes prunes, so at corpus scale
@@ -504,6 +692,10 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("vec_id"), posexplode(col("sigs")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
     val incBanded = Barrier(banded(incSigs))
+    // r15 guard: candidate-volume precheck, two-sided (the r14
+    // embeddingPairs guard extended to the incremental generator)
+    validateIncCandBudget(banded(corpusSigs), incBanded, probes,
+      "incrementalEmbeddingPairs")
     val probed =
       if (probes == 0) incBanded
       else incBanded.select(col("vec_id"), col("tbl"),

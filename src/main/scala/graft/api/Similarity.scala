@@ -108,12 +108,14 @@ object Similarity extends org.apache.spark.internal.Logging {
     * corpus size — the guard the r13 verdict asked for: the probe
     * measured recall collapsing 0.94 → 0.35 under a fixed tuning-scale
     * R while nothing in the API stopped a caller from pinning it. */
-  private def validateRerankSizing(n: Long, k: Int, rerank: Int,
+  private def validateRerankSizing(nByName: => Long, k: Int, rerank: Int,
       spark: org.apache.spark.sql.SparkSession): Unit = {
     val mode = spark.conf.get(RerankSizingConfKey, "enforce")
     require(Set("enforce", "warn", "off").contains(mode),
       s"$RerankSizingConfKey must be enforce|warn|off, got '$mode'")
-    if (mode == "off" || n <= 0) return
+    if (mode == "off") return // before forcing n: `off` must skip the count job
+    val n = nByName
+    if (n <= 0) return
     val auto = rerankFor(n, k)
     val floor = math.max(k.toLong, auto.toLong / RerankBand)
     if (rerank < floor) {
@@ -178,7 +180,7 @@ object Similarity extends org.apache.spark.internal.Logging {
     * NOT of the corpus size (measured scale-free across three
     * decades, r14 LSH recall probe: r = 0.301/0.110/0.037 at
     * planes 6/9/12 with full multi-probe on the cos≈0.4–0.5 fixture
-    * → T*(0.9) = 7/20/61) — measure r at the operating geometry with
+    * → T*(0.9) = 7/20/62) — measure r at the operating geometry with
     * tools/RecallProbe (family=lsh), then size tables here. Candidate
     * volume scales as n²·T/2^planes: for LOW-similarity thresholds
     * r(planes) decays faster than 2^planes prunes, so no (T, planes)
@@ -782,7 +784,9 @@ object Similarity extends org.apache.spark.internal.Logging {
     // n for the sizing check is the BASE corpus row count (the index
     // covers the base table by contract): counting the base is a
     // metadata-only parquet count in the production shape, where
-    // counting the index frame could replay the increment's encode
+    // counting the index frame could replay the increment's encode.
+    // Passed BY NAME: `off` mode must skip the count job entirely (a
+    // computed, non-parquet base would replay its lineage per call)
     validateRerankSizing(base.count(), k, rerank, queries.sparkSession)
     pqQueryTail(
       index.select(col(idCol).as("vec_id"), col("nrm"), col("codes")),

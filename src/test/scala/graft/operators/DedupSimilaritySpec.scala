@@ -647,6 +647,137 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"probed ${recall(probed)} < one-shot ${recall(oneShot)}")
   }
 
+  test("jaccardPairs pair budget: exact-duplicate text heaps fail loud, pointing at jaccardGroups") {
+    import spark.implicits._
+    val D = graft.api.Dedup
+    // a 40-copy exact-duplicate TEXT heap: identical texts ⇒ identical
+    // minhash signatures ⇒ every band collides AND every pair survives
+    // verification at jac = 1.0 — C(40,2) = 780 guaranteed pairs (the
+    // r14 verdict's mechanism: the mm8 wall, one signature family over)
+    val heap = (0L until 40L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    spark.conf.set(D.PairBudgetMaxKey, "500")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        D.jaccardPairs(heap, "doc_id", "text", 8, 4, 0.8)
+      }
+      assert(e.getMessage.contains("jaccardGroups") &&
+        e.getMessage.contains("780"))
+      // warn mode proceeds; the full heap comes out, all at jac = 1.0
+      spark.conf.set(D.PairBudgetConfKey, "warn")
+      try {
+        val rows = D.jaccardPairs(heap, "doc_id", "text", 8, 4, 0.8).collect()
+        assert(rows.length == 780 && rows.forall(_.getDouble(2) == 1.0))
+      } finally spark.conf.unset(D.PairBudgetConfKey)
+      // the contraction verb passes UNDER THE SAME 500-pair budget: it
+      // bands one representative per distinct shingle set, so its inner
+      // pair join sees 0 guaranteed pairs — heap members never expand
+      val groups = D.jaccardGroups(heap, "doc_id", "text", 8, 4, 0.8).collect()
+      assert(groups.length == 40 && groups.forall(_.getLong(1) == 0L))
+    } finally spark.conf.unset(D.PairBudgetMaxKey)
+    // fixture-scale corpora pass untouched under the DEFAULT budget
+    assert(run("dd2_ngram_jaccard").columns.sameElements(
+      Seq("doc_a", "doc_b", "jac")))
+  }
+
+  test("jaccardGroups ≡ duplicateGroups(jaccardPairs) on the fixture") {
+    val D = graft.api.Dedup
+    val docs = graft.Tables.documents(spark, sf0001)
+    val expected = D.duplicateGroups(
+        D.jaccardPairs(docs, "doc_id", "text", 8, 4, 0.8), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = D.jaccardGroups(docs, "doc_id", "text", 8, 4, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("incremental pair budgets: one increment doc detonating a corpus heap fails loud in all three families") {
+    import spark.implicits._
+    val D = graft.api.Dedup
+    // corpus = a 40-copy heap (ids 1..40), increment = ONE more copy
+    // (id 0): guaranteed inc-touching pairs = 40·1 + C(1,2) = 40 — the
+    // re-crawled-boilerplate scenario where yesterday's asset is fine
+    // until today's doc lands in the heap
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val corpusDocs = (1L to 40L).map(i => (i, txt)).toDF("doc_id", "text")
+    val incDocs = Seq((0L, txt)).toDF("doc_id", "text")
+    val corpusJ = D.minhashSignatures(corpusDocs, "doc_id", "text", 8, 4)
+    val incJ = D.minhashSignatures(incDocs, "doc_id", "text", 8, 4)
+    val corpusH = (1L to 40L).map(i => (i, 0x1234ABCDL)).toDF("doc_id", "sig")
+    val incH = Seq((0L, 0x1234ABCDL)).toDF("doc_id", "sig")
+    val vec = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val corpusE = D.lshSignatureTable(
+      (1L to 40L).map(i => (i, vec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 2, 4)
+    val incE = D.lshSignatureTable(
+      Seq((0L, vec)).toDF("vec_id", "embedding"), "vec_id", "embedding", 2, 4)
+    spark.conf.set(D.PairBudgetMaxKey, "30")
+    spark.conf.set(D.CandBudgetMaxKey, "50")
+    try {
+      val ej = intercept[IllegalArgumentException] {
+        D.incrementalJaccardPairs(corpusJ, incJ, 0.8)
+      }
+      assert(ej.getMessage.contains("incrementalJaccardPairs") &&
+        ej.getMessage.contains("jaccardGroups"))
+      val eh = intercept[IllegalArgumentException] {
+        D.incrementalHammingPairs(corpusH, incH, "doc_id", "sig")
+      }
+      assert(eh.getMessage.contains("incrementalHammingPairs") &&
+        eh.getMessage.contains("hammingGroups"))
+      // identical vectors ⇒ identical LSH sigs: 2 tables × (40·1) = 80
+      // candidates > the 50 budget (volume semantics — CandBudget)
+      val ee = intercept[IllegalArgumentException] {
+        D.incrementalEmbeddingPairs(corpusE, incE, 0.9)
+      }
+      assert(ee.getMessage.contains("incrementalEmbeddingPairs"))
+      // warn mode proceeds in every family and the heap pairs come out
+      spark.conf.set(D.PairBudgetConfKey, "warn")
+      spark.conf.set(D.CandBudgetConfKey, "warn")
+      try {
+        assert(D.incrementalJaccardPairs(corpusJ, incJ, 0.8).count() == 40)
+        assert(D.incrementalHammingPairs(
+          corpusH, incH, "doc_id", "sig").count() == 40)
+        assert(D.incrementalEmbeddingPairs(corpusE, incE, 0.9).count() == 40)
+      } finally {
+        spark.conf.unset(D.PairBudgetConfKey)
+        spark.conf.unset(D.CandBudgetConfKey)
+      }
+    } finally {
+      spark.conf.unset(D.PairBudgetMaxKey)
+      spark.conf.unset(D.CandBudgetMaxKey)
+    }
+  }
+
+  test("pqTopKFromIndex: rerank sizing off skips the base count job (by-name contract)") {
+    val S = graft.api.Similarity
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val books = S.pqTrain(emb, "vec_id", "embedding", 8, 16, 1)
+    val index = S.pqEncodeIndex(emb, books, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 2)
+    // a base whose EVALUATION throws: with the conf off, the sizing
+    // check must never run the count job (r14 ADVICE: the count was
+    // evaluated as an argument before the mode check)
+    val boom = udf(() => {
+      throw new RuntimeException("boom-count-ran"); true
+    })
+    val boomBase = emb.filter(boom())
+    spark.conf.set(S.RerankSizingConfKey, "off")
+    try {
+      // plan construction only — must not evaluate boomBase
+      S.pqTopKFromIndex(index, boomBase, queries, books,
+        "vec_id", "embedding", 5, 50)
+    } finally spark.conf.unset(S.RerankSizingConfKey)
+    // under the default (enforce) the count runs and surfaces the boom
+    val e = intercept[Throwable] {
+      S.pqTopKFromIndex(index, boomBase, queries, books,
+        "vec_id", "embedding", 5, 50)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("boom-count-ran")))
+  }
+
   test("vec_dot expression matches higher-order-function dot") {
     VectorFunctions.register(spark)
     val e = graft.Tables.embeddings(spark, sf0001).limit(50)
