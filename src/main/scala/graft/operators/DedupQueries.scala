@@ -132,6 +132,18 @@ object DedupQueries {
     s"""WITH RECURSIVE $dupGroupsCtes
        |SELECT doc_id, group_id FROM groups""".stripMargin
 
+  // -- dd12: jaccard duplicate GROUPS via exact-shingle-set contraction
+  // The hammingGroups analogue for the MinHash text family (r15; the
+  // verb the jaccardPairs pair-budget guard points at): contract to
+  // distinct shingle sets, band one representative per set, CC over
+  // the representative graph, label members back — linear on
+  // duplicate-heaped corpora where dd6's pair expansion is quadratic.
+  // Output ≡ dd6 (duplicateGroups over jaccardPairs at the same dd3
+  // geometry), so dd6's recursive-CTE oracle gates it unchanged.
+  private def jacGroups(s: SparkSession, dir: String): DataFrame =
+    graft.api.Dedup.jaccardGroups(Tables.documents(s, dir),
+      "doc_id", "text", DD3Bands, DD3Rows, 0.8)
+
   // -- dd7: incremental dedup — increment vs existing corpus ------------
   // The daily-pipeline verb the batch-global variants (dd1–dd6) lack:
   // new documents arrive, the corpus is already deduped and its MinHash
@@ -450,5 +462,10 @@ object DedupQueries {
     QueryDef("dd10p_inc_groups_asset", incrementalCCAsset,
       Some(incrementalCCSql), bench = true),
     QueryDef("dd11_semantic", semantic, Some(semanticSql), bench = true),
+    // un-benched by the subset rules: the contraction cost shape is
+    // timed through mm9 (hammingGroups); dd12 shares dd6's verification
+    // volume at fixture scale — its scaling story is the heap-guard
+    // spec + the probe tables, not the composite
+    QueryDef("dd12_jaccard_groups", jacGroups, Some(dupGroupsSql)),
   )
 }
