@@ -621,6 +621,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       tables: Int, planes: Int, threshold: Double, probes: Int = 0): DataFrame = {
     require(probes >= 0 && probes <= planes,
       s"probes must be in [0, planes=$planes], got $probes")
+    validateLshRecall(tables, planes, threshold, probes, df.sparkSession)
     VectorFunctions.register(df.sparkSession)
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       VectorFunctions.norm(col(vecCol)).as("nrm"))
@@ -652,6 +653,59 @@ object Dedup extends org.apache.spark.internal.Logging {
       .join(eb, col("vec_b") === eb("vec_id")).drop("vec_id")
       .select(col("vec_a"), col("vec_b"), cos.as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** AUTO-SIZED [[embeddingPairs]] (r14 verdict task #5): the whole
+    * (tables, planes, probes) geometry is derived from the corpus row
+    * count and the caller's own `threshold` via
+    * [[Similarity.lshGeometryFor]] — planes = ⌈log₂ n⌉ keeps candidate
+    * volume linear by construction, full multi-probe buys recall on
+    * the probe side, tables come from the closed-form per-table rate
+    * at the threshold boundary (validated against the r14 measured
+    * rates, conservative side). A threshold/scale combination banded
+    * LSH cannot hold fails loud naming the PQ/IVF family — the caller
+    * cannot reconstruct the measured volume wall or the one-shot
+    * recall collapse through this path. The count is one
+    * metadata-only job on a parquet-backed frame. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val g = Similarity.lshGeometryFor(df.count(), threshold, df.sparkSession)
+    embeddingPairs(df, idCol, vecCol, g.tables, g.planes, threshold, g.probes)
+  }
+
+  /** Throw (or warn, per [[Similarity.LshSizingConfKey]]) when a
+    * caller-PINNED band geometry's MODEL recall at the verification
+    * threshold sits below [[Similarity.LshRecallFloor]] — the
+    * collapse regime: the r14 probe measured a committed one-shot
+    * geometry recalling 1–7% of qualifying neighbors on diffuse
+    * corpora while nothing in the API flagged it. Pure arithmetic
+    * (no job): rate = closed-form per-pair Bernoulli, recall =
+    * 1−(1−rate)^tables. Pairs above the threshold collide at a
+    * higher rate, so the check is conservative for the qualifying
+    * population. */
+  private def validateLshRecall(tables: Int, planes: Int,
+      threshold: Double, probes: Int,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val mode = spark.conf.get(Similarity.LshSizingConfKey, "enforce")
+    require(Set("enforce", "warn", "off").contains(mode),
+      s"${Similarity.LshSizingConfKey} must be enforce|warn|off, got '$mode'")
+    if (mode == "off") return
+    val rate = Similarity.lshPerTableRate(threshold, planes, probes)
+    val modelRecall = 1.0 - math.pow(1.0 - rate, tables)
+    if (modelRecall < Similarity.LshRecallFloor) {
+      val msg = f"embeddingPairs geometry ${tables}x$planes " +
+        f"(probes=$probes) has model recall $modelRecall%.3f at the " +
+        f"$threshold verification threshold — below the " +
+        f"${Similarity.LshRecallFloor} collapse floor: most qualifying " +
+        "pairs are expected MISSED (the r14 probe measured a committed " +
+        "one-shot geometry at 1-7%% recall on diffuse corpora). Use the " +
+        "auto-sized overload (threshold only), size tables from " +
+        "Similarity.lshTablesFor at a measured or modeled per-table " +
+        "rate (Similarity.lshPerTableRate), or set " +
+        s"${Similarity.LshSizingConfKey}=warn|off."
+      if (mode == "warn") logWarning(msg)
+      else throw new IllegalArgumentException(msg)
+    }
   }
 
   /** Persistable hyperplane-LSH signature asset for INCREMENTAL

@@ -195,6 +195,117 @@ object Similarity extends org.apache.spark.internal.Logging {
     math.ceil(math.log1p(-recallTarget) / math.log1p(-perTableRate)).toInt
   }
 
+  /** P(one random hyperplane puts a pair at cosine `cos` on the same
+    * side) = 1 − θ/π [Charikar 2002, SimHash] — the per-plane Bernoulli
+    * every hyperplane-LSH recall number in this file decomposes into. */
+  def planeAgreeProb(cos: Double): Double = {
+    val c = math.max(-1.0, math.min(1.0, cos))
+    1.0 - math.acos(c) / math.Pi
+  }
+
+  /** CLOSED-FORM per-table collision rate for a pair at cosine
+    * `threshold` under a (planes, probes) table: p^planes one-shot,
+    * plus probes·p^(planes−1)·(1−p) for the Hamming-1 multi-probe
+    * expansion (exactly one of the probed bits disagrees). This is the
+    * model the r14 MEASURED rates validate: at the cos≈0.4 fixture
+    * regime it predicts 0.284/0.0996/0.032 for planes 6/9/12 (full
+    * multi-probe) vs measured 0.301/0.110/0.037 — within 10–14%, and
+    * ALWAYS on the conservative side (the model under-predicts the
+    * rate, so [[lshTablesFor]] sizes slightly more tables than the
+    * measurement requires). The rate is a per-pair property of the
+    * angle and geometry, NOT the corpus size (measured scale-free
+    * across three decades) — which is what makes sizing from the model
+    * sound at any n. */
+  def lshPerTableRate(threshold: Double, planes: Int, probes: Int): Double = {
+    require(planes >= 1, s"planes must be >= 1, got $planes")
+    require(probes >= 0 && probes <= planes,
+      s"probes must be in [0, planes=$planes], got $probes")
+    val p = planeAgreeProb(threshold)
+    math.pow(p, planes) + probes * math.pow(p, planes - 1) * (1 - p)
+  }
+
+  /** The volume-discipline plane count: planes = ⌈log₂ n⌉ (floored at
+    * 4) holds expected candidate volume at ~n·tables — the linear
+    * regime — since volume scales as n²·tables/2^planes (measured r14,
+    * ×100 per decade at FIXED planes). */
+  def lshPlanesFor(n: Long): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt)
+
+  /** Session conf governing [[lshGeometryFor]]'s table cap and the
+    * pinned-geometry recall check in
+    * [[graft.api.Dedup.embeddingPairs]]: enforce (default) throws,
+    * warn logs and proceeds (the calculator clamps to the cap), off
+    * skips. */
+  val LshSizingConfKey = "spark.graft.lsh.sizing"
+
+  /** Ceiling on auto-derived table count (conf
+    * [[LshMaxTablesKey]], default 64): every table re-shuffles the
+    * corpus's slim banded rows, so a derivation that needs hundreds of
+    * tables is the calculator PROVING the caller is outside banded
+    * LSH's operating envelope (low similarity at scale — the r14
+    * probe's honest conclusion), not a budget to spend. */
+  val LshMaxTablesKey = "spark.graft.lsh.maxtables"
+  val LshMaxTablesDefault = 64
+
+  /** Model-recall floor for a caller-PINNED embeddingPairs geometry:
+    * below this, more than half the threshold-boundary pairs are
+    * expected missed — the collapse regime (the r14 probe measured the
+    * committed one-shot 4×12 geometry at 1–7% top-5 recall on diffuse
+    * corpora; nothing in the API stopped a caller from shipping it as
+    * a near-dup geometry). Mirrors [[RerankBand]]'s contract: degraded
+    * is tolerated, collapsed is rejected. */
+  val LshRecallFloor = 0.5
+
+  /** Derived (tables, planes, probes) for hyperplane-LSH near-dup at
+    * `threshold` over an n-row corpus. */
+  final case class LshGeometry(tables: Int, planes: Int, probes: Int)
+
+  /** AUTO-SIZING calculator for the banded-LSH family (r14 verdict
+    * task #5 — the PQ family's calculator/enforcement/auto template
+    * applied to LSH): planes = ⌈log₂ n⌉ (linear candidate volume by
+    * construction), probes = planes (full multi-probe — recall bought
+    * on the query/probe side costs slim rows, never a corpus
+    * re-shuffle), tables = [[lshTablesFor]](recallTarget, modeled
+    * per-table rate at the threshold boundary). Pairs ABOVE the
+    * threshold collide at a higher rate, so the target is a floor
+    * over the whole qualifying population.
+    *
+    * When the derivation needs more than [[LshMaxTablesKey]] tables,
+    * the geometry does not exist inside banded LSH's envelope
+    * (low-similarity thresholds at corpus scale: the rate decays
+    * faster than 2^planes prunes — measured r14) and the calculator
+    * fails loud per [[LshSizingConfKey]] naming the PQ/IVF family;
+    * warn/off clamp to the cap (an honest recall floor, logged under
+    * warn). */
+  def lshGeometryFor(n: Long, threshold: Double,
+      spark: org.apache.spark.sql.SparkSession,
+      recallTarget: Double = 0.9): LshGeometry = {
+    val planes = lshPlanesFor(n)
+    val probes = planes
+    val rate = lshPerTableRate(threshold, planes, probes)
+    val tables = lshTablesFor(recallTarget, rate)
+    val maxTables = spark.conf.get(LshMaxTablesKey,
+      LshMaxTablesDefault.toString).toInt
+    if (tables <= maxTables) return LshGeometry(tables, planes, probes)
+    val mode = spark.conf.get(LshSizingConfKey, "enforce")
+    require(Set("enforce", "warn", "off").contains(mode),
+      s"$LshSizingConfKey must be enforce|warn|off, got '$mode'")
+    val msg = f"banded LSH cannot hold recall $recallTarget at " +
+      f"threshold $threshold and n = $n inside the table cap: the " +
+      f"modeled per-table rate is $rate%.4g at planes = $planes (full " +
+      f"multi-probe), needing $tables tables > $maxTables (conf " +
+      s"$LshMaxTablesKey) — each table re-shuffles the corpus. This " +
+      "similarity regime is outside the banded-LSH envelope (measured " +
+      "r14: the rate decays faster than 2^planes prunes at low " +
+      "thresholds); use the PQ/IVF family (pqTopK/ivfadcTopK) for " +
+      s"low-similarity search, or set $LshSizingConfKey=warn|off to " +
+      "clamp to the cap (an explicit recall floor)."
+    if (mode == "enforce") throw new IllegalArgumentException(msg)
+    if (mode == "warn") logWarning(msg)
+    LshGeometry(maxTables, planes, probes)
+  }
+
   /** Deterministic evenly-id-rank-spaced k₁-row subset of `seeds` —
     * the auto-sizing path's coarse routing table. Spread (not prefix)
     * so the coarse cells sample the seed population; tiny-frame window
@@ -304,6 +415,23 @@ object Similarity extends org.apache.spark.internal.Logging {
       .distinct() // a pair may share buckets in several tables/probes
       .withColumn("rank", row_number().over(rankWindow))
       .filter(col("rank") <= k)
+  }
+
+  /** AUTO-SIZED [[lshTopK]]: the geometry is derived from the corpus
+    * row count and `simFloor` — the cosine level above which neighbors
+    * must be recalled — via [[lshGeometryFor]] (planes = ⌈log₂ n⌉,
+    * full multi-probe, tables from the modeled per-table rate at the
+    * floor). The honest contract stays what [[lshTopK]]'s scaladoc
+    * states: this recalls neighbors ABOVE simFloor with probability ≥
+    * the target; true top-k entries BELOW it (diffuse corpora) remain
+    * the PQ/IVF family's job, and a simFloor the calculator cannot
+    * hold inside the table cap fails loud naming that family. The
+    * corpus count is one metadata-only job on a parquet-backed frame
+    * (the [[pqTopK]] auto overload's contract). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, simFloor: Double): DataFrame = {
+    val g = lshGeometryFor(corpus.count(), simFloor, corpus.sparkSession)
+    lshTopK(corpus, queries, idCol, vecCol, k, g.tables, g.planes, g.probes)
   }
 
   /** Fixed-point scale for the k-means centroid mean: coordinates are

@@ -18,6 +18,10 @@ object Dd5Tune {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
+      // the sweep's low-probe legs ARE the collapse regime the r15
+      // model-recall guard rejects — warn, don't veto (the probe's
+      // job is measuring the floor the guard's arithmetic models)
+      .config(graft.api.Similarity.LshSizingConfKey, "warn")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

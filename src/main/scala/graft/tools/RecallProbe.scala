@@ -79,6 +79,7 @@ object RecallProbe {
       // r14 sizing enforcement exists to reject — warn, don't veto
       .config(graft.api.Similarity.RerankSizingConfKey, "warn")
       .config(graft.api.Similarity.ProbeSizingConfKey, "warn")
+      .config(graft.api.Similarity.LshSizingConfKey, "warn")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -152,7 +152,12 @@ class ApiSpec extends AnyFunSuite with SparkSpec {
     assert(multi.subsetOf(truth)) // exact verification: no false positives
     val recall = multi.size.toDouble / truth.size
     assert(recall >= 0.9, s"multi-probe recall $recall (${multi.size}/${truth.size})")
-    assert(found(0).size < multi.size) // one-shot LSH misses pairs multi-probe finds
+    // the one-shot leg sits in the collapse regime the r15 model-recall
+    // guard rejects (model 0.41 < the 0.5 floor at 8x6/0.4/probes=0) —
+    // measuring it is the point here, so downgrade to warn
+    spark.conf.set(Similarity.LshSizingConfKey, "warn")
+    try assert(found(0).size < multi.size) // one-shot misses pairs multi-probe finds
+    finally spark.conf.unset(Similarity.LshSizingConfKey)
   }
 
   test("Similarity.cosineTopK ranks the closest vector first") {

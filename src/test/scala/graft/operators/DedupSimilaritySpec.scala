@@ -778,6 +778,65 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(chain(e).exists(m => m != null && m.contains("boom-count-ran")))
   }
 
+  test("LSH auto-sizing: model matches r14 measured rates, auto ≡ pinned, envelope enforced") {
+    val S = graft.api.Similarity
+    val D = graft.api.Dedup
+    // closed-form per-table rate vs the r14 MEASURED scale-free rates
+    // (cos≈0.4 fixture regime, full multi-probe): within 15% at every
+    // geometry and always on the conservative side (model ≤ measured,
+    // so lshTablesFor sizes slightly MORE tables than the measurement
+    // strictly requires)
+    val measured = Map(6 -> 0.301, 9 -> 0.110, 12 -> 0.037)
+    measured.foreach { case (planes, m) =>
+      val model = S.lshPerTableRate(0.4, planes, planes)
+      assert(model <= m && (m - model) / m < 0.15,
+        s"planes=$planes: model $model vs measured $m")
+    }
+    // volume discipline: planes = ceil(log2 n)
+    assert(S.lshPlanesFor(2000) == 11 && S.lshPlanesFor(2000000) == 21)
+    // derived geometry at fixture scale, and auto ≡ pinned through it
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val g = S.lshGeometryFor(n, 0.4, spark)
+    assert(g.planes == S.lshPlanesFor(n) && g.probes == g.planes)
+    assert(g.tables ==
+      S.lshTablesFor(0.9, S.lshPerTableRate(0.4, g.planes, g.probes)))
+    def pairKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairKey(D.embeddingPairs(emb, "vec_id", "embedding", 0.4)) ==
+      pairKey(D.embeddingPairs(emb, "vec_id", "embedding",
+        g.tables, g.planes, 0.4, g.probes)))
+    val queries = emb.filter(col("vec_id") < 3)
+    def topKey(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topKey(S.lshTopK(emb, queries, "vec_id", "embedding", 5, 0.4)) ==
+      topKey(S.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        g.tables, g.planes, g.probes)))
+    // outside the envelope (table cap): enforce fails loud naming the
+    // PQ/IVF family; warn clamps to the cap
+    spark.conf.set(S.LshMaxTablesKey, "4")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        S.lshGeometryFor(n, 0.4, spark)
+      }
+      assert(e.getMessage.contains("PQ/IVF"))
+      spark.conf.set(S.LshSizingConfKey, "warn")
+      try assert(S.lshGeometryFor(n, 0.4, spark).tables == 4)
+      finally spark.conf.unset(S.LshSizingConfKey)
+    } finally spark.conf.unset(S.LshMaxTablesKey)
+    // pinned-geometry collapse floor: a one-shot geometry whose model
+    // recall at the threshold is under 0.5 is rejected (the r14 probe's
+    // measured 1-7% regime), warn proceeds
+    val e2 = intercept[IllegalArgumentException] {
+      D.embeddingPairs(emb, "vec_id", "embedding", 1, 12, 0.4, probes = 0)
+    }
+    assert(e2.getMessage.contains("model recall") &&
+      e2.getMessage.contains("auto-sized"))
+    spark.conf.set(S.LshSizingConfKey, "warn")
+    try D.embeddingPairs(emb, "vec_id", "embedding", 1, 12, 0.4, probes = 0)
+    finally spark.conf.unset(S.LshSizingConfKey)
+  }
+
   test("vec_dot expression matches higher-order-function dot") {
     VectorFunctions.register(spark)
     val e = graft.Tables.embeddings(spark, sf0001).limit(50)
