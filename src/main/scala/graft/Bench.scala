@@ -20,10 +20,18 @@ import org.apache.spark.sql.SparkSession
   * slower than cold, or any query's warm min > 2× its own cold time.
   * Heavy hitters (warm min ≥ 3 s) automatically get a third warm pass
   * when `SPARK_GRAFT_BENCH_WARM_PASSES` < 3 — their run-to-run spread
-  * dominates the composite's noise. The artifact carries per-query
-  * `warm_spread` (max/min over successful passes); spread > 2 lists
-  * the query under `noise_suspect` — read those rows as variance, not
-  * regression. Per-query bytes come from the pass that produced the
+  * dominates the composite's noise. Since r15, queries whose spread
+  * over the completed passes exceeds [[SpreadTarget]] additionally get
+  * ADAPTIVE refinement passes (the min-convergence loop in `main`, up
+  * to `SPARK_GRAFT_BENCH_REFINE_PASSES` rounds over only the
+  * still-improving subset) — the response to three consecutive rounds
+  * of +10–28% committed-composite drift on near-identical code: a
+  * 2-sample per-query min measures the box; the refined min measures
+  * the code. The artifact carries per-query `warm_spread` (max/min
+  * over successful passes — refinement passes included, so a refined
+  * query's spread DOCUMENTS the noise its min escaped); spread > 2
+  * lists the query under `noise_suspect` — read those rows as
+  * variance, not regression. Per-query bytes come from the pass that produced the
   * min time (the first pass may have failed or not be the headline's).
   * Warm passes wrap each query in Metrics.track, so the JSON line also
   * carries per-query bytesRead / shuffleWrite (reference F22 parity,
@@ -65,6 +73,22 @@ object Bench {
 
   private[graft] val HeavySec = 3.0
   private[graft] val MinHeavyPasses = 3
+
+  /** Refinement trigger: a query whose max/min over the completed
+    * passes exceeds this is still noise-limited — its recorded min
+    * has not converged to the code's floor. */
+  private[graft] val SpreadTarget = 1.25
+
+  /** Convergence: an extra pass that fails to improve a query's min
+    * by more than this fraction stops refining it. */
+  private[graft] val ImproveEps = 0.02
+
+  /** Queries whose recorded min is still noise-limited: successful,
+    * with spread > [[SpreadTarget]] over the passes so far. */
+  private[graft] def refineTargets(names: Seq[String],
+      passes: Seq[Map[String, Measurement]]): Seq[String] =
+    aggregate(names, passes)
+      .collect { case (n, t, _, _, _, sp) if t >= 0 && sp > SpreadTarget => n }
 
   /** The timing action: materialize EVERY output row through Spark's
     * noop sink. A bare `count()` lets Catalyst prune per-row work the
@@ -286,7 +310,36 @@ object Bench {
     val passes = basePasses ++ (
       if (heavy.isEmpty || warmPasses >= MinHeavyPasses) Seq.empty
       else (warmPasses until MinHeavyPasses).map(_ => runPass(heavy)))
-    val results = aggregate(names, passes)
+    // Adaptive min-refinement (r15; three consecutive rounds of driver
+    // composite drift — 44.20 → 49.64 → 63.77 s on near-identical code —
+    // showed a 2-sample min still carries the box, not the code): any
+    // query whose spread over the completed passes exceeds SpreadTarget
+    // gets extra min-of passes, and keeps getting them while each pass
+    // still improves its min by > ImproveEps, up to
+    // SPARK_GRAFT_BENCH_REFINE_PASSES (default 3) rounds. Converged
+    // queries are never re-run, so a refinement round costs only the
+    // noisy subset's wall-clock. The headline stays the per-query min
+    // composite — now over enough samples that it measures the code.
+    val maxRefine = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REFINE_PASSES", "3").toInt)
+    var allPasses = passes
+    var targets = refineTargets(names, allPasses)
+    var refines = 0
+    while (targets.nonEmpty && refines < maxRefine) {
+      val prevMin = aggregate(targets, allPasses)
+        .collect { case (n, t, _, _, _, _) if t >= 0 => n -> t }.toMap
+      val p = runPass(targets)
+      allPasses = allPasses :+ p
+      targets = targets.filter { n =>
+        (p.get(n), prevMin.get(n)) match {
+          case (Some((t, _, _, _)), Some(pm)) =>
+            t >= 0 && t < (1 - ImproveEps) * pm
+          case _ => false
+        }
+      }
+      refines += 1
+    }
+    val results = aggregate(names, allPasses)
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // bytesRead is task-level (counts each consumer's read of a
@@ -316,10 +369,10 @@ object Bench {
     val contended = (totalCold > 0 && total > totalCold) ||
       results.exists { case (k, v, _, _, _, _) =>
         val c = coldByName.getOrElse(k, -1.0); c > 0 && v > 2 * c }
-    val passDetail = passes.map(p =>
+    val passDetail = allPasses.map(p =>
       names.flatMap(n => p.get(n).map(m => "\"" + n + "\":" + m._1))
         .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}"""
     println(line)
     // stdout of an sbt run gets interleaved/truncated by the harness —
     // persist the full line so the round artifact always parses
@@ -336,7 +389,7 @@ object Bench {
     // sets Global/showSuccess := false so sbt's "[success] Total time"
     // banner doesn't land AFTER this line — r8's tail showed the banner
     // as the true last line, which is what a last-line parser chokes on.)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"contended":$contended,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -66,6 +66,21 @@ class BenchAggregationSpec extends AnyFunSuite {
     assert(allZero == 1.0)
   }
 
+  test("refinement targets: spread-noisy queries only; failed and tight rows excluded") {
+    val passes = Seq(
+      Map("tight" -> m(1.00), "noisy" -> m(2.0), "dead" -> m(-1.0)),
+      Map("tight" -> m(1.10), "noisy" -> m(1.2), "dead" -> m(-1.0)))
+    // tight: spread 1.10 <= 1.25 — converged; noisy: 1.67 — refine;
+    // dead: every pass failed — nothing to refine
+    assert(Bench.refineTargets(Seq("tight", "noisy", "dead"), passes) ==
+      Seq("noisy"))
+    // a refinement pass that lands INSIDE the spread target drops the
+    // query from the next round's target computation only via the
+    // ImproveEps rule in main — the target function itself stays a
+    // pure function of the recorded passes
+    assert(Bench.SpreadTarget == 1.25 && Bench.ImproveEps == 0.02)
+  }
+
   test("heavy selection: warm min >= HeavySec, failures ignored") {
     val passes = Seq(
       Map("a" -> m(2.9), "b" -> m(3.5), "c" -> m(-1.0), "d" -> m(10.0)),

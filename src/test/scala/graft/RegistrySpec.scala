@@ -23,6 +23,10 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
     // lives in Bench's scaladoc ("THE BENCH SUBSET"). Pinned literally
     // so membership changes are deliberate, reviewed diffs: composite
     // comparability across rounds depends on this set's stability.
+    // METRIC NOTE (r15): the recorded composite is the per-query MIN
+    // over warm passes WITH adaptive refinement (spread > 1.25 earns
+    // extra min-of passes until the min converges) — compare committed
+    // BENCH totals at ±5%, not the raw per-pass numbers.
     val pinned = Set(
       // relational / MR representatives
       "q1_pricing_summary", "q2_wordcount", "q3_scan_filter", "q6_join",
