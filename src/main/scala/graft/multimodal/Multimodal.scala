@@ -343,9 +343,17 @@ object Multimodal {
   private val AHashDelta = 2    // brightness step between family members
   private val AHashMaxHamming = 2
 
-  private def ahashSigs(s: SparkSession, dir: String): DataFrame = {
+  private def ahashSigs(s: SparkSession, dir: String): DataFrame =
+    ahashSigsOf(docIds(s, dir))
+
+  /** Decode + perceptual-hash exactly the given ids — the seam that
+    * lets p6p's timed path decode ONLY the daily increment (the id
+    * filter sits below the decode `mapPartitions`, so the corpus split
+    * never reaches the codec loop). */
+  private def ahashSigsOf(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
-    docIds(s, dir)
+    ids
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { id =>
         val fam = id / AHashFamily
         val w = (fam % 16 + 8).toInt
@@ -574,6 +582,80 @@ object Multimodal {
        |SELECT d.doc_id FROM documents d
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
 
+  // -- p6p: the composed image daily verb at its OWN cost --------------
+  // p6 proves increment ≡ recompute for the image pipeline but re-seeds
+  // AND re-decodes the full corpus every run, so its wall-clock is
+  // ~seeding — it carries no measured number for the verb a capacity
+  // planner sizes a day around (the r14 verdict's task #4; p4p's
+  // pattern applied to images). p6p is that number: both assets are
+  // seeded ONCE per JVM (the cold bench pass pays it, warm passes only
+  // read), and the timed plan is exactly the daily composition
+  //
+  //   decode + ahash ONLY the increment (the day's sole codec work —
+  //     the id filter sits below the decode mapPartitions)
+  //   → dd8 pairs   (sig asset streamed once, increment broadcast)
+  //   → dd10 groups (fixpoint over contracted labels only)
+  //   → upsert      (touched components land as a groups inc dir)
+  //   → keep/drop   (corpus anti-joins the broadcastable loser set)
+  //
+  // with NO seeding and NO compaction (the quiesce-point maintenance
+  // verb is not part of the daily latency path). Replay-idempotent
+  // writes — overwrite to a fixed inc_0, asset reads excluding the
+  // batch's own dir — so warm passes replay the same day against the
+  // pristine seeded base. The resolved merge-on-read group table
+  // equals p6's post-compaction one, so p6's batch-global oracle
+  // (components over the FULL ahash pair set) gates this binding
+  // unchanged.
+  private val seededP6Roots = scala.collection.mutable.Set[String]()
+
+  private def seedP6Assets(s: SparkSession, dir: String): String = {
+    import graft.operators.DedupQueries.IncMod
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val root = s"target/graft_bench/p6p/$key"
+    synchronized {
+      if (!seededP6Roots.contains(root)) {
+        // a leftover root from a previous JVM may hold inc dirs from a
+        // different fixture state; re-seed from scratch
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        graft.api.Barrier.scoped {
+          val corpusSigs = graft.api.Barrier(ahashSigsOf(
+            docIds(s, dir).filter(col("doc_id") % IncMod =!= 0)))
+          corpusSigs.write.mode("overwrite").parquet(s"$root/sigs/base")
+          graft.api.Dedup.duplicateGroups(
+              graft.api.Dedup.hammingPairs(
+                corpusSigs, "doc_id", "sig", AHashMaxHamming),
+              "doc_a", "doc_b")
+            .write.mode("overwrite").parquet(s"$root/groups/base")
+        }
+        seededP6Roots += root
+      }
+    }
+    root
+  }
+
+  private def dailyImageIncrementAsset(s: SparkSession, dir: String): DataFrame = {
+    import graft.api.Dedup
+    import graft.operators.DedupQueries.IncMod
+    val root = seedP6Assets(s, dir)
+    // the day's ONLY decode work: the increment's
+    ahashSigsOf(docIds(s, dir).filter(col("doc_id") % IncMod === 0))
+      .write.mode("overwrite").parquet(s"$root/sigs/inc_0")
+    Dedup.incrementalHammingPairs(
+        Dedup.readSignatureAsset(s, s"$root/sigs", excludeInc = Some("inc_0")),
+        s.read.parquet(s"$root/sigs/inc_0"), "doc_id", "sig", AHashMaxHamming)
+      .write.mode("overwrite").parquet(s"$root/pairs")
+    Dedup.incrementalGroups(
+        Dedup.readGroupsAsset(s, s"$root/groups", excludeInc = Some("inc_0")),
+        s.read.parquet(s"$root/pairs"), "doc_a", "doc_b")
+      .write.mode("overwrite").parquet(s"$root/groups/inc_0")
+    val losers = Dedup.readGroupsAsset(s, s"$root/groups")
+      .filter(col("doc_id") =!= col("group_id")).select(col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(losers, Seq("doc_id"), "leftanti").select(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("mm1_media_meta", mediaMeta, Some(mediaMetaSql)),
     QueryDef("mm2_frame_sample", frameSampleQ, Some(frameSampleSql)),
@@ -587,5 +669,7 @@ object Multimodal {
     QueryDef("p3_image_dedup", imageDedupCorpus, Some(imageDedupCorpusSql)),
     QueryDef("p6_daily_image_increment", dailyImageIncrement,
       Some(dailyImageIncrementSql)),
+    QueryDef("p6p_daily_image_increment_asset", dailyImageIncrementAsset,
+      Some(dailyImageIncrementSql), bench = true),
   )
 }

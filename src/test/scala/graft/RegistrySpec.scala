@@ -47,14 +47,17 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
       "qs3_bloom_semijoin", "qs4_hll_per_key", "qs5_hist_quantile",
       "ds1_stratified_sample", "st1_sessionize", "mm8_ahash_dedup",
       "mm9_ahash_groups",
-      // pipelines + export
+      // pipelines + export (p6p added r15: the image daily path at its
+      // own cost — p4p's asset-twin pattern; p6 stays the un-benched
+      // recompute leg)
       "p1_clean_corpus", "p2_clean_corpus_transitive",
-      "p4p_daily_increment_asset", "p5_export_manifest",
+      "p4p_daily_increment_asset", "p6p_daily_image_increment_asset",
+      "p5_export_manifest",
       "ex2_pack_sequences", "ex4_best_of_group", "ex6_shard_roundtrip")
     assert(SparkEntry.benchQueries.toSet == pinned,
       s"bench set drifted: +${SparkEntry.benchQueries.toSet -- pinned} " +
         s"-${pinned -- SparkEntry.benchQueries.toSet}")
-    assert(SparkEntry.benchQueries.size == 48)
+    assert(SparkEntry.benchQueries.size == 49)
   }
 
   test("approx_count_distinct tracks the exact distinct count within 5%") {
