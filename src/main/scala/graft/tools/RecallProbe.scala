@@ -66,6 +66,14 @@ object RecallProbe {
     val family = sys.env.getOrElse("SPARK_GRAFT_RECALL_FAMILY", "pq")
     require(Set("pq", "lsh").contains(family),
       s"SPARK_GRAFT_RECALL_FAMILY must be pq|lsh, got '$family'")
+    // `signs` (default) = the near-uniform sign-cipher fixture (PQ/IVF's
+    // hard case); `cluster` = the manifold-concentrated 8-cluster
+    // fixture (ScaleProbe.ensureClusterFixture) — the r14 verdict's
+    // task #2: measure, not assert, whether clustered data closes s8's
+    // routing gap
+    val fixture = sys.env.getOrElse("SPARK_GRAFT_RECALL_FIXTURE", "signs")
+    require(Set("signs", "cluster").contains(fixture),
+      s"SPARK_GRAFT_RECALL_FIXTURE must be signs|cluster, got '$fixture'")
     // object-store-shuffle leg capped to heap-derived slots (Bench
     // .probeCpus) — the FS campaign's measured ~250 MB/slot peak
     val cpus = graft.Bench.probeCpus
@@ -83,24 +91,29 @@ object RecallProbe {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(s"[probe] family: $family, cpus: $cpus, " +
+    println(s"[probe] family: $family, fixture: $fixture, cpus: $cpus, " +
       s"shuffle: ${graft.Bench.shuffleMode}")
 
-    if (family == "pq") pqFamily(spark, src, repsList)
-    else lshFamily(spark, src, repsList)
+    if (family == "pq") pqFamily(spark, src, repsList, fixture)
+    else lshFamily(spark, src, repsList, fixture)
     spark.stop()
   }
+
+  private def fixtureDirFor(spark: SparkSession, src: String, reps: Int,
+      fixture: String): String =
+    if (fixture == "cluster") ScaleProbe.ensureClusterFixture(spark, src, reps)
+    else ScaleProbe.ensureFixture(spark, src, reps, needEmb = true)
 
   // ------------------------------------------------------------------
   // pq family: s6/s7/s8 recall@K vs the s1 exact baseline
   // ------------------------------------------------------------------
   private def pqFamily(spark: SparkSession, src: String,
-      repsList: Seq[Int]): Unit = {
+      repsList: Seq[Int], fixture: String): Unit = {
     val S = graft.api.Similarity
     val off = ScaleProbe.ReplicaOffset
 
     repsList.foreach { reps =>
-      val dir = ScaleProbe.ensureFixture(spark, src, reps, needEmb = true)
+      val dir = fixtureDirFor(spark, src, reps, fixture)
       graft.api.Barrier.scoped {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         val queries = emb.filter(
@@ -118,8 +131,8 @@ object RecallProbe {
           }
           val mean = recalls.sum / recalls.size
           println(f"""{"probe":"recall","verb":"$verb","reps":$reps,""" +
-            f""""rerank":$rerank,"n_queries":$nq,"k":$K,""" +
-            f""""recall":${mean}%.4f}""")
+            f""""fixture":"$fixture","rerank":$rerank,"n_queries":$nq,""" +
+            f""""k":$K,"recall":${mean}%.4f}""")
         }
 
         // Legs per verb: the geometry AS TUNED at sf0.001/0.01
@@ -170,7 +183,7 @@ object RecallProbe {
   private val DupThreshold = 0.4 // dd5's committed verification bar
 
   private def lshFamily(spark: SparkSession, src: String,
-      repsList: Seq[Int]): Unit = {
+      repsList: Seq[Int], fixture: String): Unit = {
     import graft.functions.VectorFunctions
     val S = graft.api.Similarity
     val off = ScaleProbe.ReplicaOffset
@@ -200,18 +213,22 @@ object RecallProbe {
     val tables = sys.env.getOrElse("SPARK_GRAFT_RECALL_TABLES", "8").toInt
 
     repsList.foreach { reps =>
-      val dir = ScaleProbe.ensureFixture(spark, src, reps, needEmb = true)
+      val dir = fixtureDirFor(spark, src, reps, fixture)
       graft.api.Barrier.scoped {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         val n = emb.count()
         import spark.implicits._
-        // lifted truth: one copy of every source pair per replica
+        // lifted truth: one copy of every source pair per replica.
+        // The lift holds ONLY under the sign cipher (dot(Sx, Sy) =
+        // dot(x, y)); the cluster fixture re-shapes every cosine, so
+        // its lsh run measures the s2/s2p legs (exact baseline per
+        // fixture) and skips the pair verbs.
         val truth = srcPairs.toSeq.flatMap { case (va, vb) =>
           (0 until reps).map(r => (va + r.toLong * off, vb + r.toLong * off))
         }.toDF("va", "vb")
         val nTruth = truth.count()
 
-        for (planes <- planesList) {
+        for (planes <- planesList if fixture == "signs") {
           // per-pair band-collision check (the exact embeddingPairs
           // candidate condition; probes = planes, dd5's committed
           // full-multi-probe setting): signatures of truth endpoints
@@ -246,8 +263,10 @@ object RecallProbe {
             avg(col("hitp").cast("double")).as("rp"),
             (sum(col("n0")).cast("double") / (nTruth * tables)).as("t0"),
             (sum(col("np")).cast("double") / (nTruth * tables)).as("tp"),
-            avg(when(col("va") % 10 === 0 || col("vb") % 10 === 0,
-              col("hitp").cast("double"))).as("rp_inc")).head
+            // coalesce: if no truth pair touches the increment split
+            // the avg is NULL and getDouble would NPE (r14 ADVICE)
+            coalesce(avg(when(col("va") % 10 === 0 || col("vb") % 10 === 0,
+              col("hitp").cast("double"))), lit(0.0)).as("rp_inc")).head
           // candidate-volume estimate from the full-corpus bucket
           // histogram: Σ C(c,2) same-bucket + probed cross-bucket
           // products (the join's output scale — its cost side)
@@ -293,6 +312,7 @@ object RecallProbe {
           s2.getOrElse(q, Set.empty).intersect(t).size.toDouble / K
         }
         println(f"""{"probe":"lsh_recall","verb":"s2_ann_lsh","reps":$reps,""" +
+          f""""fixture":"$fixture",""" +
           f""""n":$n,"tables":${graft.functions.SimConstants.NTables},""" +
           f""""planes":${graft.functions.SimConstants.NPlanes},""" +
           f""""n_queries":${exact.size},"k":$K,""" +
@@ -307,7 +327,7 @@ object RecallProbe {
           s2p.getOrElse(q, Set.empty).intersect(t).size.toDouble / K
         }
         println(f"""{"probe":"lsh_recall","verb":"s2p_ann_lsh_probed",""" +
-          f""""reps":$reps,"n":$n,""" +
+          f""""reps":$reps,"fixture":"$fixture","n":$n,""" +
           f""""n_queries":${exact.size},"k":$K,""" +
           f""""recall":${recallsP.sum / recallsP.size}%.4f}""")
       }
