@@ -92,10 +92,17 @@ object Similarity extends org.apache.spark.internal.Logging {
     * grows ~linearly in n, but codebooks trained on more data quantize
     * better, and the measured requirement for recall ≥ 0.9 grew
     * sublinearly (R/n fell 10× between the second and third measured
-    * decades). Real manifold-concentrated embeddings need milder
-    * growth still —
-    * re-measure the knee at the operating scale (tools/RecallProbe)
-    * before trimming below this curve. */
+    * decades). CONCENTRATION caveat (measured r15, clustered fixture —
+    * target/r15_recall_cluster*.log): heavy manifold concentration
+    * does NOT relax this curve — it helps cell ROUTING but compresses
+    * within-cluster cosine gaps (~5× on the 8-cluster fixture) below
+    * ADC's resolution, so the required R transitions toward the
+    * candidate CLUSTER's population (R = clusterSize read recall
+    * 1.0000 exactly; the √n auto budget read 0.36 at 200 k). On such
+    * corpora the multi-probe LSH family is the better tool (s2p read
+    * 0.96 scale-free there) — re-measure the knee at the operating
+    * scale and concentration (tools/RecallProbe, fixture=cluster)
+    * before trusting either curve. */
   def rerankFor(n: Long, k: Int): Int = {
     if (n <= 1) return math.max(1, k)
     val curve = math.ceil(
@@ -362,10 +369,15 @@ object Similarity extends org.apache.spark.internal.Logging {
     * cosines sit at 0.4–0.7): this verb is a high-similarity
     * retrieval tool; for top-k on diffuse embeddings use
     * [[cosineTopK]] (small query sets) or the PQ/IVF family
-    * ([[pqTopK]]/[[ivfadcTopK]]) with corpus-scaled budgets. Size
-    * tables from a measured per-table rate via [[lshTablesFor]];
-    * `probes` buys back recall on the QUERY side without touching
-    * the corpus (see below). */
+    * ([[pqTopK]]/[[ivfadcTopK]]) with corpus-scaled budgets. The
+    * complement was measured in r15: on a manifold-CONCENTRATED
+    * corpus (true top-k at high cosine) the multi-probe form holds
+    * 0.96–0.97 recall@5 scale-free while the PQ family's √n budget
+    * collapses to 0.36 — which family wins flips with corpus
+    * concentration, and this one wins exactly where its per-pair
+    * Bernoulli is strong. Size tables from a measured per-table rate
+    * via [[lshTablesFor]]; `probes` buys back recall on the QUERY
+    * side without touching the corpus (see below). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       tables: Int, planes: Int): DataFrame =
@@ -830,9 +842,11 @@ object Similarity extends org.apache.spark.internal.Logging {
     * exceeds the true kth-neighbor gap grows ~linearly in n, so
     * holding R fixed while the corpus grows collapses recall (0.90 at
     * the 20 k tuning-fixture decade → 0.43/0.40 at 200 k/2 M with R = 50);
-    * R ∝ n restores it. Real text embeddings concentrate on a
-    * lower-dimensional manifold and need milder growth — re-measure
-    * the R-recall knee at the operating scale (tools/RecallProbe)
+    * R ∝ n restores it. Concentration does NOT relax the knob — the
+    * r15 clustered-fixture measurement read the √n auto budget at
+    * 0.36 recall where R = clusterSize read exactly 1.0 (see
+    * [[rerankFor]]'s caveat) — so re-measure the R-recall knee at the
+    * operating scale AND concentration (tools/RecallProbe)
     * rather than shipping the tuning-scale constant. Since r14 this is
     * ENFORCED, not advisory: a pinned rerank more than [[RerankBand]]×
     * below the calibrated [[rerankFor]] curve throws (conf-gated,

@@ -144,8 +144,11 @@ object SimilarityQueries {
   // exactly. Candidate selection is the bounded TopKPerKey aggregate —
   // map-side pre-reduction, not a full-corpus window sort.
   // Geometry from tools/PqTune vs the s1 exact baseline (the fixture
-  // embeddings are near-uniform — PQ's hard case; clustered real
-  // embeddings quantize better): (8, 64, rerank 50) measures recall@5
+  // embeddings are near-uniform — PQ's hard case for NOISE, though the
+  // r15 clustered probe showed concentration brings its own wall:
+  // compressed within-cluster gaps push the rerank knee toward the
+  // cluster population — see Similarity.rerankFor's caveat):
+  // (8, 64, rerank 50) measures recall@5
   // 0.90 @ sf0.001 / 0.94 @ sf0.01 where (8, 16, 20) sits at 0.60, and
   // rerank 100 reaches 1.00. 64 codes fit one byte/subspace — 8
   // code-bytes per 256-byte vector, the 16× scan-byte cut s6 exists for.
