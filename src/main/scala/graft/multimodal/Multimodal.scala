@@ -623,10 +623,13 @@ object Multimodal {
           val corpusSigs = graft.api.Barrier(ahashSigsOf(
             docIds(s, dir).filter(col("doc_id") % IncMod =!= 0)))
           corpusSigs.write.mode("overwrite").parquet(s"$root/sigs/base")
-          graft.api.Dedup.duplicateGroups(
-              graft.api.Dedup.hammingPairs(
-                corpusSigs, "doc_id", "sig", AHashMaxHamming),
-              "doc_a", "doc_b")
+          // seed via the CONTRACTION verb (≡ duplicateGroups over
+          // hammingPairs, property-pinned) — the pattern the pair
+          // budget preaches: the replica fixture's ahash space
+          // saturates (~716 distinct sigs), so the all-pairs seeding
+          // form would trip its own guard at the 500 k-doc decade
+          graft.api.Dedup.hammingGroups(
+              corpusSigs, "doc_id", "sig", AHashMaxHamming)
             .write.mode("overwrite").parquet(s"$root/groups/base")
         }
         seededP6Roots += root
