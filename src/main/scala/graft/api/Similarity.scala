@@ -313,6 +313,92 @@ object Similarity extends org.apache.spark.internal.Logging {
     LshGeometry(maxTables, planes, probes)
   }
 
+  /** Non-throwing [[lshGeometryFor]]: Some(geometry) when the
+    * derivation fits the table cap, None when the (n, threshold)
+    * regime is outside banded LSH's envelope — the membership test
+    * [[annRoute]] routes on. */
+  def lshGeometryOption(n: Long, threshold: Double,
+      spark: org.apache.spark.sql.SparkSession,
+      recallTarget: Double = 0.9): Option[LshGeometry] = {
+    val planes = lshPlanesFor(n)
+    val rate = lshPerTableRate(threshold, planes, planes)
+    val tables = lshTablesFor(recallTarget, rate)
+    val maxTables = spark.conf.get(LshMaxTablesKey,
+      LshMaxTablesDefault.toString).toInt
+    if (tables <= maxTables) Some(LshGeometry(tables, planes, planes))
+    else None
+  }
+
+  /** CONCENTRATION statistic for ANN family routing: the 10th
+    * percentile of the sample's kth-nearest-neighbor cosine — "how
+    * similar is the weakest member of a typical top-k". Sample =
+    * deterministic hash-stride subset of ~`sampleN` rows (no sort, no
+    * full shuffle — one corpus scan + a sample-sized exact top-k
+    * job). Sampling UNDERESTIMATES the true kth-NN cosine (a sparser
+    * corpus has farther neighbors), which errs toward the PQ route —
+    * the general-purpose family — never toward over-trusting LSH. */
+  def annConcentration(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, sampleN: Int = 1024): Double = {
+    val n = corpus.count()
+    require(n > k, s"corpus must hold more than k=$k rows, got $n")
+    val stride = math.max(1L, n / sampleN)
+    val sample = Barrier(corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .select(col(idCol), col(vecCol)))
+    val kk = math.min(k.toLong, sample.count() - 1).toInt
+    require(kk >= 1, "hash-stride sample too small to measure concentration")
+    val stat = cosineTopK(sample, sample, idCol, vecCol, kk)
+      .groupBy("q_id").agg(min("cos").as("kcos"))
+      .agg(expr("percentile(kcos, 0.1)")).head.getDouble(0)
+    Barrier.release(sample)
+    stat
+  }
+
+  /** Which ANN family the corpus SHAPE favors — the r15
+    * clustered-fixture measurement operationalized (STATUS r15 item
+    * 2: which family wins flips with corpus concentration — banded
+    * multi-probe LSH held 0.96–0.98 recall@5 scale-free on
+    * manifold-concentrated corpora where the PQ family's √n budget
+    * read 0.36; on diffuse corpora the positions reverse). The
+    * routing criterion is PRINCIPLED, not a magic threshold: LSH wins
+    * iff its sizing calculator can hold the recall target at the
+    * measured concentration inside the table cap — i.e. envelope
+    * membership ([[lshGeometryOption]]) at the [[annConcentration]]
+    * statistic. Returns (family, statistic, derived LSH geometry when
+    * the LSH route was taken). */
+  def annRoute(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, sampleN: Int = 1024): (String, Double, Option[LshGeometry]) = {
+    val stat = annConcentration(corpus, idCol, vecCol, k, sampleN)
+    val g =
+      if (stat.isNaN) None
+      else lshGeometryOption(corpus.count(), stat, corpus.sparkSession)
+    (if (g.isDefined) "lsh" else "pq", stat, g)
+  }
+
+  /** ADAPTIVE top-k: measure the corpus's concentration, route to the
+    * ANN family that shape favors, run that family's auto-sized path —
+    * the "just answer it" verb for a caller with no recall
+    * measurement of their own. LSH route: [[lshTopK]] at the geometry
+    * derived FOR the measured concentration (corpus-side cost
+    * n·tables slim rows). PQ route: [[pqTopK]]'s auto overload
+    * (corpus-calibrated √n rerank) at the given codebook geometry.
+    * Output ≡ the routed verb exactly (property-pinned in
+    * DedupSimilaritySpec) — this adds a routing decision, never a new
+    * result semantics, so the routed verb's oracle certifies it
+    * transitively. Routing cost: two metadata-cheap counts + one
+    * sample-sized exact top-k job. */
+  def annTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ks: Int = 64, iters: Int = 2,
+      sampleN: Int = 1024): DataFrame = {
+    val (family, _, g) = annRoute(corpus, idCol, vecCol, k, sampleN)
+    if (family == "lsh") {
+      val geom = g.get
+      lshTopK(corpus, queries, idCol, vecCol, k,
+        geom.tables, geom.planes, geom.probes)
+    } else pqTopK(corpus, queries, idCol, vecCol, k, m, ks, iters)
+  }
+
   /** Deterministic evenly-id-rank-spaced k₁-row subset of `seeds` —
     * the auto-sizing path's coarse routing table. Spread (not prefix)
     * so the coarse cells sample the seed population; tiny-frame window

@@ -837,6 +837,55 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     finally spark.conf.unset(S.LshSizingConfKey)
   }
 
+  test("annTopK routes by measured concentration and equals the routed verb") {
+    val S = graft.api.Similarity
+    import spark.implicits._
+    val dim = 128
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // DIFFUSE: 6000 random unit vectors — kth-NN cosines concentrate
+    // near 0.25 at dim 128, putting the LSH table derivation far past
+    // the cap (the measured low-similarity-at-scale envelope limit)
+    val diffuse = (0L until 6000L)
+      .map(i => (i, unit(Array.fill(dim)(rnd.nextGaussian()))))
+      .toDF("vid", "v")
+    // CLUSTERED: 8 unit centroids + 0.4-scale noise — within-cluster
+    // cosines ≈ 0.86, the regime the r15 probe measured multi-probe
+    // LSH winning scale-free
+    val cents = (0 until 8).map(_ => unit(Array.fill(dim)(rnd.nextGaussian())))
+    val clustered = (0L until 4000L).map { i =>
+      val c = cents((i % 8).toInt)
+      val nz = unit(Array.fill(dim)(rnd.nextGaussian()))
+      (i, c.zip(nz).map { case (a, b) => a + 0.4f * b })
+    }.toDF("vid", "v")
+    val (fd, sd, gd) = S.annRoute(diffuse, "vid", "v")
+    val (fc, sc, gcOpt) = S.annRoute(clustered, "vid", "v")
+    assert(fd == "pq" && gd.isEmpty,
+      s"diffuse corpus must route pq (stat $sd)")
+    assert(fc == "lsh" && gcOpt.isDefined,
+      s"clustered corpus must route lsh (stat $sc)")
+    assert(sc > sd, s"concentration must separate: clustered $sc vs diffuse $sd")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // adaptive ≡ the routed verb, both families
+    val qc = clustered.filter(col("vid") < 3)
+    val gc = gcOpt.get
+    assert(key(S.annTopK(clustered, qc, "vid", "v", 5)) ==
+      key(S.lshTopK(clustered, qc, "vid", "v", 5,
+        gc.tables, gc.planes, gc.probes)))
+    val qd = diffuse.filter(col("vid") < 3)
+    assert(key(S.annTopK(diffuse, qd, "vid", "v", 5)) ==
+      key(S.pqTopK(diffuse, qd, "vid", "v", 5, 8, 64, 2)))
+    // and the routed LSH leg actually recalls on the clustered corpus
+    // (the point of routing): ≥ 0.8 of exact top-5
+    val exact = key(S.cosineTopK(clustered, qc, "vid", "v", 5))
+    val got = key(S.annTopK(clustered, qc, "vid", "v", 5))
+    assert(exact.count(got).toDouble / exact.size >= 0.8)
+  }
+
   test("vec_dot expression matches higher-order-function dot") {
     VectorFunctions.register(spark)
     val e = graft.Tables.embeddings(spark, sf0001).limit(50)
