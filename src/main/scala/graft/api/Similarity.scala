@@ -354,6 +354,84 @@ object Similarity extends org.apache.spark.internal.Logging {
     stat
   }
 
+  /** MEASURED-concentration rerank budget — the r15 probe's
+    * refutation of the √n curve on concentrated corpora, closed as a
+    * calculator: on heavily-clustered data ADC routes candidates to
+    * the right cluster but resolves little within it, so the budget
+    * must cover the CONFUSABLE population — everything whose true
+    * cosine sits within ADC's resolution of the kth-neighbor level.
+    * Both factors are MEASURED on the same hash-stride sample as
+    * [[annConcentration]]: δ = the 90th-percentile |adc − true|
+    * scoring error of codebooks trained on the sample at the caller's
+    * own (m, ks, iters) geometry, and the population = the mean count
+    * of sample neighbors with cosine ≥ (kth-NN statistic − δ), scaled
+    * back by the sampling stride. Floored at the
+    * corpus-calibrated [[rerankFor]] curve (on diffuse corpora the
+    * confusable set is ~k·stride — far under the curve, so this
+    * degenerates to the measured-correct √n path) and capped at n−1.
+    * Measured (r15 clustered fixture): the estimate lands at the
+    * cluster population, where recall reads exactly 1.0 vs 0.36 at
+    * the √n budget. Costs one corpus count + two sample-sized jobs —
+    * pass the result to the pinned [[pqTopK]]/[[pqTopKFromIndex]]
+    * (it always satisfies the sizing floor). For corpora
+    * concentrated enough to route "lsh" ([[annRoute]]), prefer the
+    * LSH family outright: covering a cluster with rerank is the
+    * honest-but-expensive PQ fallback. */
+  def rerankForMeasured(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int = 8, ks: Int = 64, iters: Int = 2,
+      sampleN: Int = 1024): Int = {
+    import graft.functions.PqFunctions
+    val n = corpus.count()
+    require(n > k, s"corpus must hold more than k=$k rows, got $n")
+    val stride = math.max(1L, n / sampleN)
+    // Dense re-key: pqTrain seeds by id < ks, and a hash-strided
+    // subset of a sparse id space would select ~no seeds. The window
+    // is over ≤ ~sampleN rows — single-partition by design.
+    val sample = Barrier(corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .select(col(idCol).as("_src"), col(vecCol))
+      .withColumn(idCol,
+        row_number().over(Window.orderBy(col("_src"))).cast("long") - 1)
+      .select(col(idCol), col(vecCol)))
+    val kk = math.min(k.toLong, sample.count() - 1).toInt
+    require(kk >= 1, "hash-stride sample too small to measure concentration")
+    val stat = cosineTopK(sample, sample, idCol, vecCol, kk)
+      .groupBy("q_id").agg(min("cos").as("kcos"))
+      .agg(expr("percentile(kcos, 0.1)")).head.getDouble(0)
+    // ADC resolution δ at the CALLER's codebook geometry, measured on
+    // the sample itself: train books on the sample, score every
+    // sample pair both ways, take the 90th-percentile |adc − true|.
+    val e = Barrier(normed(sample, idCol, vecCol))
+    val booksRow = booksRowOf(pqTrain(sample, idCol, vecCol, m, ks, iters))
+    val index = pqIndexOf(e, booksRow)
+      .join(e.select(col("vec_id"), col("embedding").as("c_emb")), "vec_id")
+    val qB = e.crossJoin(broadcast(booksRow))
+      .select(col("vec_id").as("qa"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        PqFunctions.pqLut(col("books"), col("embedding")).as("lut"))
+    val adcCos = PqFunctions.pqAdc(col("lut"), col("codes")) /
+      (col("q_nrm") * col("nrm"))
+    val trueCos = VectorFunctions.cosinePre(
+      VectorFunctions.dot(col("q_emb"), col("c_emb")),
+      col("q_nrm"), col("nrm"))
+    val scored = Barrier(index.join(broadcast(qB), col("qa") =!= col("vec_id"))
+      .select(col("qa"), trueCos.as("tc"), abs(adcCos - trueCos).as("err")))
+    val delta = scored.agg(expr("percentile(err, 0.9)")).head.getDouble(0)
+    // CONFUSABLE population: candidates whose true cosine sits within
+    // δ of the kth-neighbor level — the set ADC cannot reliably rank
+    // below a true neighbor, so the budget must cover it. Averaged
+    // over sample points, scaled back by the stride.
+    val conf = scored.filter(col("tc") >= stat - delta)
+      .groupBy("qa").agg(count(lit(1)).as("cm"))
+      .agg(coalesce(avg("cm"), lit(0.0))).head.getDouble(0)
+    Barrier.release(scored)
+    Barrier.release(e)
+    Barrier.release(sample)
+    math.min(n - 1,
+      math.max(rerankFor(n, k).toLong,
+        math.ceil(conf * stride).toLong)).toInt
+  }
+
   /** Which ANN family the corpus SHAPE favors — the r15
     * clustered-fixture measurement operationalized (STATUS r15 item
     * 2: which family wins flips with corpus concentration — banded

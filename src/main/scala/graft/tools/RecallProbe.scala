@@ -172,6 +172,13 @@ object RecallProbe {
           report(s"s8_ivfadc_auto_p${S.probeFor(8)}", autoR,
             S.ivfadcTopK(emb, queries,
               "vec_id", "embedding", K, 8, 2, 8, s8ks, 2))
+          // r15: the MEASURED-concentration budget — on clustered
+          // corpora the estimate lands at the cluster population
+          // (where the √n curve collapses); on diffuse it floors at
+          // the curve, so this leg doubles as a no-regression check
+          val measR = S.rerankForMeasured(emb, "vec_id", "embedding", K)
+          report("s6_pq_measured", measR, S.pqTopK(emb, queries,
+            "vec_id", "embedding", K, 8, 64, 2, measR))
         }
       }
     }

@@ -884,6 +884,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     val exact = key(S.cosineTopK(clustered, qc, "vid", "v", 5))
     val got = key(S.annTopK(clustered, qc, "vid", "v", 5))
     assert(exact.count(got).toDouble / exact.size >= 0.8)
+    // rerankForMeasured: on the clustered corpus the estimate lands at
+    // the cluster population (±2×) — the budget the r15 probe measured
+    // reading recall 1.0 where the √n curve collapsed; on the diffuse
+    // corpus the confusable set is tiny and the curve floor wins
+    val clusterSize = 4000 / 8
+    val rc = S.rerankForMeasured(clustered, "vid", "v", 5)
+    assert(rc >= clusterSize / 2 && rc <= 2 * clusterSize,
+      s"measured rerank $rc vs cluster population $clusterSize")
+    assert(S.rerankForMeasured(diffuse, "vid", "v", 5) ==
+      S.rerankFor(6000, 5))
+    // and PQ at the measured budget recalls on the clustered corpus
+    // where the curve budget cannot
+    val pqMeas = key(S.pqTopK(clustered, qc, "vid", "v", 5, 8, 64, 2, rc))
+    assert(exact.count(pqMeas).toDouble / exact.size >= 0.9)
   }
 
   test("vec_dot expression matches higher-order-function dot") {
