@@ -294,10 +294,12 @@ object Similarity extends org.apache.spark.internal.Logging {
     val tables = lshTablesFor(recallTarget, rate)
     val maxTables = spark.conf.get(LshMaxTablesKey,
       LshMaxTablesDefault.toString).toInt
-    if (tables <= maxTables) return LshGeometry(tables, planes, probes)
+    // conf validated on EVERY call (not just past the cap): a typo'd
+    // mode must not pass silently until the first over-cap corpus
     val mode = spark.conf.get(LshSizingConfKey, "enforce")
     require(Set("enforce", "warn", "off").contains(mode),
       s"$LshSizingConfKey must be enforce|warn|off, got '$mode'")
+    if (tables <= maxTables) return LshGeometry(tables, planes, probes)
     val msg = f"banded LSH cannot hold recall $recallTarget at " +
       f"threshold $threshold and n = $n inside the table cap: the " +
       f"modeled per-table rate is $rate%.4g at planes = $planes (full " +
