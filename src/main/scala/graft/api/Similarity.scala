@@ -549,7 +549,10 @@ object Similarity extends org.apache.spark.internal.Logging {
       tables: Int, planes: Int): DataFrame =
     lshTopK(corpus, queries, idCol, vecCol, k, tables, planes, probes = 0)
 
-  /** Multi-probe [[lshTopK]] — the measured fix for the one-shot
+  /** Multi-probe [[lshTopK]] [Lv et al., "Multi-Probe LSH: Efficient
+    * Indexing for High-Dimensional Similarity Search", VLDB 2007 —
+    * the perturbation-sequence idea specialized to Hamming-1 bucket
+    * flips] — the measured fix for the one-shot
     * recall floor: each query additionally probes `probes` Hamming-1
     * neighbor buckets per table (bit p flipped, p < probes — the
     * [[graft.api.Dedup.embeddingPairs]] mechanics applied to the
