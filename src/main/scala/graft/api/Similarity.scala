@@ -429,9 +429,23 @@ object Similarity extends org.apache.spark.internal.Logging {
     Barrier.release(scored)
     Barrier.release(e)
     Barrier.release(sample)
-    math.min(n - 1,
+    val r = math.min(n - 1,
       math.max(rerankFor(n, k).toLong,
         math.ceil(conf * stride).toLong)).toInt
+    // The derived budget IS the family signal: when covering the
+    // confusable population means re-ranking a meaningful fraction of
+    // the corpus per query, PQ is the wrong tool at this
+    // concentration/scale — the r15 third-decade probe DNF'd the
+    // R ≈ 12%-of-corpus leg after 45 min where multi-probe LSH (s2p)
+    // answered the same corpus at 0.98 recall in minutes.
+    if (r.toLong * 20 > n)
+      logWarning(f"rerankForMeasured derived R = $r — " +
+        f"${100.0 * r / n}%.0f%% of the $n-row corpus. At this " +
+        "concentration/scale the PQ family must re-rank a whole " +
+        "cluster per query; prefer the multi-probe LSH family " +
+        "(annRoute/annTopK or lshTopK), which held 0.96-0.98 recall " +
+        "scale-free on such corpora (r15 clustered probe).")
+    r
   }
 
   /** Which ANN family the corpus SHAPE favors — the r15

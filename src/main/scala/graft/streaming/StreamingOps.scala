@@ -159,7 +159,21 @@ object StreamingOps {
     * when a batch re-uses an id already in the asset — e.g. a re-ingested
     * document. WITHOUT the flag a collision is SILENT corruption, not an
     * error: the verification union holds both rows and the batch emits
-    * duplicate/incorrect pairs ([[graft.api.Dedup.assertDisjointIds]]). */
+    * duplicate/incorrect pairs ([[graft.api.Dedup.assertDisjointIds]]).
+    *
+    * GUARD COST per micro-batch (r15): the incremental pair generators
+    * run their two-sided pair/candidate-budget prechecks PER CALL, so
+    * each micro-batch pays one additional slim-column streamed scan of
+    * the signature asset (map-side-combined aggregate over the key
+    * column only — a fraction of the pair join's own per-batch asset
+    * scan; measured +0.14–0.48 s per call at sf0.1, the A/B table in
+    * STATUS r15). A duplicate-heap batch therefore kills the stream
+    * LOUDLY with the estimate and remedy instead of OOM'ing an
+    * executor mid-join — intended. Pipelines that pre-dedup their
+    * ingest and want the scan back can set the conf
+    * ([[graft.api.Dedup.PairBudgetConfKey]] /
+    * [[graft.api.Dedup.CandBudgetConfKey]]) to `warn` or `off` on the
+    * STREAM's session. */
   /** `groupsAsset = Some((dir, aCol, bCol))` additionally maintains a
     * CONTINUOUS (doc_id, group_id) asset — dd10's streaming twin: per
     * batch, the batch's pairs run through
