@@ -341,19 +341,45 @@ object Similarity extends org.apache.spark.internal.Logging {
     * the general-purpose family — never toward over-trusting LSH. */
   def annConcentration(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, sampleN: Int = 1024): Double = {
-    val n = corpus.count()
+    val (sample, stat, _, _) =
+      concentrationSample(corpus, idCol, vecCol, k, sampleN)
+    Barrier.release(sample)
+    stat
+  }
+
+  /** Shared sample + statistic construction behind [[annConcentration]],
+    * [[rerankForMeasured]], [[annRoute]] and the PQ concentration floor
+    * (one implementation so the sample definition and the kth-NN
+    * percentile cannot drift between the verbs, and callers that need
+    * several of (sample, stat, n) pay ONE corpus count): returns the
+    * barriered densely-re-keyed hash-stride sample, the 10th-percentile
+    * kth-NN cosine over it, the stride, and the corpus row count. The
+    * dense re-key exists for [[rerankForMeasured]]'s δ measurement
+    * (pqTrain seeds by id < ks, and a hash-strided subset of a sparse
+    * id space would select ~no seeds); relabeling cannot change the
+    * statistic — per-query top-k membership may reorder under exact
+    * cosine TIES, but the kth cosine VALUE (and hence the percentile)
+    * is tie-invariant. Pass `nKnown` when the caller already counted
+    * the corpus. Callers must [[Barrier.release]] the sample. */
+  private def concentrationSample(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, sampleN: Int,
+      nKnown: Option[Long] = None): (DataFrame, Double, Long, Long) = {
+    val n = nKnown.getOrElse(corpus.count())
     require(n > k, s"corpus must hold more than k=$k rows, got $n")
     val stride = math.max(1L, n / sampleN)
+    // The window is over ≤ ~sampleN rows — single-partition by design.
     val sample = Barrier(corpus
       .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .select(col(idCol).as("_src"), col(vecCol))
+      .withColumn(idCol,
+        row_number().over(Window.orderBy(col("_src"))).cast("long") - 1)
       .select(col(idCol), col(vecCol)))
     val kk = math.min(k.toLong, sample.count() - 1).toInt
     require(kk >= 1, "hash-stride sample too small to measure concentration")
     val stat = cosineTopK(sample, sample, idCol, vecCol, kk)
       .groupBy("q_id").agg(min("cos").as("kcos"))
       .agg(expr("percentile(kcos, 0.1)")).head.getDouble(0)
-    Barrier.release(sample)
-    stat
+    (sample, stat, stride, n)
   }
 
   /** MEASURED-concentration rerank budget — the r15 probe's
@@ -383,23 +409,8 @@ object Similarity extends org.apache.spark.internal.Logging {
       k: Int, m: Int = 8, ks: Int = 64, iters: Int = 2,
       sampleN: Int = 1024): Int = {
     import graft.functions.PqFunctions
-    val n = corpus.count()
-    require(n > k, s"corpus must hold more than k=$k rows, got $n")
-    val stride = math.max(1L, n / sampleN)
-    // Dense re-key: pqTrain seeds by id < ks, and a hash-strided
-    // subset of a sparse id space would select ~no seeds. The window
-    // is over ≤ ~sampleN rows — single-partition by design.
-    val sample = Barrier(corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      .select(col(idCol).as("_src"), col(vecCol))
-      .withColumn(idCol,
-        row_number().over(Window.orderBy(col("_src"))).cast("long") - 1)
-      .select(col(idCol), col(vecCol)))
-    val kk = math.min(k.toLong, sample.count() - 1).toInt
-    require(kk >= 1, "hash-stride sample too small to measure concentration")
-    val stat = cosineTopK(sample, sample, idCol, vecCol, kk)
-      .groupBy("q_id").agg(min("cos").as("kcos"))
-      .agg(expr("percentile(kcos, 0.1)")).head.getDouble(0)
+    val (sample, stat, stride, n) =
+      concentrationSample(corpus, idCol, vecCol, k, sampleN)
     // ADC resolution δ at the CALLER's codebook geometry, measured on
     // the sample itself: train books on the sample, score every
     // sample pair both ways, take the 90th-percentile |adc − true|.
@@ -462,10 +473,15 @@ object Similarity extends org.apache.spark.internal.Logging {
     * the LSH route was taken). */
   def annRoute(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, sampleN: Int = 1024): (String, Double, Option[LshGeometry]) = {
-    val stat = annConcentration(corpus, idCol, vecCol, k, sampleN)
+    // one corpus count, threaded into both the concentration
+    // measurement and the envelope test (on a computed, non-parquet
+    // corpus a second count would replay the whole lineage)
+    val (sample, stat, _, n) =
+      concentrationSample(corpus, idCol, vecCol, k, sampleN)
+    Barrier.release(sample)
     val g =
       if (stat.isNaN) None
-      else lshGeometryOption(corpus.count(), stat, corpus.sparkSession)
+      else lshGeometryOption(n, stat, corpus.sparkSession)
     (if (g.isDefined) "lsh" else "pq", stat, g)
   }
 
