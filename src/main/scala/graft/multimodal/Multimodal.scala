@@ -538,6 +538,10 @@ object Multimodal {
       // yesterday's state: signature asset + groups asset from the
       // corpus split only
       corpusSigs.write.mode("overwrite").parquet(s"$root/sigs/base")
+      // guard sidecar (r16): the daily dd8-shaped precheck reads this
+      // instead of re-scanning the corpus signature asset
+      Dedup.writeSignatureHistogram(
+        s, s"$root/sigs/base", Dedup.hammingGuardKeys("sig"))
       Dedup.duplicateGroups(
           Dedup.hammingPairs(corpusSigs, "doc_id", "sig", AHashMaxHamming),
           "doc_a", "doc_b")
@@ -549,14 +553,17 @@ object Multimodal {
         .write.mode("overwrite").parquet(s"$root/sigs/inc_0")
       Dedup.incrementalHammingPairs(
           Dedup.readSignatureAsset(s, s"$root/sigs", excludeInc = Some("inc_0")),
-          s.read.parquet(s"$root/sigs/inc_0"), "doc_id", "sig", AHashMaxHamming)
+          s.read.parquet(s"$root/sigs/inc_0"), "doc_id", "sig", AHashMaxHamming,
+          Dedup.readSignatureHistogram(s, s"$root/sigs",
+            Dedup.hammingGuardKeys("sig"), excludeInc = Some("inc_0")))
         .write.mode("overwrite").parquet(s"$root/pairs")
       Dedup.incrementalGroups(
           Dedup.readGroupsAsset(s, s"$root/groups", excludeInc = Some("inc_0")),
           s.read.parquet(s"$root/pairs"), "doc_a", "doc_b")
         .write.mode("overwrite").parquet(s"$root/groups/inc_0")
       // the day's quiesce point: fold both assets a generation forward
-      Dedup.compactSignatureAsset(s, s"$root/sigs")
+      Dedup.compactSignatureAsset(s, s"$root/sigs",
+        guardKeys = Some(Dedup.hammingGuardKeys("sig")))
       Dedup.compactGroupsAsset(s, s"$root/groups")
     }
     // keep/drop: a doc survives iff it leads its resolved group (or
@@ -623,6 +630,10 @@ object Multimodal {
           val corpusSigs = graft.api.Barrier(ahashSigsOf(
             docIds(s, dir).filter(col("doc_id") % IncMod =!= 0)))
           corpusSigs.write.mode("overwrite").parquet(s"$root/sigs/base")
+          // guard sidecar (r16): p6p's daily precheck reads this, so
+          // the timed path never re-scans the corpus signature asset
+          graft.api.Dedup.writeSignatureHistogram(
+            s, s"$root/sigs/base", graft.api.Dedup.hammingGuardKeys("sig"))
           // seed via the CONTRACTION verb (≡ duplicateGroups over
           // hammingPairs, property-pinned) — the pattern the pair
           // budget preaches: the replica fixture's ahash space
@@ -647,7 +658,9 @@ object Multimodal {
       .write.mode("overwrite").parquet(s"$root/sigs/inc_0")
     Dedup.incrementalHammingPairs(
         Dedup.readSignatureAsset(s, s"$root/sigs", excludeInc = Some("inc_0")),
-        s.read.parquet(s"$root/sigs/inc_0"), "doc_id", "sig", AHashMaxHamming)
+        s.read.parquet(s"$root/sigs/inc_0"), "doc_id", "sig", AHashMaxHamming,
+        Dedup.readSignatureHistogram(s, s"$root/sigs",
+          Dedup.hammingGuardKeys("sig"), excludeInc = Some("inc_0")))
       .write.mode("overwrite").parquet(s"$root/pairs")
     Dedup.incrementalGroups(
         Dedup.readGroupsAsset(s, s"$root/groups", excludeInc = Some("inc_0")),

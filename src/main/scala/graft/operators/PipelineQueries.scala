@@ -233,6 +233,10 @@ private[graft] object DailyPipeline {
       graft.api.Dedup.minhashSignatures(
           corpus(docs), "doc_id", "text", DD3Bands, DD3Rows)
         .write.mode("overwrite").parquet(s"$root/sigs/base")
+      // guard sidecar (r16): the daily dd7 precheck reads this instead
+      // of re-scanning the corpus signature asset
+      graft.api.Dedup.writeSignatureHistogram(
+        s, s"$root/sigs/base", graft.api.Dedup.jaccardGuardKeys)
       graft.api.Dedup.duplicateGroups(
           graft.api.Dedup.jaccardPairs(
             corpus(docs), "doc_id", "text", DD3Bands, DD3Rows, Jaccard),
@@ -259,7 +263,10 @@ private[graft] object DailyPipeline {
       graft.api.Dedup.incrementalJaccardPairs(
           graft.api.Dedup.readSignatureAsset(
             s, s"$root/sigs", excludeInc = Some("inc_0")),
-          s.read.parquet(s"$root/sigs/inc_0"), Jaccard)
+          s.read.parquet(s"$root/sigs/inc_0"), Jaccard,
+          graft.api.Dedup.readSignatureHistogram(
+            s, s"$root/sigs", graft.api.Dedup.jaccardGuardKeys,
+            excludeInc = Some("inc_0")))
         .write.mode("overwrite").parquet(s"$root/pairs")
       graft.api.Dedup.incrementalGroups(
           graft.api.Dedup.readGroupsAsset(
@@ -267,7 +274,8 @@ private[graft] object DailyPipeline {
           s.read.parquet(s"$root/pairs"), "doc_a", "doc_b")
         .write.mode("overwrite").parquet(s"$root/groups/inc_0")
       if (compact) {
-        graft.api.Dedup.compactSignatureAsset(s, s"$root/sigs")
+        graft.api.Dedup.compactSignatureAsset(s, s"$root/sigs",
+          guardKeys = Some(graft.api.Dedup.jaccardGuardKeys))
         graft.api.Dedup.compactGroupsAsset(s, s"$root/groups")
       }
     }

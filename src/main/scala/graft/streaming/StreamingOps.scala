@@ -161,16 +161,23 @@ object StreamingOps {
     * error: the verification union holds both rows and the batch emits
     * duplicate/incorrect pairs ([[graft.api.Dedup.assertDisjointIds]]).
     *
-    * GUARD COST per micro-batch (r15): the incremental pair generators
-    * run their two-sided pair/candidate-budget prechecks PER CALL, so
-    * each micro-batch pays one additional slim-column streamed scan of
-    * the signature asset (map-side-combined aggregate over the key
-    * column only — a fraction of the pair join's own per-batch asset
-    * scan; measured +0.14–0.48 s per call at sf0.1, the A/B table in
-    * STATUS r15). A duplicate-heap batch therefore kills the stream
-    * LOUDLY with the estimate and remedy instead of OOM'ing an
-    * executor mid-join — intended. Pipelines that pre-dedup their
-    * ingest and want the scan back can set the conf
+    * GUARD COST per micro-batch (r15, histogram-backed since r16):
+    * the incremental pair generators run their two-sided
+    * pair/candidate-budget prechecks PER CALL. `histKeys` (the
+    * family's guard-key projection — the wrappers below pass theirs)
+    * feeds each batch the asset's `_pairhist` sidecar
+    * ([[graft.api.Dedup.readSignatureHistogram]]), making the precheck
+    * Θ(batch + un-compacted incs) — the corpus signature asset is
+    * scanned ONCE per batch (by the pair join), not twice. Before the
+    * first compaction-with-`guardKeys` there is no sidecar and the
+    * precheck falls back to the full aggregate (one additional
+    * slim-column streamed asset scan per batch — measured
+    * +0.14–0.48 s per call at sf0.1, the A/B table in STATUS r15);
+    * `compactOnFinish` threads `histKeys` into the fold, so a
+    * compacted asset upgrades every later run. A duplicate-heap batch
+    * kills the stream LOUDLY with the estimate and remedy instead of
+    * OOM'ing an executor mid-join — intended. Pipelines that pre-dedup
+    * their ingest and want the scan back can set the conf
     * ([[graft.api.Dedup.PairBudgetConfKey]] /
     * [[graft.api.Dedup.CandBudgetConfKey]]) to `warn` or `off` on the
     * STREAM's session. */
@@ -205,13 +212,14 @@ object StreamingOps {
     * accumulate. */
   def incrementalPairStream(docs: DataFrame,
       sigFn: DataFrame => DataFrame,
-      pairFn: (DataFrame, DataFrame) => DataFrame,
+      pairFn: (DataFrame, DataFrame, Option[DataFrame]) => DataFrame,
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
       idCol: String = "doc_id", assertDisjointIds: Boolean = false,
       groupsAsset: Option[(String, String, String)] = None,
       compactOnFinish: Boolean = false,
       keepSuperseded: Int = 1,
-      maxUpsertDirs: Int = graft.api.Dedup.DefaultMaxUpsertDirs):
+      maxUpsertDirs: Int = graft.api.Dedup.DefaultMaxUpsertDirs,
+      histKeys: Option[DataFrame => DataFrame] = None):
       org.apache.spark.sql.streaming.StreamingQuery = {
     val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -223,11 +231,16 @@ object StreamingOps {
           requireLineage(s, gDir, checkpointDir) }
         val corpusSigs = graft.api.Dedup.readSignatureAsset(
           s, corpusSigDir, excludeInc = Some(s"inc_$batchId"))
+        // the guard sidecar shares the asset read's exclusion contract:
+        // a replayed batch must not precheck against its failed attempt
+        val corpusHist = histKeys.flatMap(gk =>
+          graft.api.Dedup.readSignatureHistogram(
+            s, corpusSigDir, gk, excludeInc = Some(s"inc_$batchId")))
         graft.api.Barrier.scoped {
           val incSigs = graft.api.Barrier(sigFn(batch.toDF()))
           if (assertDisjointIds)
             graft.api.Dedup.assertDisjointIds(corpusSigs, incSigs, idCol)
-          pairFn(corpusSigs, incSigs)
+          pairFn(corpusSigs, incSigs, corpusHist)
             .write.mode("overwrite").parquet(s"$pairsOutDir/batch=$batchId")
           groupsAsset.foreach { case (gDir, aCol, bCol) =>
             // read back the just-written pairs (deterministic, avoids
@@ -257,7 +270,8 @@ object StreamingOps {
     if (compactOnFinish) {
       query.awaitTermination()
       val s = docs.sparkSession
-      graft.api.Dedup.compactSignatureAsset(s, corpusSigDir, keepSuperseded)
+      graft.api.Dedup.compactSignatureAsset(s, corpusSigDir, keepSuperseded,
+        histKeys)
       groupsAsset.foreach { case (gDir, _, _) =>
         graft.api.Dedup.compactGroupsAsset(s, gDir, keepSuperseded) }
     }
@@ -333,10 +347,11 @@ object StreamingOps {
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(docs,
       df => graft.api.Dedup.minhashSignatures(df, idCol, textCol, bands, rows),
-      (c, i) => graft.api.Dedup.incrementalJaccardPairs(c, i, threshold),
+      (c, i, h) => graft.api.Dedup.incrementalJaccardPairs(c, i, threshold, h),
       corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds,
       groupsDir.map(d => (d, "doc_a", "doc_b")), compactOnFinish,
-      keepSuperseded, maxUpsertDirs)
+      keepSuperseded, maxUpsertDirs,
+      histKeys = Some(graft.api.Dedup.jaccardGuardKeys))
 
   /** dd8's streaming twin — 64-bit Hamming family (SimHash text sigs,
     * mm8 perceptual image hashes). Input stream carries PRECOMPUTED
@@ -352,11 +367,12 @@ object StreamingOps {
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(sigs,
       df => df.select(col(idCol).as("doc_id"), col(sigCol).as("sig")),
-      (c, i) => graft.api.Dedup.incrementalHammingPairs(
-        c, i, "doc_id", "sig", maxHamming),
+      (c, i, h) => graft.api.Dedup.incrementalHammingPairs(
+        c, i, "doc_id", "sig", maxHamming, h),
       corpusSigDir, pairsOutDir, checkpointDir, "doc_id", assertDisjointIds,
       groupsDir.map(d => (d, "doc_a", "doc_b")), compactOnFinish,
-      keepSuperseded, maxUpsertDirs)
+      keepSuperseded, maxUpsertDirs,
+      histKeys = Some(graft.api.Dedup.hammingGuardKeys("sig")))
 
   /** dd9's streaming twin — hyperplane-LSH/cosine family. Seed the
     * asset with [[graft.api.Dedup.lshSignatureTable]] output of the
@@ -372,10 +388,12 @@ object StreamingOps {
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(vecs,
       df => graft.api.Dedup.lshSignatureTable(df, idCol, vecCol, tables, planes),
-      (c, i) => graft.api.Dedup.incrementalEmbeddingPairs(c, i, threshold, probes),
+      (c, i, h) => graft.api.Dedup.incrementalEmbeddingPairs(
+        c, i, threshold, probes, h),
       corpusSigDir, pairsOutDir, checkpointDir, "vec_id", assertDisjointIds,
       groupsDir.map(d => (d, "vec_a", "vec_b")), compactOnFinish,
-      keepSuperseded, maxUpsertDirs)
+      keepSuperseded, maxUpsertDirs,
+      histKeys = Some(graft.api.Dedup.embeddingGuardKeys))
 
   /** s7's streaming twin — CONTINUOUS PQ index maintenance: each
     * micro-batch of new vectors is encoded against the FROZEN

@@ -451,4 +451,49 @@ class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
       Seq("rm", "-rf", root).!
     }
   }
+
+  test("pair-budget histogram sidecar: seed stamp, live incs, exclusion, compaction") {
+    import spark.implicits._
+    val gk = Dedup.hammingGuardKeys("sig")
+    val root = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    def hist(excl: Option[String] = None): Option[Map[Long, Long]] =
+      Dedup.readSignatureHistogram(spark, root, gk, excl)
+        .map(_.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    try {
+      // seed: sig 100 ×3 (a heap), sig 200 ×1 (a singleton)
+      Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 200L))
+        .toDF("doc_id", "sig").write.parquet(s"$root/base")
+      assert(hist().isEmpty, "unstamped seed must report no sidecar")
+      Dedup.writeSignatureHistogram(spark, s"$root/base", gk)
+      // c >= 2 keys only; the singleton is the guards' +1 floor's job
+      assert(hist() == Some(Map(100L -> 3L)))
+      // the sidecar is invisible to the asset's own parquet scan
+      assert(Dedup.readSignatureAsset(spark, root).count() == 4)
+
+      // live incs merge at read time; excludeInc drops a batch's own dir
+      Seq((10L, 100L), (11L, 300L), (12L, 300L))
+        .toDF("doc_id", "sig").write.parquet(s"$root/inc_0")
+      assert(hist() == Some(Map(100L -> 4L, 300L -> 2L)))
+      assert(hist(Some("inc_0")) == Some(Map(100L -> 3L)))
+
+      // compaction with guardKeys persists the merged counts in the new
+      // generation's own sidecar (reader now serves it with no inc scan)
+      assert(Dedup.compactSignatureAsset(spark, root, keepSuperseded = 0,
+        guardKeys = Some(gk)) == 1)
+      assert(hist() == Some(Map(100L -> 4L, 300L -> 2L)))
+      assert(Dedup.readSignatureAsset(spark, root).count() == 7)
+
+      // a later compaction WITHOUT guardKeys produces a generation with
+      // no sidecar — the reader reports None (guards fall back loudly
+      // to the full aggregate, never serve a stale histogram)
+      Seq((20L, 300L)).toDF("doc_id", "sig").write.parquet(s"$root/inc_1")
+      assert(hist() == Some(Map(100L -> 4L, 300L -> 3L)))
+      assert(Dedup.compactSignatureAsset(spark, root, keepSuperseded = 0) == 1)
+      assert(hist().isEmpty,
+        "a generation compacted without guardKeys must not inherit a sidecar")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
 }

@@ -157,11 +157,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         "doc_id", "text", sigDir, pairsDir, ckpt, 8, 4, 0.8)
       assert(q1.awaitTermination(180000), "run 1 did not stop")
       // compact while the stream is quiesced: inc_0 folds into a new gen
-      // (keepSuperseded = 0: this test pins the immediate-cleanup layout)
+      // (keepSuperseded = 0: this test pins the immediate-cleanup layout;
+      // the family deriver makes the generation carry its guard sidecar,
+      // so run 2's per-batch precheck below runs the Θ(increment) path)
       assert(graft.api.Dedup.compactSignatureAsset(spark, sigDir,
-        keepSuperseded = 0) == 1)
+        keepSuperseded = 0,
+        guardKeys = Some(graft.api.Dedup.jaccardGuardKeys)) == 1)
       assert(!new java.io.File(s"$sigDir/inc_0").exists())
       assert(new java.io.File(s"$sigDir/base_gen1/_manifest").exists())
+      assert(new java.io.File(s"$sigDir/base_gen1/_pairhist").exists())
+      assert(graft.api.Dedup.readSignatureHistogram(spark, sigDir,
+        graft.api.Dedup.jaccardGuardKeys).isDefined)
       // run 2: second half, SAME checkpoint — batchIds continue
       land(col("doc_id") % 20 =!= 0, "inc1.parquet")
       val q2 = StreamingOps.incrementalDedupStream(
