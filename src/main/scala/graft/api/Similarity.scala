@@ -139,6 +139,81 @@ object Similarity extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Session conf governing the PQ-family AUTO paths' concentration
+    * floor ([[validatePqConcentration]]): `enforce` (default) throws
+    * when the measured corpus concentration sits in the regime where
+    * the √n rerank curve is REFUTED, `warn` logs the measurement and
+    * proceeds, `off` skips (skips the sample job too). The pinned
+    * paths are exempt by design — [[RerankSizingConfKey]] already
+    * polices them, and [[rerankForMeasured]]'s output (the measured
+    * remedy this floor names) is consumed through a pin. */
+  val PqConcConfKey = "spark.graft.pq.concfloor"
+
+  /** Concentration statistic ceiling for the √n curve's validated
+    * regime (conf `spark.graft.pq.concfloor.stat` overrides; see
+    * [[PqConcStatFloorDefault]]'s scaladoc for the measured
+    * calibration). */
+  val PqConcStatFloorKey = "spark.graft.pq.concfloor.stat"
+
+  /** MEASURED calibration (r16, tools/ConcStatProbe over the r15
+    * recall campaign's own fixtures): the 10th-percentile 5th-NN
+    * cosine statistic ([[annConcentration]], k = 5, sampleN = 1024)
+    * reads 0.267–0.326 on every diffuse fixture (sf0.001 / sf0.01 /
+    * sf0.1 sources and the 20 k / 200 k / 2 M sign-cipher decades —
+    * the corpora the √n curve was VALIDATED on at 0.91–0.97 recall@5)
+    * and 0.837–0.838 on the clustered decades (20 k / 200 k / 2 M —
+    * where the same curve MEASURED 0.23–0.47). The floor at 0.6 sits
+    * ≥ 1.8× above the entire validated band (no false trip from
+    * sampling jitter — and sampling UNDERESTIMATES the statistic, so
+    * jitter errs toward passing) and below the measured collapse;
+    * the unmeasured middle (0.6–0.84) fails toward the remedy that
+    * measures the caller's actual corpus ([[rerankForMeasured]])
+    * rather than silently running a curve with no validation there —
+    * the [[RerankBand]] degraded-vs-collapsed contract applied to
+    * corpus SHAPE. */
+  val PqConcStatFloorDefault = 0.6
+
+  /** Throw (or warn, per [[PqConcConfKey]]) when an AUTO-sized
+    * PQ-family call is about to run the √n rerank curve on a corpus
+    * whose measured concentration is outside the curve's validated
+    * regime — the r15 measurement this round turns into enforcement
+    * (the LSH family got its model-recall floor in r15; this is the
+    * same collapse protection for the one family that lacked it):
+    * heavy manifold concentration compresses within-cluster cosine
+    * gaps below ADC's resolution, so the auto budget silently reads
+    * 0.23–0.47 recall@5 where R = cluster population reads 1.0000
+    * (r15 clustered fixture, three decades). Costs one sample-sized
+    * statistic job ([[concentrationSample]]) per auto call; `off`
+    * skips the job entirely. */
+  private def validatePqConcentration(cNormed: DataFrame, n: Long,
+      k: Int, what: String): Unit = {
+    val spark = cNormed.sparkSession
+    val mode = spark.conf.get(PqConcConfKey, "enforce")
+    require(Set("enforce", "warn", "off").contains(mode),
+      s"$PqConcConfKey must be enforce|warn|off, got '$mode'")
+    if (mode == "off") return
+    val floor = spark.conf.get(PqConcStatFloorKey,
+      PqConcStatFloorDefault.toString).toDouble
+    val (sample, stat, _, _) =
+      concentrationSample(cNormed, "vec_id", "embedding", k, 1024, Some(n))
+    Barrier.release(sample)
+    if (!stat.isNaN && stat >= floor) {
+      val msg = f"$what (auto-sized): measured corpus concentration " +
+        f"$stat%.3f (10th-pct ${k}th-NN cosine) >= $floor — outside the " +
+        "sqrt(n) rerank curve's validated regime (measured r15/r16: " +
+        "diffuse fixtures read 0.27-0.33 where the curve holds " +
+        "0.91-0.97 recall@5; clustered fixtures read 0.84 where the " +
+        "auto budget SILENTLY reads 0.23-0.47 — within-cluster " +
+        "cosine gaps compress below ADC's resolution, and recall " +
+        "reads 1.0 only at R = cluster population). Use " +
+        "rerankForMeasured (pass its budget to the pinned overload), " +
+        "route with annTopK/annRoute (multi-probe LSH held 0.96-0.98 " +
+        s"here), or set $PqConcConfKey=warn|off."
+      if (mode == "warn") logWarning(msg)
+      else throw new IllegalArgumentException(msg)
+    }
+  }
+
   /** Session conf governing the IVFADC probe-width check: same
     * enforce|warn|off contract as [[RerankSizingConfKey]]. */
   val ProbeSizingConfKey = "spark.graft.nprobe.sizing"
@@ -223,12 +298,60 @@ object Similarity extends org.apache.spark.internal.Logging {
     * angle and geometry, NOT the corpus size (measured scale-free
     * across three decades) — which is what makes sizing from the model
     * sound at any n. */
-  def lshPerTableRate(threshold: Double, planes: Int, probes: Int): Double = {
+  def lshPerTableRate(threshold: Double, planes: Int, probes: Int): Double =
+    lshPerTableRate(threshold, planes, probes, radius = 1)
+
+  /** [[lshPerTableRate]] generalized to probe RADIUS [Lv et al., VLDB
+    * 2007 — perturbation sets beyond single-bucket flips]: a pair at
+    * cosine `threshold` collides in a table iff its signature xor has
+    * ≤ `radius` set bits, all among the `probes` probed positions —
+    * rate = Σ_{j=0}^{radius} C(probes, j)·p^(planes−j)·(1−p)^j (the
+    * un-flipped planes agree, exactly j probed planes disagree).
+    * radius = 1 is the r14-validated model (10–14% conservative vs
+    * measured); the r16 diffuse-fixture probe validates radius 2–3
+    * the same way (STATUS r16 table). Each +1 of radius multiplies
+    * the probed BUCKET count per (query, table) by ~C(probes, j) —
+    * recall bought on the query side at candidate-volume cost
+    * tables·Σ C(probes, j)·n/2^planes per query, which is the
+    * quantity to check before trusting the lift at scale. */
+  def lshPerTableRate(threshold: Double, planes: Int, probes: Int,
+      radius: Int): Double = {
     require(planes >= 1, s"planes must be >= 1, got $planes")
     require(probes >= 0 && probes <= planes,
       s"probes must be in [0, planes=$planes], got $probes")
+    require(radius >= 1 && radius <= MaxProbeRadius,
+      s"radius must be in [1, $MaxProbeRadius], got $radius")
     val p = planeAgreeProb(threshold)
-    math.pow(p, planes) + probes * math.pow(p, planes - 1) * (1 - p)
+    (0 to math.min(radius, probes)).map { j =>
+      choose(probes, j) * math.pow(p, planes - j) * math.pow(1 - p, j)
+    }.sum
+  }
+
+  /** Probe-radius ceiling: bucket count per (query, table) is
+    * Σ_{j≤radius} C(probes, j) — combinatorial in radius (probes = 12:
+    * 13 / 79 / 299 buckets at radius 1/2/3). Past 3 the probe set
+    * approaches scanning the signature space itself. */
+  val MaxProbeRadius = 3
+
+  private def choose(n: Int, k: Int): Double =
+    (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+
+  /** All XOR masks with ≤ `radius` set bits among the low `probes`
+    * bits (mask 0 = the own bucket, first) — the probe set
+    * [[lshTopK]]'s radius overload expands each query signature by. */
+  private def probeMasks(probes: Int, radius: Int): Seq[Long] = {
+    require(radius >= 1 && radius <= MaxProbeRadius,
+      s"radius must be in [1, $MaxProbeRadius], got $radius")
+    val one = (0 until probes).map(1L << _)
+    val two =
+      if (radius < 2) Nil
+      else for { i <- 0 until probes; j <- (i + 1) until probes }
+        yield (1L << i) | (1L << j)
+    val three =
+      if (radius < 3) Nil
+      else for { i <- 0 until probes; j <- (i + 1) until probes
+        l <- (j + 1) until probes } yield (1L << i) | (1L << j) | (1L << l)
+    0L +: (one ++ two ++ three)
   }
 
   /** The volume-discipline plane count: planes = ⌈log₂ n⌉ (floored at
@@ -491,22 +614,109 @@ object Similarity extends org.apache.spark.internal.Logging {
     * measurement of their own. LSH route: [[lshTopK]] at the geometry
     * derived FOR the measured concentration (corpus-side cost
     * n·tables slim rows). PQ route: [[pqTopK]]'s auto overload
-    * (corpus-calibrated √n rerank) at the given codebook geometry.
-    * Output ≡ the routed verb exactly (property-pinned in
-    * DedupSimilaritySpec) — this adds a routing decision, never a new
-    * result semantics, so the routed verb's oracle certifies it
-    * transitively. Routing cost: two metadata-cheap counts + one
-    * sample-sized exact top-k job. */
+    * (corpus-calibrated √n rerank) at the given codebook geometry —
+    * UNLESS the measured statistic already sits past the
+    * concentration floor while the LSH envelope doesn't hold (huge
+    * concentrated corpora where tables > cap): there the router pays
+    * the honest-but-expensive PQ fallback itself, [[rerankForMeasured]]
+    * through the pinned overload, instead of handing the caller an
+    * auto path the r16 floor would (rightly) reject. The router is
+    * therefore TOTAL: every corpus shape gets an answer with a
+    * measured-recall story. Output ≡ the routed verb exactly
+    * (property-pinned in DedupSimilaritySpec) — this adds a routing
+    * decision, never a new result semantics, so the routed verb's
+    * oracle certifies it transitively. Routing cost: two
+    * metadata-cheap counts + one sample-sized exact top-k job. */
   def annTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, ks: Int = 64, iters: Int = 2,
-      sampleN: Int = 1024): DataFrame = {
-    val (family, _, g) = annRoute(corpus, idCol, vecCol, k, sampleN)
+      sampleN: Int = 1024): DataFrame =
+    annTopKRouted(annRoute(corpus, idCol, vecCol, k, sampleN),
+      corpus, queries, idCol, vecCol, k, m, ks, iters, sampleN)
+
+  /** [[annTopK]] with the routing statistic served from
+    * [[annRouteCached]]'s persisted sidecar — the routed daily-path
+    * form: on a cache hit the only routing cost is one corpus count.
+    * (The concentrated-PQ fallback's [[rerankForMeasured]] still
+    * samples when taken — it measures ADC resolution at the caller's
+    * codebook geometry, not just the statistic.) */
+  def annTopKCached(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, cacheDir: String,
+      m: Int = 8, ks: Int = 64, iters: Int = 2,
+      sampleN: Int = 1024): DataFrame =
+    annTopKRouted(annRouteCached(corpus, idCol, vecCol, cacheDir, k, sampleN),
+      corpus, queries, idCol, vecCol, k, m, ks, iters, sampleN)
+
+  private def annTopKRouted(
+      route: (String, Double, Option[LshGeometry]),
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int, ks: Int, iters: Int, sampleN: Int): DataFrame = {
+    val (family, stat, g) = route
+    val spark = corpus.sparkSession
+    val floor = spark.conf.get(PqConcStatFloorKey,
+      PqConcStatFloorDefault.toString).toDouble
     if (family == "lsh") {
       val geom = g.get
       lshTopK(corpus, queries, idCol, vecCol, k,
         geom.tables, geom.planes, geom.probes)
-    } else pqTopK(corpus, queries, idCol, vecCol, k, m, ks, iters)
+    } else if (!stat.isNaN && stat >= floor)
+      pqTopK(corpus, queries, idCol, vecCol, k, m, ks, iters,
+        rerankForMeasured(corpus, idCol, vecCol, k, m, ks, iters, sampleN))
+    else pqTopK(corpus, queries, idCol, vecCol, k, m, ks, iters)
+  }
+
+  /** [[annRoute]] with a persisted statistic sidecar (r15 verdict
+    * task #5, riding the r16 histogram-sidecar pattern): concentration
+    * is a corpus SHAPE property that drifts slowly, so a routed daily
+    * path should not re-pay the sample top-k job per call. The cache
+    * file `<cacheDir>/_concstat` (atomic write-to-temp + rename, any
+    * Hadoop FS — park it next to the corpus's signature/PQ index
+    * assets) stores (stat, n, k, sampleN); a cached statistic is
+    * REUSED only when (k, sampleN) match and the current corpus count
+    * sits within 2× of the cached one — past that the corpus has
+    * grown/shrunk a decade's worth and the shape claim is re-measured
+    * (and re-cached). The envelope test always uses the CURRENT count
+    * (cheap on a parquet-backed corpus); only the sample job is
+    * skipped on a hit. Delete the file to force a re-measure. */
+  def annRouteCached(corpus: DataFrame, idCol: String, vecCol: String,
+      cacheDir: String, k: Int = 5, sampleN: Int = 1024):
+      (String, Double, Option[LshGeometry]) = {
+    val spark = corpus.sparkSession
+    val file = new org.apache.hadoop.fs.Path(cacheDir, "_concstat")
+    val fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = corpus.count()
+    def cached: Option[Double] =
+      (try {
+        val in = fs.open(file)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+        finally in.close()
+      } catch { case _: java.io.IOException => None })
+        .flatMap { line =>
+          line.split("\\s+") match {
+            case Array("v1", s, cn, ck, cs)
+              if ck.toInt == k && cs.toInt == sampleN &&
+                n <= 2 * cn.toLong && cn.toLong <= 2 * n => Some(s.toDouble)
+            case _ => None
+          }
+        }
+    val stat = cached.getOrElse {
+      val (sample, s, _, _) =
+        concentrationSample(corpus, idCol, vecCol, k, sampleN, Some(n))
+      Barrier.release(sample)
+      val tmp = new org.apache.hadoop.fs.Path(cacheDir, "_concstat.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"v1 $s $n $k $sampleN\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(file, false)
+      require(fs.rename(tmp, file), s"failed to publish $file")
+      s
+    }
+    val g =
+      if (stat.isNaN) None
+      else lshGeometryOption(n, stat, spark)
+    (if (g.isDefined) "lsh" else "pq", stat, g)
   }
 
   /** Deterministic evenly-id-rank-spaced k₁-row subset of `seeds` —
@@ -598,7 +808,25 @@ object Similarity extends org.apache.spark.internal.Logging {
     * the scale path — multi-probe raises the floor, not the law. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      tables: Int, planes: Int, probes: Int): DataFrame = {
+      tables: Int, planes: Int, probes: Int): DataFrame =
+    lshTopK(corpus, queries, idCol, vecCol, k, tables, planes, probes,
+      radius = 1)
+
+  /** [[lshTopK]] at probe RADIUS > 1 [Lv et al. 2007's perturbation
+    * sets, specialized to Hamming-≤radius bucket flips]: each query
+    * visits every bucket whose signature differs in ≤ `radius` of the
+    * `probes` probed bits — Σ_{j≤radius} C(probes, j) buckets per
+    * (query, table), still entirely QUERY-side (the corpus's n·tables
+    * slim rows are untouched). Adjacency by xor-weight is symmetric,
+    * so one-sided expansion stays complete. Per-table rate model:
+    * [[lshPerTableRate]]'s radius overload — measured r16 on the
+    * diffuse fixture (STATUS table): the radius axis lifts the
+    * committed geometry's mid-similarity recall at a candidate-volume
+    * price of tables·Σ C(probes, j)·n/2^planes per query; check that
+    * price against the corpus before preferring it to the PQ family. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      tables: Int, planes: Int, probes: Int, radius: Int): DataFrame = {
     require(probes >= 0 && probes <= planes,
       s"probes must be in [0, planes=$planes], got $probes")
     def tagged(df: DataFrame) = normed(df, idCol, vecCol).select(
@@ -606,11 +834,10 @@ object Similarity extends org.apache.spark.internal.Logging {
         posexplode(VectorFunctions.lshSignatures(col("embedding"), tables, planes)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
     val c = tagged(corpus)
-    // the query side visits its own bucket plus `probes` bit-flipped
-    // neighbors; Hamming-1 adjacency is symmetric, so expanding the
-    // query side alone finds every pair within one probed bit
-    val buckets = array(lit(0L) +:
-      (0 until probes).map(p => lit(1L << p)): _*)
+    // the query side visits its own bucket plus every ≤radius-bit
+    // flip of the probed bits; xor-weight adjacency is symmetric, so
+    // expanding the query side alone finds every pair within radius
+    val buckets = array(probeMasks(probes, radius).map(lit): _*)
     val q = tagged(queries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("tbl").as("q_tbl"),
@@ -1063,13 +1290,16 @@ object Similarity extends org.apache.spark.internal.Logging {
   /** AUTO-SIZED [[pqTopK]]: the rerank budget is derived from the
     * corpus row count ([[rerankFor]]) — the sizing-by-construction
     * path (a caller cannot recreate the measured fixed-R recall
-    * collapse through it). */
+    * collapse through it), concentration-floored since r16
+    * ([[validatePqConcentration]]: the √n curve's OTHER measured
+    * failure mode — corpus shape, not corpus size). */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int, ks: Int, iters: Int): DataFrame = {
     val c = Barrier(normed(corpus, idCol, vecCol))
-    pqTopKImpl(c, queries, idCol, vecCol, k, m, ks, iters,
-      rerankFor(c.count(), k))
+    val n = c.count()
+    validatePqConcentration(c, n, k, "pqTopK")
+    pqTopKImpl(c, queries, idCol, vecCol, k, m, ks, iters, rerankFor(n, k))
   }
 
   private def pqTopKImpl(c: DataFrame, queries: DataFrame,
@@ -1136,15 +1366,19 @@ object Similarity extends org.apache.spark.internal.Logging {
   }
 
   /** AUTO-SIZED [[pqTopKFromIndex]]: rerank derived from the base
-    * corpus row count ([[rerankFor]]). */
+    * corpus row count ([[rerankFor]]), concentration-floored since
+    * r16 (the base table is the corpus whose shape decides the
+    * curve's validity — the floor samples it once per call). */
   def pqTopKFromIndex(index: DataFrame, base: DataFrame, queries: DataFrame,
       books: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
+    val b = normed(base, idCol, vecCol)
+    val n = base.count()
+    validatePqConcentration(b, n, k, "pqTopKFromIndex")
     pqQueryTail(
       index.select(col(idCol).as("vec_id"), col("nrm"), col("codes")),
-      normed(base, idCol, vecCol),
-      normed(queries, idCol, vecCol), booksRowOf(books), k,
-      rerankFor(base.count(), k))
+      b, normed(queries, idCol, vecCol), booksRowOf(books), k,
+      rerankFor(n, k))
   }
 
   /** Shared PQ query tail: per-query LUTs (broadcast), ADC scoring of
@@ -1224,8 +1458,10 @@ object Similarity extends org.apache.spark.internal.Logging {
       nCells: Int, coarseIters: Int, m: Int, ks: Int,
       pqIters: Int): DataFrame = {
     val c = Barrier(normed(corpus, idCol, vecCol))
+    val n = c.count()
+    validatePqConcentration(c, n, k, "ivfadcTopK")
     ivfadcTopKImpl(c, queries, idCol, vecCol, k, nCells, coarseIters,
-      m, ks, pqIters, probeFor(nCells), rerankFor(c.count(), k))
+      m, ks, pqIters, probeFor(nCells), rerankFor(n, k))
   }
 
   private def ivfadcTopKImpl(c: DataFrame, queries: DataFrame,

@@ -88,6 +88,9 @@ object RecallProbe {
       .config(graft.api.Similarity.RerankSizingConfKey, "warn")
       .config(graft.api.Similarity.ProbeSizingConfKey, "warn")
       .config(graft.api.Similarity.LshSizingConfKey, "warn")
+      // r16: the auto legs MEASURE the clustered-regime collapse the
+      // concentration floor exists to reject — warn, don't veto
+      .config(graft.api.Similarity.PqConcConfKey, "warn")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -310,8 +313,13 @@ object RecallProbe {
         // true top-k fills with cross-replica near-noise neighbors
         val queries = emb.filter(
           col("vec_id") % off < 3 && col("vec_id") / off < 10)
-        val exact = topkSets(S.cosineTopK(emb, queries,
+        val exactDf = graft.api.Barrier(S.cosineTopK(emb, queries,
           "vec_id", "embedding", K))
+        val exact = topkSets(exactDf)
+        // median true kth-NN cosine — the similarity level the radius
+        // legs' MODEL predictions are evaluated at
+        val medKth = exactDf.groupBy("q_id").agg(min("cos").as("kc"))
+          .agg(expr("percentile(kc, 0.5)")).head.getDouble(0)
         val s2 = topkSets(S.lshTopK(emb, queries, "vec_id", "embedding", K,
           graft.functions.SimConstants.NTables,
           graft.functions.SimConstants.NPlanes))
@@ -337,6 +345,38 @@ object RecallProbe {
           f""""reps":$reps,"fixture":"$fixture","n":$n,""" +
           f""""n_queries":${exact.size},"k":$K,""" +
           f""""recall":${recallsP.sum / recallsP.size}%.4f}""")
+        // r16 (verdict task #4): the probe-RADIUS axis — Hamming-2/3
+        // perturbation sets [Lv et al. 2007] at the SAME committed
+        // geometry, model-vs-measured per decade. The model is
+        // evaluated at this decade's median true-kth-NN cosine; the
+        // candidate-volume estimate (tables·buckets·n/2^planes per
+        // query) is the cost side that decides whether a lift is a
+        // scale path or a measured dead end.
+        val radii = sys.env.getOrElse("SPARK_GRAFT_RECALL_RADII", "")
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+        radii.foreach { r =>
+          val tabs = graft.functions.SimConstants.NTables
+          val pls = graft.functions.SimConstants.NPlanes
+          val sr = topkSets(S.lshTopK(emb, queries, "vec_id", "embedding",
+            K, tabs, pls, pls, r))
+          val rec = exact.map { case (q, t) =>
+            sr.getOrElse(q, Set.empty).intersect(t).size.toDouble / K
+          }
+          val model = 1.0 - math.pow(
+            1.0 - S.lshPerTableRate(medKth, pls, pls, r), tabs)
+          val bucketsPerQT = (0 to r)
+            .map(j => (0 until j).map(i => (pls - i).toDouble / (i + 1))
+              .product).sum
+          val candPerQuery =
+            tabs * bucketsPerQT * n.toDouble / math.pow(2.0, pls)
+          println(f"""{"probe":"lsh_recall","verb":"s2r_ann_lsh_radius",""" +
+            f""""reps":$reps,"fixture":"$fixture","n":$n,"radius":$r,""" +
+            f""""n_queries":${exact.size},"k":$K,"med_kth_cos":$medKth%.4f,""" +
+            f""""recall":${rec.sum / rec.size}%.4f,""" +
+            f""""model_recall":$model%.4f,""" +
+            f""""cand_per_query":$candPerQuery%.4g}""")
+        }
+        graft.api.Barrier.release(exactDf)
       }
     }
   }

@@ -345,6 +345,7 @@ object ScaleProbe {
       // warning so the regime is measurable, not vetoed
       .config(graft.api.Similarity.RerankSizingConfKey, "warn")
       .config(graft.api.Similarity.ProbeSizingConfKey, "warn")
+      .config(graft.api.Similarity.PqConcConfKey, "warn")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -749,6 +749,100 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("histogram-backed incremental guards are Theta(increment): they trip WITHOUT scanning the corpus") {
+    import spark.implicits._
+    val D = graft.api.Dedup
+    // same detonation fixture as above: a 40-copy corpus heap, one
+    // increment doc landing in it
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val corpusJ = D.minhashSignatures(
+      (1L to 40L).map(i => (i, txt)).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 4)
+    val incJ = D.minhashSignatures(
+      Seq((0L, txt)).toDF("doc_id", "text"), "doc_id", "text", 8, 4)
+    val corpusH = (1L to 40L).map(i => (i, 0x1234ABCDL)).toDF("doc_id", "sig")
+    val incH = Seq((0L, 0x1234ABCDL)).toDF("doc_id", "sig")
+    val vec = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val corpusE = D.lshSignatureTable(
+      (1L to 40L).map(i => (i, vec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 2, 4)
+    val incE = D.lshSignatureTable(
+      Seq((0L, vec)).toDF("vec_id", "embedding"), "vec_id", "embedding", 2, 4)
+    // sidecars, built exactly as writeSignatureHistogram persists them
+    def histOf(sigs: org.apache.spark.sql.DataFrame,
+        gk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      Some(gk(sigs).groupBy("k").agg(count(lit(1)).as("cc"))
+        .filter(col("cc") >= 2))
+    val histJ = histOf(corpusJ, D.jaccardGuardKeys)
+    val histH = histOf(corpusH, D.hammingGuardKeys("sig"))
+    val histE = histOf(corpusE, D.embeddingGuardKeys)
+    // corpora whose EVALUATION throws: the histogram path must decide
+    // from sidecar + increment alone — any corpus scan detonates the
+    // test with raise_error's message instead of the guard's
+    def poison(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.withColumn(c, when(
+        raise_error(lit("corpus scanned by a histogram-backed precheck"))
+          .isNull, col(c)))
+    val poisonJ = poison(corpusJ, "bkeys")
+    val poisonH = poison(corpusH, "sig")
+    val poisonE = poison(corpusE, "sigs")
+    spark.conf.set(D.PairBudgetMaxKey, "30")
+    spark.conf.set(D.CandBudgetMaxKey, "50")
+    try {
+      // estimates: (40 sidecar copies + the 1-hidden-copy floor)·1 inc
+      // = 41 guaranteed pairs (vs the full path's exact 40) — the
+      // documented ≤ |increment| conservative overage
+      val ej = intercept[IllegalArgumentException] {
+        D.incrementalJaccardPairs(poisonJ, incJ, 0.8, histJ)
+      }
+      assert(ej.getMessage.contains("incrementalJaccardPairs") &&
+        ej.getMessage.contains("41"))
+      val eh = intercept[IllegalArgumentException] {
+        D.incrementalHammingPairs(poisonH, incH, "doc_id", "sig", 3, histH)
+      }
+      assert(eh.getMessage.contains("incrementalHammingPairs") &&
+        eh.getMessage.contains("41"))
+      // identical vectors ⇒ 2 tables × (40+1 floored)·1 = 82 candidates
+      val ee = intercept[IllegalArgumentException] {
+        D.incrementalEmbeddingPairs(poisonE, incE, 0.9, 0, histE)
+      }
+      assert(ee.getMessage.contains("incrementalEmbeddingPairs") &&
+        ee.getMessage.contains("82"))
+      // and with multi-probe the flip targets look up the SIDECAR too
+      // (an inc row probing a hot corpus-only bucket must be counted):
+      // each probed flip bucket is empty here but floors at cin·(1+ci)
+      val ep = intercept[IllegalArgumentException] {
+        D.incrementalEmbeddingPairs(poisonE, incE, 0.9, 2, histE)
+      }
+      assert(ep.getMessage.contains("incrementalEmbeddingPairs"))
+      // the histogram path computes the same JOIN output (real corpus,
+      // warn mode): the sidecar changes the precheck's cost shape only
+      spark.conf.set(D.PairBudgetConfKey, "warn")
+      spark.conf.set(D.CandBudgetConfKey, "warn")
+      try {
+        assert(D.incrementalJaccardPairs(corpusJ, incJ, 0.8, histJ)
+          .count() == 40)
+        assert(D.incrementalHammingPairs(
+          corpusH, incH, "doc_id", "sig", 3, histH).count() == 40)
+        assert(D.incrementalEmbeddingPairs(corpusE, incE, 0.9, 0, histE)
+          .count() == 40)
+      } finally {
+        spark.conf.unset(D.PairBudgetConfKey)
+        spark.conf.unset(D.CandBudgetConfKey)
+      }
+      // a quiet corpus under the DEFAULT budget passes through the
+      // histogram path in enforce mode (no false trip from the floor)
+      spark.conf.unset(D.PairBudgetMaxKey)
+      val quietC = (1L to 30L).map(i => (i, 1000L + i)).toDF("doc_id", "sig")
+      val quietI = Seq((100L, 5000L)).toDF("doc_id", "sig")
+      assert(D.incrementalHammingPairs(quietC, quietI, "doc_id", "sig", 3,
+        histOf(quietC, D.hammingGuardKeys("sig"))).count() == 0)
+    } finally {
+      spark.conf.unset(D.PairBudgetMaxKey)
+      spark.conf.unset(D.CandBudgetMaxKey)
+    }
+  }
+
   test("pqTopKFromIndex: rerank sizing off skips the base count job (by-name contract)") {
     val S = graft.api.Similarity
     val emb = graft.Tables.embeddings(spark, sf0001)
@@ -835,6 +929,142 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     spark.conf.set(S.LshSizingConfKey, "warn")
     try D.embeddingPairs(emb, "vec_id", "embedding", 1, 12, 0.4, probes = 0)
     finally spark.conf.unset(S.LshSizingConfKey)
+  }
+
+  test("PQ auto paths: concentration floor trips on clustered corpora, passes on diffuse, pinned exempt") {
+    val S = graft.api.Similarity
+    import spark.implicits._
+    val dim = 128
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val diffuse = (0L until 2000L)
+      .map(i => (i, unit(Array.fill(dim)(rnd.nextGaussian()))))
+      .toDF("vid", "v")
+    // tight clusters (0.3-scale noise → within-cluster cos ≈ 0.92):
+    // the measured-collapse regime (the r15 fixtures read stat 0.84)
+    val cents = (0 until 8).map(_ => unit(Array.fill(dim)(rnd.nextGaussian())))
+    val clustered = (0L until 2000L).map { i =>
+      val c = cents((i % 8).toInt)
+      val nz = unit(Array.fill(dim)(rnd.nextGaussian()))
+      (i, c.zip(nz).map { case (a, b) => a + 0.3f * b })
+    }.toDF("vid", "v")
+    val qc = clustered.filter(col("vid") < 2)
+    val qd = diffuse.filter(col("vid") < 2)
+    // all three auto overloads trip in enforce (the default), naming
+    // the measured remedy
+    val e1 = intercept[IllegalArgumentException] {
+      S.pqTopK(clustered, qc, "vid", "v", 5, 8, 64, 1)
+    }
+    assert(e1.getMessage.contains("pqTopK") &&
+      e1.getMessage.contains("rerankForMeasured"))
+    val e2 = intercept[IllegalArgumentException] {
+      S.ivfadcTopK(clustered, qc, "vid", "v", 5, 8, 1, 8, 16, 1)
+    }
+    assert(e2.getMessage.contains("ivfadcTopK"))
+    val books = S.pqTrain(clustered, "vid", "v", 8, 16, 1)
+    val index = S.pqEncodeIndex(clustered, books, "vid", "v")
+    val e3 = intercept[IllegalArgumentException] {
+      S.pqTopKFromIndex(index, clustered, qc, books, "vid", "v", 5)
+    }
+    assert(e3.getMessage.contains("pqTopKFromIndex"))
+    // diffuse passes the same enforce-mode auto path
+    assert(S.pqTopK(diffuse, qd, "vid", "v", 5, 8, 64, 1).count() > 0)
+    // warn proceeds on the clustered corpus; the PINNED overload is
+    // exempt by design (rerankForMeasured's output is consumed there)
+    spark.conf.set(S.PqConcConfKey, "warn")
+    try assert(S.pqTopK(clustered, qc, "vid", "v", 5, 8, 64, 1).count() > 0)
+    finally spark.conf.unset(S.PqConcConfKey)
+    assert(S.pqTopK(clustered, qc, "vid", "v", 5, 8, 64, 1, 600).count() > 0)
+  }
+
+  test("lshTopK probe radius: radius=1 is the probes overload exactly, recall monotone in radius, model monotone") {
+    val S = graft.api.Similarity
+    import spark.implicits._
+    val dim = 32
+    val rnd = new scala.util.Random(3)
+    val corpus = (0L until 800L)
+      .map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vid", "v")
+    val q = corpus.filter(col("vid") < 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = key(S.cosineTopK(corpus, q, "vid", "v", 5))
+    def recall(got: Set[(Long, Long)]) =
+      exact.count(got).toDouble / exact.size
+    // radius = 1 IS the existing probes overload (identical mask set)
+    val p1 = key(S.lshTopK(corpus, q, "vid", "v", 5, 4, 10, 10))
+    assert(p1 == key(S.lshTopK(corpus, q, "vid", "v", 5, 4, 10, 10, 1)))
+    // candidates grow monotonically with radius, so recall does too
+    // (an exact-top-k member in the pool is never displaced: anything
+    // above it is also exact-top-k-or-better)
+    val r2 = recall(key(S.lshTopK(corpus, q, "vid", "v", 5, 4, 10, 10, 2)))
+    val r3 = recall(key(S.lshTopK(corpus, q, "vid", "v", 5, 4, 10, 10, 3)))
+    assert(recall(p1) <= r2 && r2 <= r3,
+      s"recall must be monotone in radius: ${recall(p1)} / $r2 / $r3")
+    // the closed-form rate is monotone in radius at any angle
+    Seq(0.3, 0.5, 0.8).foreach { c =>
+      val m1 = S.lshPerTableRate(c, 12, 12, 1)
+      val m2 = S.lshPerTableRate(c, 12, 12, 2)
+      val m3 = S.lshPerTableRate(c, 12, 12, 3)
+      assert(m1 == S.lshPerTableRate(c, 12, 12) && m1 < m2 && m2 < m3)
+    }
+    // radius past the ceiling fails loud (bucket count combinatorial)
+    intercept[IllegalArgumentException] {
+      S.lshTopK(corpus, q, "vid", "v", 5, 4, 10, 10, 4)
+    }
+  }
+
+  test("annRouteCached: sidecar hit serves the cached statistic, stale or mismatched entries re-measure") {
+    val S = graft.api.Similarity
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val diffuse = (0L until 2000L)
+      .map(i => (i, unit(Array.fill(dim)(rnd.nextGaussian()))))
+      .toDF("vid", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-concstat").toString
+    def writeCache(line: String): Unit = {
+      // drop the Hadoop LocalFileSystem checksum — a raw overwrite
+      // would otherwise fail fs.open with ChecksumException and read
+      // as a miss instead of a hit
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "._concstat.crc"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_concstat"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    try {
+      val (f1, s1, _) = S.annRouteCached(diffuse, "vid", "v", dir)
+      assert(f1 == "pq" && s1 < 0.6, s"diffuse must route pq, stat $s1")
+      assert(new java.io.File(s"$dir/_concstat").exists())
+      // poison the sidecar with a clustered-regime statistic under the
+      // same (n, k, sampleN): the next call must SERVE it (flipping the
+      // route) — proof the hit path reads the cache, not the corpus
+      writeCache("v1 0.95 2000 5 1024")
+      val (f2, s2, _) = S.annRouteCached(diffuse, "vid", "v", dir)
+      assert(s2 == 0.95 && f2 == "lsh",
+        s"poisoned cache must be served verbatim, got ($f2, $s2)")
+      // a cached count 10× off is stale → re-measure (and re-cache)
+      writeCache("v1 0.95 200000 5 1024")
+      val (f3, s3, _) = S.annRouteCached(diffuse, "vid", "v", dir)
+      assert(f3 == "pq" && s3 == s1, "stale count must force a re-measure")
+      // (k, sampleN) mismatch likewise
+      writeCache("v1 0.95 2000 7 1024")
+      val (f4, s4, _) = S.annRouteCached(diffuse, "vid", "v", dir)
+      assert(f4 == "pq" && s4 == s1)
+      // and the refreshed cache now hits again
+      val (_, s5, _) = S.annRouteCached(diffuse, "vid", "v", dir)
+      assert(s5 == s1)
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", dir).!
+    }
   }
 
   test("annTopK routes by measured concentration and equals the routed verb") {
