@@ -39,18 +39,18 @@ import org.apache.spark.sql.SparkSession
   *
   * THE BENCH SUBSET (`QueryDef.bench`; pinned name-by-name in
   * RegistrySpec so membership changes are deliberate diffs): the
-  * composite times the 49 queries that carry distinct COST SHAPES,
+  * composite times the 50 queries that carry distinct COST SHAPES,
   * not all 98 oracle entries — the oracle gate certifies correctness
   * of everything; the bench only needs one timed representative per
   * plan family, and padding it with duplicates would bury real
   * regressions in noise and round-over-round incomparability.
-  * Exclusion rules, applied in this order:
+  * (dd12 joined in r16 — the r15 verdict ranked a committed number
+  * for the jaccard guard's remedy verb above the facade rule that
+  * had excluded it.) Exclusion rules, applied in this order:
   *  - FACADE/RECOMPUTE TWINS of a benched verb: mr1/mr2s/a1 (string-KV
   *    and typed facades over the same plans as q2/mr2/q7), dd10, p4
   *    and p6 (per-run recompute legs whose asset twins dd10p/p4p/p6p
-  *    are the shapes a production pipeline actually pays), dd12 (the
-  *    jaccard contraction shares dd6's verification volume at fixture
-  *    scale; the contraction family's cost is timed through mm9),
+  *    are the shapes a production pipeline actually pays),
   *    ex1/ex3 (position
   *    assignment alone; ex2/ex6 time the same prefix sum plus the
   *    packing/read-back work that dominates it).

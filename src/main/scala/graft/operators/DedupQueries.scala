@@ -462,10 +462,10 @@ object DedupQueries {
     QueryDef("dd10p_inc_groups_asset", incrementalCCAsset,
       Some(incrementalCCSql), bench = true),
     QueryDef("dd11_semantic", semantic, Some(semanticSql), bench = true),
-    // un-benched by the subset rules: the contraction cost shape is
-    // timed through mm9 (hammingGroups); dd12 shares dd6's verification
-    // volume at fixture scale — its scaling story is the heap-guard
-    // spec + the probe tables, not the composite
-    QueryDef("dd12_jaccard_groups", jacGroups, Some(dupGroupsSql)),
+    // benched since r16 (verdict task #3): the verb every jaccard
+    // guard message names as the remedy deserves its own committed
+    // number — the contraction + representative-band plan differs from
+    // dd6's pairs-then-CC shape even where their fixture volumes agree
+    QueryDef("dd12_jaccard_groups", jacGroups, Some(dupGroupsSql), bench = true),
   )
 }

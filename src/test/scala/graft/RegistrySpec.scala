@@ -40,6 +40,9 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
       "dd4_simhash", "dd5_embed_dup", "dd6_dup_groups", "dd7_incremental",
       "dd8_inc_simhash", "dd9_inc_embed", "dd10p_inc_groups_asset",
       "dd11_semantic",
+      // r16 (verdict task #3): the jaccard guard's remedy verb gets a
+      // first-class committed number
+      "dd12_jaccard_groups",
       // similarity ladder
       "s1_cosine_topk", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_ivf_trained",
       "s5_ann_ivf_hier", "s6_ann_pq_adc", "s7_ann_pq_asset", "s8_ann_ivfadc",
@@ -57,7 +60,7 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.benchQueries.toSet == pinned,
       s"bench set drifted: +${SparkEntry.benchQueries.toSet -- pinned} " +
         s"-${pinned -- SparkEntry.benchQueries.toSet}")
-    assert(SparkEntry.benchQueries.size == 49)
+    assert(SparkEntry.benchQueries.size == 50)
   }
 
   test("approx_count_distinct tracks the exact distinct count within 5%") {
