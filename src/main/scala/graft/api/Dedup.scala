@@ -1249,6 +1249,17 @@ object Dedup extends org.apache.spark.internal.Logging {
       .map(g => new org.apache.hadoop.fs.Path(g, PairHistDir))
       .filter(fs.exists)
     if (scan.gen.isEmpty || histPaths.size != scan.gen.size) return None
+    // Per-dir sidecars truncate cc >= 2 PER DIR: with m seed dirs, a
+    // key holding exactly one copy in each (true cc = m >= 2 — a heap
+    // spread across seeds) is absent from EVERY sidecar, and the guard
+    // would model it as <= 1 copy — an UNDER-estimate that breaks the
+    // sidecar's over-estimate-only guarantee, un-recoverable by any
+    // reader-side re-aggregation (the rows were never written). A
+    // compacted generation is always one dir (scanAsset returns
+    // Seq(newest)); only multi-dir seeds reach here, and they fall
+    // back to the exact full-corpus aggregate until the first
+    // compaction merges them into one generation.
+    if (scan.gen.size > 1) return None
     val genHist = spark.read.parquet(histPaths.map(_.toString): _*)
       .select(col("k"), col("cc"))
     val incs = scan.liveIncs.filterNot(i => excludeInc.contains(i.getName))

@@ -192,6 +192,18 @@ object Similarity extends org.apache.spark.internal.Logging {
     require(Set("enforce", "warn", "off").contains(mode),
       s"$PqConcConfKey must be enforce|warn|off, got '$mode'")
     if (mode == "off") return
+    // A corpus with n <= k rows cannot be in the collapse regime the
+    // floor polices (there is no "cluster population >> rerank budget"
+    // at that size, and the exact scan is affordable anyway) — and
+    // concentrationSample's n > k contract would hard-fail it, turning
+    // the r16 floor into a regression on previously-working tiny-corpus
+    // auto calls (warn mode could not proceed either, only off).
+    if (n <= k) {
+      logWarning(s"$what: corpus holds only $n rows (<= k = $k) — " +
+        "concentration floor skipped; a corpus this small cannot " +
+        "collapse the sqrt(n) rerank curve")
+      return
+    }
     val floor = spark.conf.get(PqConcStatFloorKey,
       PqConcStatFloorDefault.toString).toDouble
     val (sample, stat, _, _) =
@@ -484,9 +496,18 @@ object Similarity extends org.apache.spark.internal.Logging {
     * cosine TIES, but the kth cosine VALUE (and hence the percentile)
     * is tie-invariant. Pass `nKnown` when the caller already counted
     * the corpus. Callers must [[Barrier.release]] the sample. */
+  /** Test-only observability: total [[concentrationSample]] runs in
+    * this JVM — the spec-level pin for the router's documented cost
+    * contract ("one sample job per routed cold call, zero per cached
+    * hit"): a code path that silently re-pays the sample job moves
+    * this counter where wall-clock assertions would flake. */
+  private[graft] val concentrationSampleRuns =
+    new java.util.concurrent.atomic.AtomicLong
+
   private def concentrationSample(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, sampleN: Int,
       nKnown: Option[Long] = None): (DataFrame, Double, Long, Long) = {
+    concentrationSampleRuns.incrementAndGet()
     val n = nKnown.getOrElse(corpus.count())
     require(n > k, s"corpus must hold more than k=$k rows, got $n")
     val stride = math.max(1L, n / sampleN)
@@ -599,8 +620,14 @@ object Similarity extends org.apache.spark.internal.Logging {
     // one corpus count, threaded into both the concentration
     // measurement and the envelope test (on a computed, non-parquet
     // corpus a second count would replay the whole lineage)
-    val (sample, stat, _, n) =
-      concentrationSample(corpus, idCol, vecCol, k, sampleN)
+    val n = corpus.count()
+    // totality on tiny corpora: concentrationSample contracts n > k;
+    // below that there is no shape to measure and no collapse regime —
+    // route "pq" with NaN, and the routed diffuse path's exact-affordable
+    // auto budget answers it (the floor skips n <= k for the same reason)
+    if (n <= k) return ("pq", Double.NaN, None)
+    val (sample, stat, _, _) =
+      concentrationSample(corpus, idCol, vecCol, k, sampleN, Some(n))
     Barrier.release(sample)
     val g =
       if (stat.isNaN) None
@@ -636,10 +663,13 @@ object Similarity extends org.apache.spark.internal.Logging {
 
   /** [[annTopK]] with the routing statistic served from
     * [[annRouteCached]]'s persisted sidecar — the routed daily-path
-    * form: on a cache hit the only routing cost is one corpus count.
-    * (The concentrated-PQ fallback's [[rerankForMeasured]] still
-    * samples when taken — it measures ADC resolution at the caller's
-    * codebook geometry, not just the statistic.) */
+    * form: on a cache hit the only routing cost is one corpus count —
+    * the diffuse-PQ route runs [[pqTopKImpl]] directly with the
+    * router's decision, never re-sampling (pinned by the
+    * [[concentrationSampleRuns]] spec). (The concentrated-PQ
+    * fallback's [[rerankForMeasured]] still samples when taken — it
+    * measures ADC resolution at the caller's codebook geometry, not
+    * just the statistic.) */
   def annTopKCached(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, cacheDir: String,
       m: Int = 8, ks: Int = 64, iters: Int = 2,
@@ -663,7 +693,23 @@ object Similarity extends org.apache.spark.internal.Logging {
     } else if (!stat.isNaN && stat >= floor)
       pqTopK(corpus, queries, idCol, vecCol, k, m, ks, iters,
         rerankForMeasured(corpus, idCol, vecCol, k, m, ks, iters, sampleN))
-    else pqTopK(corpus, queries, idCol, vecCol, k, m, ks, iters)
+    else {
+      // Diffuse (or unmeasurably small) route: the router just
+      // produced the statistic — measured it, or served it from the
+      // `_concstat` sidecar — and it sits below the floor. Calling the
+      // public auto overload here would re-run
+      // validatePqConcentration's sample job (a SECOND sample-sized
+      // exact top-k per routed call, contradicting the documented
+      // one-sample routing cost — and on annTopKCached's hit path,
+      // re-paying the exact job the sidecar exists to skip); worse, a
+      // stale cached stat below the floor beside a freshly-measured
+      // one above it would make enforce mode throw INSIDE the routed
+      // call, breaking the router's totality. The routing decision IS
+      // the validation; run the auto-sized impl directly.
+      val c = Barrier(normed(corpus, idCol, vecCol))
+      val n = c.count()
+      pqTopKImpl(c, queries, idCol, vecCol, k, m, ks, iters, rerankFor(n, k))
+    }
   }
 
   /** [[annRoute]] with a persisted statistic sidecar (r15 verdict
@@ -686,6 +732,7 @@ object Similarity extends org.apache.spark.internal.Logging {
     val file = new org.apache.hadoop.fs.Path(cacheDir, "_concstat")
     val fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = corpus.count()
+    if (n <= k) return ("pq", Double.NaN, None) // totality, as in annRoute
     def cached: Option[Double] =
       (try {
         val in = fs.open(file)
@@ -693,12 +740,19 @@ object Similarity extends org.apache.spark.internal.Logging {
         finally in.close()
       } catch { case _: java.io.IOException => None })
         .flatMap { line =>
-          line.split("\\s+") match {
-            case Array("v1", s, cn, ck, cs)
-              if ck.toInt == k && cs.toInt == sampleN &&
-                n <= 2 * cn.toLong && cn.toLong <= 2 * n => Some(s.toDouble)
-            case _ => None
-          }
+          // Try: a corrupted cache (truncated write, manual edit, a
+          // non-numeric token) must degrade to a MISS and re-measure —
+          // the documented "delete the file to force a re-measure"
+          // recovery story — not crash the call from toInt/toDouble
+          // inside the guard.
+          scala.util.Try {
+            line.split("\\s+") match {
+              case Array("v1", s, cn, ck, cs)
+                if ck.toInt == k && cs.toInt == sampleN &&
+                  n <= 2 * cn.toLong && cn.toLong <= 2 * n => Some(s.toDouble)
+              case _ => None
+            }
+          }.toOption.flatten
         }
     val stat = cached.getOrElse {
       val (sample, s, _, _) =

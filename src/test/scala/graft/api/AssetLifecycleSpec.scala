@@ -496,4 +496,37 @@ class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
       Seq("rm", "-rf", root).!
     }
   }
+
+  test("pair-budget histogram sidecar: multi-dir seeds refuse the fast path (per-dir truncation would under-estimate)") {
+    import spark.implicits._
+    val gk = Dedup.hammingGuardKeys("sig")
+    val root = java.nio.file.Files.createTempDirectory("graft-hist-md").toString
+    try {
+      // sig 100 holds ONE copy in each seed dir — true cc = 2 (a heap
+      // spread across seeds), but each per-dir sidecar truncates its
+      // cc = 1 row away: no reader-side re-aggregation can recover it,
+      // so serving these sidecars would UNDER-estimate the pair budget
+      // (breaking the guard's over-estimate-only guarantee)
+      Seq((1L, 100L), (2L, 300L), (3L, 300L)).toDF("doc_id", "sig")
+        .write.parquet(s"$root/seed_a")
+      Seq((4L, 100L), (5L, 400L)).toDF("doc_id", "sig")
+        .write.parquet(s"$root/seed_b")
+      Dedup.writeSignatureHistogram(spark, s"$root/seed_a", gk)
+      Dedup.writeSignatureHistogram(spark, s"$root/seed_b", gk)
+      assert(Dedup.readSignatureHistogram(spark, root, gk).isEmpty,
+        "multi-dir seeds must fall back to the exact full aggregate")
+      // first compaction (folding an inc) merges the seeds into ONE
+      // generation whose sidecar sees the cross-dir heap whole — fast
+      // path restored
+      Seq((6L, 400L)).toDF("doc_id", "sig").write.parquet(s"$root/inc_0")
+      assert(Dedup.compactSignatureAsset(spark, root, keepSuperseded = 0,
+        guardKeys = Some(gk)) == 1)
+      val hist = Dedup.readSignatureHistogram(spark, root, gk)
+        .map(_.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(hist == Some(Map(100L -> 2L, 300L -> 2L, 400L -> 2L)))
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
 }

@@ -9,6 +9,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * cached copy per round under `persist`. */
 class BarrierSpec extends AnyFunSuite with SparkSpec {
 
+  /** RDD ids persisted by `body` that are STILL cached after it
+    * returns. Id-based, not a global-count delta: neighbor suites'
+    * async `unpersist(blocking = false)` churn can shrink
+    * `getPersistentRDDs` mid-test (the r16 full-suite run read a
+    * NEGATIVE -16 count delta here), but it can only remove ids that
+    * existed BEFORE `body` — it can never add to `after -- before`. */
+  private def leakedIds[A](body: => A): Set[Int] = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    body
+    sc.getPersistentRDDs.keySet.toSet -- before
+  }
+
   private def withMode[A](m: String)(f: => A): A = {
     val prev = spark.conf.getOption(Barrier.ConfKey)
     spark.conf.set(Barrier.ConfKey, m)
@@ -63,13 +76,13 @@ class BarrierSpec extends AnyFunSuite with SparkSpec {
     // one cached frame per subspace per round)
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
     withMode("persist") {
-      val before = spark.sparkContext.getPersistentRDDs.size
-      Barrier.scoped {
-        Similarity.pqTrain(emb, "vec_id", "embedding", 4, 8, 2).collect()
+      val leaked = leakedIds {
+        Barrier.scoped {
+          Similarity.pqTrain(emb, "vec_id", "embedding", 4, 8, 2).collect()
+        }
       }
-      val after = spark.sparkContext.getPersistentRDDs.size
-      assert(after - before == 0,
-        s"leaked ${after - before} cached barriers past the scope")
+      assert(leaked.isEmpty,
+        s"leaked cached barriers past the scope: RDD ids $leaked")
     }
   }
 
@@ -80,13 +93,13 @@ class BarrierSpec extends AnyFunSuite with SparkSpec {
     // verb's intermediates until GC (the r12 sf100 24g-heap note).
     val docs = Tables.documents(spark, sf0001).limit(50)
     withMode("localCheckpoint") {
-      val before = spark.sparkContext.getPersistentRDDs.size
-      Barrier.scoped {
-        assert(Barrier(docs.select("doc_id")).count() == 50)
+      val leaked = leakedIds {
+        Barrier.scoped {
+          assert(Barrier(docs.select("doc_id")).count() == 50)
+        }
       }
-      val after = spark.sparkContext.getPersistentRDDs.size
-      assert(after - before == 0,
-        s"leaked ${after - before} localCheckpoint RDDs past the scope")
+      assert(leaked.isEmpty,
+        s"leaked localCheckpoint RDDs past the scope: ids $leaked")
     }
   }
 
@@ -97,16 +110,16 @@ class BarrierSpec extends AnyFunSuite with SparkSpec {
     // the exact leak collecting exists to prevent, just on failure.
     val docs = Tables.documents(spark, sf0001).limit(50)
     withMode("persist") {
-      val before = spark.sparkContext.getPersistentRDDs.size
-      intercept[RuntimeException] {
-        Barrier.collecting {
-          Barrier(docs.select("doc_id")) // materializes + registers
-          throw new RuntimeException("subspace failed")
+      val leaked = leakedIds {
+        intercept[RuntimeException] {
+          Barrier.collecting {
+            Barrier(docs.select("doc_id")) // materializes + registers
+            throw new RuntimeException("subspace failed")
+          }
         }
       }
-      val after = spark.sparkContext.getPersistentRDDs.size
-      assert(after - before == 0,
-        s"leaked ${after - before} cached barriers on the error path")
+      assert(leaked.isEmpty,
+        s"leaked cached barriers on the error path: RDD ids $leaked")
     }
   }
 
@@ -116,11 +129,12 @@ class BarrierSpec extends AnyFunSuite with SparkSpec {
     // release() each round would leave one more cached copy behind
     val pairs = (1L to 6L).map(i => (i, i + 1)).toDF("a", "b")
     withMode("persist") {
-      val before = spark.sparkContext.getPersistentRDDs.size
-      Dedup.duplicateGroups(pairs, "a", "b").collect()
-      val after = spark.sparkContext.getPersistentRDDs.size
+      val leaked = leakedIds {
+        Dedup.duplicateGroups(pairs, "a", "b").collect()
+      }
       // ed + the final round's labels may stay; per-round copies must not
-      assert(after - before <= 2, s"leaked ${after - before} cached barriers")
+      assert(leaked.size <= 2,
+        s"leaked ${leaked.size} cached barriers: RDD ids $leaked")
     }
   }
 }

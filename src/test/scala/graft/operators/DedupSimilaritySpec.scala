@@ -1067,6 +1067,123 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("routed PQ path: one concentration sample per cold call, zero per cached hit, and a stale cached stat cannot break totality") {
+    val S = graft.api.Similarity
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(17)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val diffuse = (0L until 2000L)
+      .map(i => (i, unit(Array.fill(dim)(rnd.nextGaussian()))))
+      .toDF("vid", "v")
+    val q = diffuse.filter(col("vid") < 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-routecost").toString
+    def runs[A](body: => A): (A, Long) = {
+      val before = S.concentrationSampleRuns.get()
+      val a = body
+      (a, S.concentrationSampleRuns.get() - before)
+    }
+    try {
+      // COLD routed call on the diffuse corpus: the router measures the
+      // statistic once; the diffuse-PQ branch must NOT re-measure it
+      // inside the auto overload's floor (the r16 double-sample defect)
+      val (rows1, cold) = runs(
+        S.annTopKCached(diffuse, q, "vid", "v", 5, dir, 8, 16, 1).count())
+      assert(rows1 > 0)
+      assert(cold == 1, s"routed cold call must pay exactly ONE sample job, paid $cold")
+      // CACHED hit: the sidecar serves the statistic — zero sample jobs
+      val (rows2, hit) = runs(
+        S.annTopKCached(diffuse, q, "vid", "v", 5, dir, 8, 16, 1).count())
+      assert(rows2 == rows1)
+      assert(hit == 0, s"cached hit must pay ZERO sample jobs, paid $hit")
+
+      // TOTALITY under a stale cache: a clustered corpus whose cached
+      // stat (from before it drifted) reads diffuse. The routed call
+      // must serve the decision — not re-validate inside the auto
+      // overload, where enforce mode would measure stat >= floor and
+      // THROW inside the router's own call.
+      val cents = (0 until 4).map(_ => unit(Array.fill(dim)(rnd.nextGaussian())))
+      val clustered = (0L until 1200L).map { i =>
+        val c = cents((i % 4).toInt)
+        val nz = unit(Array.fill(dim)(rnd.nextGaussian()))
+        (i, c.zip(nz).map { case (a, b) => a + 0.3f * b })
+      }.toDF("vid", "v")
+      val cdir = java.nio.file.Files.createTempDirectory("graft-routetot").toString
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(cdir, "_concstat"),
+          "v1 0.30 1200 5 1024\n".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+        val qc = clustered.filter(col("vid") < 2)
+        // enforce mode is the default — this used to throw here
+        val (rows3, tot) = runs(
+          S.annTopKCached(clustered, qc, "vid", "v", 5, cdir, 8, 16, 1).count())
+        assert(rows3 > 0, "routed call must stay total under a stale cached stat")
+        assert(tot == 0, s"stale-cache route must not re-sample, paid $tot")
+      } finally {
+        import scala.sys.process._
+        Seq("rm", "-rf", cdir).!
+      }
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", dir).!
+    }
+  }
+
+  test("annRouteCached: a corrupted _concstat degrades to a miss and re-measures") {
+    val S = graft.api.Similarity
+    import spark.implicits._
+    val dim = 32
+    val rnd = new scala.util.Random(23)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val diffuse = (0L until 1500L)
+      .map(i => (i, unit(Array.fill(dim)(rnd.nextGaussian()))))
+      .toDF("vid", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-concbad").toString
+    try {
+      val (_, s1, _) = S.annRouteCached(diffuse, "vid", "v", dir)
+      // non-numeric tokens (truncated write / manual edit): the parse
+      // must treat it as a miss — the documented recovery is "delete
+      // the file", so malformed MUST behave like absent, not crash
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "._concstat.crc"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_concstat"),
+        "v1 garbage nope 5 1024\n".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      val (_, s2, _) = S.annRouteCached(diffuse, "vid", "v", dir)
+      assert(s2 == s1, "corrupted cache must re-measure, not crash or serve junk")
+      // and the re-measure re-published a healthy cache
+      val before = S.concentrationSampleRuns.get()
+      val (_, s3, _) = S.annRouteCached(diffuse, "vid", "v", dir)
+      assert(s3 == s1 && S.concentrationSampleRuns.get() == before)
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", dir).!
+    }
+  }
+
+  test("tiny corpora (n <= k) stay total: router, auto pqTopK, and the concentration floor all skip") {
+    val S = graft.api.Similarity
+    import spark.implicits._
+    val tiny = (0L until 4L)
+      .map(i => (i, Array.fill(16)((i + 1).toFloat)))
+      .toDF("vid", "v")
+    val q = tiny.filter(col("vid") === 0)
+    // the router: nothing to measure, no collapse regime — route pq/NaN
+    val (fam, stat, g) = S.annRoute(tiny, "vid", "v", 5)
+    assert(fam == "pq" && stat.isNaN && g.isEmpty)
+    // the floor (r16) must not regress previously-working tiny-corpus
+    // auto calls in enforce mode (concentrationSample contracts n > k)
+    assert(S.pqTopK(tiny, q, "vid", "v", 5, 4, 4, 1).count() > 0)
+    assert(S.annTopK(tiny, q, "vid", "v", 5, 4, 4, 1).count() > 0)
+  }
+
   test("annTopK routes by measured concentration and equals the routed verb") {
     val S = graft.api.Similarity
     import spark.implicits._
