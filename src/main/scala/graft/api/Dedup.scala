@@ -744,7 +744,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     * metadata-only job on a parquet-backed frame. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val g = Similarity.lshGeometryFor(df.count(), threshold, df.sparkSession)
+    // maxRadius = 1: the pair generator's self-join collides exact
+    // banded buckets — the probe-radius axis is a QUERY-side lshTopK
+    // capability (masks expand the query signature), so a geometry the
+    // calculator could only hold at radius >= 2 must fail toward the
+    // PQ family here rather than silently run at radius-1 recall
+    val g = Similarity.lshGeometryFor(df.count(), threshold,
+      df.sparkSession, maxRadius = 1)
     embeddingPairs(df, idCol, vecCol, g.tables, g.planes, threshold, g.probes)
   }
 

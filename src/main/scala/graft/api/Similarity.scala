@@ -390,6 +390,33 @@ object Similarity extends org.apache.spark.internal.Logging {
   val LshMaxTablesKey = "spark.graft.lsh.maxtables"
   val LshMaxTablesDefault = 64
 
+  /** Ceiling on the auto calculator's expected CANDIDATE volume per
+    * query, as a fraction of the corpus (conf [[LshMaxCandFracKey]],
+    * default 0.1): cand/query ≈ tables · Σ_{j≤radius} C(probes, j) ·
+    * n / 2^planes, so the fraction is tables · buckets / 2^planes —
+    * pure geometry, no job. Raising the probe radius multiplies
+    * per-table rate WITHOUT re-shuffling the corpus (the r16 measured
+    * lift: 0.26 → 0.91 recall@5 at 200 k), but the bucket count is
+    * combinatorial in radius; past ~10% of the corpus per query the
+    * probe set approaches a scan and the PQ family's measured-rerank
+    * path is the honest tool (the r16 radius probe measured ~29% of
+    * the corpus per query at its hand-pinned radius-3 geometry —
+    * target/r16_recall_radius.log — and named exactly this boundary). */
+  val LshMaxCandFracKey = "spark.graft.lsh.maxcandfrac"
+  val LshMaxCandFracDefault = 0.1
+
+  /** Expected candidate volume per query as a fraction of the corpus
+    * for geometry `g`: tables · Σ_{j≤radius} C(probes, j) / 2^planes
+    * (multiply by n for rows). Closed form, no job — printed by the
+    * calculator's refusal message and capped by [[LshMaxCandFracKey]]. */
+  def lshCandFraction(g: LshGeometry): Double =
+    g.tables * probeBucketCount(g.probes, g.radius) / math.pow(2.0, g.planes)
+
+  /** Buckets probed per (query, table) at (probes, radius):
+    * Σ_{j=0}^{radius} C(probes, j) — 13/79/299 at probes = 12. */
+  private def probeBucketCount(probes: Int, radius: Int): Double =
+    (0 to math.min(radius, probes)).map(choose(probes, _)).sum
+
   /** Model-recall floor for a caller-PINNED embeddingPairs geometry:
     * below this, more than half the threshold-boundary pairs are
     * expected missed — the collapse regime (the r14 probe measured the
@@ -399,9 +426,14 @@ object Similarity extends org.apache.spark.internal.Logging {
     * is tolerated, collapsed is rejected. */
   val LshRecallFloor = 0.5
 
-  /** Derived (tables, planes, probes) for hyperplane-LSH near-dup at
-    * `threshold` over an n-row corpus. */
-  final case class LshGeometry(tables: Int, planes: Int, probes: Int)
+  /** Derived (tables, planes, probes, radius) for hyperplane-LSH
+    * near-dup at `threshold` over an n-row corpus. `radius` (default
+    * 1, the pre-r17 geometry exactly) is the probe radius the
+    * calculator escalated to when radius 1 could not hold the recall
+    * target inside the table cap — consumed by [[lshTopK]]'s radius
+    * overload (query-side only; the pair generators execute radius 1). */
+  final case class LshGeometry(tables: Int, planes: Int, probes: Int,
+      radius: Int = 1)
 
   /** AUTO-SIZING calculator for the banded-LSH family (r14 verdict
     * task #5 — the PQ family's calculator/enforcement/auto template
@@ -413,57 +445,120 @@ object Similarity extends org.apache.spark.internal.Logging {
     * threshold collide at a higher rate, so the target is a floor
     * over the whole qualifying population.
     *
-    * When the derivation needs more than [[LshMaxTablesKey]] tables,
-    * the geometry does not exist inside banded LSH's envelope
-    * (low-similarity thresholds at corpus scale: the rate decays
-    * faster than 2^planes prunes — measured r14) and the calculator
-    * fails loud per [[LshSizingConfKey]] naming the PQ/IVF family;
-    * warn/off clamp to the cap (an honest recall floor, logged under
-    * warn). */
+    * When the radius-1 derivation needs more than [[LshMaxTablesKey]]
+    * tables, the calculator ESCALATES the probe radius (2, then 3 —
+    * the r16-measured axis: radius multiplies the per-table rate
+    * without adding tables, so the cap binds later; measured lift
+    * 0.26 → 0.91 recall@5 at 200 k with the model conservative at all
+    * six points) before giving up, accepting the first rung that fits
+    * BOTH the table cap and the candidate budget
+    * ([[LshMaxCandFracKey]] — the combinatorial bucket count is the
+    * radius axis's price, and past ~10% of the corpus per query the
+    * probe set approaches a scan). Only when no rung fits does the
+    * geometry not exist inside banded LSH's envelope (low-similarity
+    * thresholds at corpus scale: the rate decays faster than 2^planes
+    * prunes — measured r14) and the calculator fails loud per
+    * [[LshSizingConfKey]] naming the PQ/IVF family, printing the
+    * whole ladder (tables + cand/query per radius); warn/off clamp to
+    * the caps (an honest recall floor, logged under warn). Callers
+    * whose executor cannot expand probe masks (the pair generators)
+    * pass `maxRadius = 1` and keep the pre-r17 contract exactly. */
   def lshGeometryFor(n: Long, threshold: Double,
       spark: org.apache.spark.sql.SparkSession,
-      recallTarget: Double = 0.9): LshGeometry = {
-    val planes = lshPlanesFor(n)
-    val probes = planes
-    val rate = lshPerTableRate(threshold, planes, probes)
-    val tables = lshTablesFor(recallTarget, rate)
+      recallTarget: Double = 0.9,
+      maxRadius: Int = MaxProbeRadius): LshGeometry = {
     val maxTables = spark.conf.get(LshMaxTablesKey,
       LshMaxTablesDefault.toString).toInt
+    val maxFrac = spark.conf.get(LshMaxCandFracKey,
+      LshMaxCandFracDefault.toString).toDouble
     // conf validated on EVERY call (not just past the cap): a typo'd
     // mode must not pass silently until the first over-cap corpus
     val mode = spark.conf.get(LshSizingConfKey, "enforce")
     require(Set("enforce", "warn", "off").contains(mode),
       s"$LshSizingConfKey must be enforce|warn|off, got '$mode'")
-    if (tables <= maxTables) return LshGeometry(tables, planes, probes)
-    val msg = f"banded LSH cannot hold recall $recallTarget at " +
-      f"threshold $threshold and n = $n inside the table cap: the " +
-      f"modeled per-table rate is $rate%.4g at planes = $planes (full " +
-      f"multi-probe), needing $tables tables > $maxTables (conf " +
-      s"$LshMaxTablesKey) — each table re-shuffles the corpus. This " +
-      "similarity regime is outside the banded-LSH envelope (measured " +
-      "r14: the rate decays faster than 2^planes prunes at low " +
-      "thresholds); use the PQ/IVF family (pqTopK/ivfadcTopK) for " +
-      s"low-similarity search, or set $LshSizingConfKey=warn|off to " +
-      "clamp to the cap (an explicit recall floor)."
-    if (mode == "enforce") throw new IllegalArgumentException(msg)
-    if (mode == "warn") logWarning(msg)
-    LshGeometry(maxTables, planes, probes)
+    val tried = lshRadiusLadder(n, threshold, recallTarget, maxRadius)
+    lshRadiusFit(tried, maxTables, maxFrac) match {
+      case Some(g) => g
+      case None =>
+        val ladder = tried.map(g => f"radius ${g.radius}: ${g.tables} " +
+          f"tables, cand/query ≈ ${100 * lshCandFraction(g)}%.1f%% of " +
+          "corpus").mkString("; ")
+        val msg = f"banded LSH cannot hold recall $recallTarget at " +
+          f"threshold $threshold and n = $n inside the table cap " +
+          f"($maxTables, conf $LshMaxTablesKey) and candidate budget " +
+          f"(${100 * maxFrac}%.0f%% of corpus per query, conf " +
+          s"$LshMaxCandFracKey) at any probe radius <= $maxRadius " +
+          s"[$ladder] — each table re-shuffles the corpus, and each " +
+          "+1 of radius multiplies probed buckets combinatorially " +
+          "(13/79/299 at probes = 12). This similarity regime is " +
+          "outside the banded-LSH envelope (measured r14: the rate " +
+          "decays faster than 2^planes prunes at low thresholds; " +
+          "measured r16: past ~10% cand/query the probe set " +
+          "approaches a scan); use the PQ/IVF family " +
+          "(pqTopK/ivfadcTopK) for low-similarity search, or set " +
+          s"$LshSizingConfKey=warn|off to clamp to the caps (an " +
+          "explicit recall floor)."
+        if (mode == "enforce") throw new IllegalArgumentException(msg)
+        if (mode == "warn") logWarning(msg)
+        // clamp: cap the tables, then take the largest radius whose
+        // candidate fraction still fits the budget at that table count
+        // (radius 1 is always admissible — it is the r14-validated
+        // volume-disciplined baseline)
+        val base = tried.head
+        (maxRadius to 2 by -1)
+          .map(r => LshGeometry(maxTables, base.planes, base.probes, r))
+          .find(lshCandFraction(_) <= maxFrac)
+          .getOrElse(LshGeometry(maxTables, base.planes, base.probes, 1))
+    }
   }
 
-  /** Non-throwing [[lshGeometryFor]]: Some(geometry) when the
-    * derivation fits the table cap, None when the (n, threshold)
+  /** The calculator's radius ladder: the derived geometry at each
+    * probe radius 1..maxRadius (same planes/probes; tables re-sized
+    * from the radius-generalized per-table rate). */
+  private def lshRadiusLadder(n: Long, threshold: Double,
+      recallTarget: Double, maxRadius: Int): Seq[LshGeometry] = {
+    require(maxRadius >= 1 && maxRadius <= MaxProbeRadius,
+      s"maxRadius must be in [1, $MaxProbeRadius], got $maxRadius")
+    val planes = lshPlanesFor(n)
+    (1 to maxRadius).map { r =>
+      LshGeometry(lshTablesFor(recallTarget,
+        lshPerTableRate(threshold, planes, planes, r)), planes, planes, r)
+    }
+  }
+
+  /** First rung of the ladder inside the envelope. Radius 1 answers to
+    * the table cap alone (the r14-validated baseline: volume is held
+    * linear by planes = ⌈log₂ n⌉ and the cap — at small n its
+    * candidate FRACTION is naturally high while absolute volume is
+    * trivial); escalated rungs (radius ≥ 2, the r16 axis) must ALSO
+    * fit the candidate budget — radius multiplies per-table rate
+    * without re-shuffling the corpus, so the cap binds later, but the
+    * bucket count is combinatorial and the budget is what keeps the
+    * escalation from quietly approaching a scan. */
+  private def lshRadiusFit(ladder: Seq[LshGeometry], maxTables: Int,
+      maxFrac: Double): Option[LshGeometry] =
+    ladder.find(g => g.tables <= maxTables &&
+      (g.radius == 1 || lshCandFraction(g) <= maxFrac))
+
+  /** Non-throwing [[lshGeometryFor]]: Some(geometry) when some probe
+    * radius ≤ `maxRadius` fits the table cap (and, for escalated
+    * radii, the candidate budget), None when the (n, threshold)
     * regime is outside banded LSH's envelope — the membership test
-    * [[annRoute]] routes on. */
+    * [[annRoute]] routes on. Since r17 the envelope includes the
+    * radius ladder: mid-concentration corpora whose radius-1
+    * derivation busts the table cap now route LSH at radius 2–3
+    * (the r16-measured lift, 0.26 → 0.91 recall@5 at 200 k) instead
+    * of falling to the PQ family. */
   def lshGeometryOption(n: Long, threshold: Double,
       spark: org.apache.spark.sql.SparkSession,
-      recallTarget: Double = 0.9): Option[LshGeometry] = {
-    val planes = lshPlanesFor(n)
-    val rate = lshPerTableRate(threshold, planes, planes)
-    val tables = lshTablesFor(recallTarget, rate)
+      recallTarget: Double = 0.9,
+      maxRadius: Int = MaxProbeRadius): Option[LshGeometry] = {
     val maxTables = spark.conf.get(LshMaxTablesKey,
       LshMaxTablesDefault.toString).toInt
-    if (tables <= maxTables) Some(LshGeometry(tables, planes, planes))
-    else None
+    val maxFrac = spark.conf.get(LshMaxCandFracKey,
+      LshMaxCandFracDefault.toString).toDouble
+    lshRadiusFit(lshRadiusLadder(n, threshold, recallTarget, maxRadius),
+      maxTables, maxFrac)
   }
 
   /** CONCENTRATION statistic for ANN family routing: the 10th
@@ -689,7 +784,7 @@ object Similarity extends org.apache.spark.internal.Logging {
     if (family == "lsh") {
       val geom = g.get
       lshTopK(corpus, queries, idCol, vecCol, k,
-        geom.tables, geom.planes, geom.probes)
+        geom.tables, geom.planes, geom.probes, geom.radius)
     } else if (!stat.isNaN && stat >= floor)
       pqTopK(corpus, queries, idCol, vecCol, k, m, ks, iters,
         rerankForMeasured(corpus, idCol, vecCol, k, m, ks, iters, sampleN))
@@ -923,7 +1018,8 @@ object Similarity extends org.apache.spark.internal.Logging {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, simFloor: Double): DataFrame = {
     val g = lshGeometryFor(corpus.count(), simFloor, corpus.sparkSession)
-    lshTopK(corpus, queries, idCol, vecCol, k, g.tables, g.planes, g.probes)
+    lshTopK(corpus, queries, idCol, vecCol, k,
+      g.tables, g.planes, g.probes, g.radius)
   }
 
   /** Fixed-point scale for the k-means centroid mean: coordinates are

@@ -1067,6 +1067,50 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("LSH calculator radius ladder: escalates 2-3 inside table+candidate caps before failing toward PQ") {
+    val S = graft.api.Similarity
+    // inside the radius-1 envelope: ladder returns the pre-r17
+    // geometry exactly (radius 1, same table count)
+    val g1 = S.lshGeometryFor(2000, 0.4, spark)
+    assert(g1.radius == 1 && g1.tables ==
+      S.lshTablesFor(0.9, S.lshPerTableRate(0.4, g1.planes, g1.probes)))
+    // mid-concentration at scale: radius 1 busts the 64-table cap
+    // (223 tables at n = 200k, threshold 0.55) — pre-r17 this was
+    // OUTSIDE the envelope (annRoute fell to PQ); the ladder holds it
+    // at radius 2 within both caps
+    val g2 = S.lshGeometryOption(200000, 0.55, spark)
+    assert(g2.isDefined && g2.get.radius == 2 && g2.get.tables <= 64,
+      s"got $g2")
+    assert(S.lshCandFraction(g2.get) <= S.LshMaxCandFracDefault)
+    assert(S.lshGeometryFor(200000, 0.55, spark) == g2.get)
+    // a decade up the same threshold needs radius 3
+    val g3 = S.lshGeometryOption(2000000, 0.55, spark)
+    assert(g3.isDefined && g3.get.radius == 3 && g3.get.tables <= 64,
+      s"got $g3")
+    // the candidate budget binds the ESCALATED rungs: with a tiny
+    // budget the ladder cannot escalate and the regime is back outside
+    // the envelope...
+    spark.conf.set(S.LshMaxCandFracKey, "0.0001")
+    try {
+      assert(S.lshGeometryOption(200000, 0.55, spark).isEmpty)
+      // ...while radius-1 geometries answer to the table cap alone
+      // (small-n candidate FRACTIONS are naturally high — the r14
+      // baseline must not regress under the r17 budget)
+      assert(S.lshGeometryOption(2000, 0.4, spark).map(_.radius) == Some(1))
+      val e = intercept[IllegalArgumentException] {
+        S.lshGeometryFor(200000, 0.55, spark)
+      }
+      assert(e.getMessage.contains("PQ/IVF") &&
+        e.getMessage.contains("radius 2") &&
+        e.getMessage.contains("cand/query"))
+    } finally spark.conf.unset(S.LshMaxCandFracKey)
+    // pair generators pin maxRadius = 1: a radius-2-only regime must
+    // fail toward PQ there (the self-join cannot expand probe masks)
+    intercept[IllegalArgumentException] {
+      S.lshGeometryFor(200000, 0.55, spark, maxRadius = 1)
+    }
+  }
+
   test("routed PQ path: one concentration sample per cold call, zero per cached hit, and a stale cached stat cannot break totality") {
     val S = graft.api.Similarity
     import spark.implicits._
