@@ -149,42 +149,69 @@ object Similarity extends org.apache.spark.internal.Logging {
     * remedy this floor names) is consumed through a pin. */
   val PqConcConfKey = "spark.graft.pq.concfloor"
 
-  /** Concentration statistic ceiling for the √n curve's validated
-    * regime (conf `spark.graft.pq.concfloor.stat` overrides; see
-    * [[PqConcStatFloorDefault]]'s scaladoc for the measured
-    * calibration). */
+  /** Per-query COLLAPSE LEVEL: the kth-NN cosine at or above which a
+    * query's neighborhood sits in the regime where the √n rerank
+    * curve is refuted (conf `spark.graft.pq.concfloor.stat`
+    * overrides; see [[PqConcStatFloorDefault]]'s scaladoc for the
+    * measured calibration). Through r16 this value was compared
+    * against the 10th-PERCENTILE statistic; since r17 the floor trips
+    * on the FRACTION of queries at/above the level
+    * ([[PqConcFracKey]]) — the percentile form is measurably blind to
+    * mixtures. */
   val PqConcStatFloorKey = "spark.graft.pq.concfloor.stat"
 
-  /** MEASURED calibration (r16, tools/ConcStatProbe over the r15
+  /** MEASURED calibration. r16 (tools/ConcStatProbe over the r15
     * recall campaign's own fixtures): the 10th-percentile 5th-NN
-    * cosine statistic ([[annConcentration]], k = 5, sampleN = 1024)
-    * reads 0.267–0.326 on every diffuse fixture (sf0.001 / sf0.01 /
-    * sf0.1 sources and the 20 k / 200 k / 2 M sign-cipher decades —
-    * the corpora the √n curve was VALIDATED on at 0.91–0.97 recall@5)
-    * and 0.837–0.838 on the clustered decades (20 k / 200 k / 2 M —
-    * where the same curve MEASURED 0.23–0.47). The floor at 0.6 sits
-    * ≥ 1.8× above the entire validated band (no false trip from
-    * sampling jitter — and sampling UNDERESTIMATES the statistic, so
-    * jitter errs toward passing) and below the measured collapse;
-    * the unmeasured middle (0.6–0.84) fails toward the remedy that
-    * measures the caller's actual corpus ([[rerankForMeasured]])
-    * rather than silently running a curve with no validation there —
-    * the [[RerankBand]] degraded-vs-collapsed contract applied to
-    * corpus SHAPE. */
+    * cosine ([[annConcentration]], k = 5, sampleN = 1024) reads
+    * 0.267–0.326 on every diffuse fixture (sf0.001 / sf0.01 / sf0.1
+    * sources and the 20 k / 200 k / 2 M sign-cipher decades — the
+    * corpora the √n curve was VALIDATED on at 0.91–0.97 recall@5) and
+    * 0.837–0.838 on the clustered decades (where the same curve
+    * MEASURED 0.23–0.47), so 0.6 separates the two regimes PER QUERY
+    * with ≥ 1.8× margin on the diffuse side. r17
+    * (tools/MixProbe, λ ∈ {25, 50, 75}% clustered over the diffuse
+    * base at 20 k / 200 k): per-query kth-NN cosines stay bimodal in
+    * mixtures — diffuse-side medians 0.42–0.49, clustered-side
+    * 0.86–0.89 — so the LEVEL still separates cleanly; what failed
+    * there was the 10th-percentile AGGREGATION (it read 0.275–0.296,
+    * the diffuse band, at every λ ≤ 0.75 while the auto curve
+    * collapsed to 0.58/0.47 at 200 k), which is why the floor now
+    * trips on the at-level FRACTION instead
+    * (target/r17_mix_probe.log; [[PqConcFracDefault]]). */
   val PqConcStatFloorDefault = 0.6
+
+  /** Tolerated concentrated-query share for the PQ auto paths (conf
+    * `spark.graft.pq.concfloor.frac`): the floor trips when more than
+    * this fraction of sample queries sit at/above the
+    * [[PqConcStatFloorKey]] collapse level. Default 0.1 = 1 − the 0.9
+    * recall target the calculators size for: if the concentrated
+    * slice collapsed to zero recall, a smaller share could not pull
+    * the composite below target, while a larger one provably can —
+    * measured r17: λ = 0.25 (frac ≈ 0.25) read 0.91 at 200 k with the
+    * auto budget right at the cluster population (marginal hold, one
+    * decade from collapse); λ = 0.5/0.75 read 0.58/0.47 where the
+    * measured remedy ([[rerankForMeasured]]) read 0.99 on the same
+    * corpora. The trip is deliberately conservative at small n
+    * (20 k mixtures still read 0.89–0.99 — there the remedy costs
+    * only ~1.2× the auto budget and reads ≥ 0.97). */
+  val PqConcFracKey = "spark.graft.pq.concfloor.frac"
+  val PqConcFracDefault = 0.1
 
   /** Throw (or warn, per [[PqConcConfKey]]) when an AUTO-sized
     * PQ-family call is about to run the √n rerank curve on a corpus
-    * whose measured concentration is outside the curve's validated
-    * regime — the r15 measurement this round turns into enforcement
-    * (the LSH family got its model-recall floor in r15; this is the
-    * same collapse protection for the one family that lacked it):
-    * heavy manifold concentration compresses within-cluster cosine
-    * gaps below ADC's resolution, so the auto budget silently reads
-    * 0.23–0.47 recall@5 where R = cluster population reads 1.0000
-    * (r15 clustered fixture, three decades). Costs one sample-sized
-    * statistic job ([[concentrationSample]]) per auto call; `off`
-    * skips the job entirely. */
+    * where more than [[PqConcFracKey]] of the query population sits
+    * in the curve's refuted regime: heavy manifold concentration
+    * compresses within-cluster cosine gaps below ADC's resolution, so
+    * the auto budget silently reads 0.23–0.47 recall@5 where R =
+    * cluster population reads 1.0000 (r15 clustered fixture, three
+    * decades). Since r17 the statistic is the at-level FRACTION, not
+    * the 10th percentile: the mixture campaign (tools/MixProbe)
+    * measured λ = 0.5/0.75 clustered mixtures collapsing the auto
+    * curve to 0.58/0.47 at 200 k while the percentile statistic sat
+    * at 0.28 — a 10% diffuse minority pins any low percentile in the
+    * diffuse band no matter how large the clustered mass. Costs one
+    * sample-sized statistic job ([[concentrationSample]]) per auto
+    * call; `off` skips the job entirely. */
   private def validatePqConcentration(cNormed: DataFrame, n: Long,
       k: Int, what: String): Unit = {
     val spark = cNormed.sparkSession
@@ -204,23 +231,29 @@ object Similarity extends org.apache.spark.internal.Logging {
         "collapse the sqrt(n) rerank curve")
       return
     }
-    val floor = spark.conf.get(PqConcStatFloorKey,
-      PqConcStatFloorDefault.toString).toDouble
-    val (sample, stat, _, _) =
-      concentrationSample(cNormed, "vec_id", "embedding", k, 1024, Some(n))
-    Barrier.release(sample)
-    if (!stat.isNaN && stat >= floor) {
-      val msg = f"$what (auto-sized): measured corpus concentration " +
-        f"$stat%.3f (10th-pct ${k}th-NN cosine) >= $floor — outside the " +
-        "sqrt(n) rerank curve's validated regime (measured r15/r16: " +
-        "diffuse fixtures read 0.27-0.33 where the curve holds " +
-        "0.91-0.97 recall@5; clustered fixtures read 0.84 where the " +
-        "auto budget SILENTLY reads 0.23-0.47 — within-cluster " +
-        "cosine gaps compress below ADC's resolution, and recall " +
-        "reads 1.0 only at R = cluster population). Use " +
-        "rerankForMeasured (pass its budget to the pinned overload), " +
-        "route with annTopK/annRoute (multi-probe LSH held 0.96-0.98 " +
-        s"here), or set $PqConcConfKey=warn|off."
+    val tau = spark.conf.get(PqConcFracKey,
+      PqConcFracDefault.toString).toDouble
+    val cs = concentrationSample(cNormed, "vec_id", "embedding", k, 1024,
+      Some(n))
+    Barrier.release(cs.sample)
+    if (!cs.concFrac.isNaN && cs.concFrac >= tau) {
+      val level = spark.conf.get(PqConcStatFloorKey,
+        PqConcStatFloorDefault.toString).toDouble
+      val msg = f"$what (auto-sized): ${100 * cs.concFrac}%.0f%% of " +
+        f"sampled queries have their ${k}th-NN cosine >= $level " +
+        f"(tolerated share ${100 * tau}%.0f%%, conf $PqConcFracKey) — " +
+        "that query population sits outside the sqrt(n) rerank " +
+        "curve's validated regime (measured r15-r17: diffuse corpora " +
+        "hold 0.91-0.97 recall@5 on the curve; clustered ones read " +
+        "0.23-0.47, and MIXTURES collapse the same way while keeping " +
+        "a diffuse-looking 10th-percentile statistic — lambda=0.5/" +
+        "0.75 mixes at 200k read 0.58/0.47 on the auto budget where " +
+        "the measured remedy read 0.99; within-cluster cosine gaps " +
+        "compress below ADC's resolution, and recall returns only at " +
+        "R = cluster population). Use rerankForMeasured (pass its " +
+        "budget to the pinned overload), route with annTopK/annRoute " +
+        "(it takes the measured-rerank path on this shape), or set " +
+        s"$PqConcConfKey=warn|off."
       if (mode == "warn") logWarning(msg)
       else throw new IllegalArgumentException(msg)
     }
@@ -571,10 +604,25 @@ object Similarity extends org.apache.spark.internal.Logging {
     * the general-purpose family — never toward over-trusting LSH. */
   def annConcentration(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, sampleN: Int = 1024): Double = {
-    val (sample, stat, _, _) =
-      concentrationSample(corpus, idCol, vecCol, k, sampleN)
-    Barrier.release(sample)
-    stat
+    val cs = concentrationSample(corpus, idCol, vecCol, k, sampleN)
+    Barrier.release(cs.sample)
+    cs.stat
+  }
+
+  /** The CONCENTRATED-QUERY FRACTION on the same sample as
+    * [[annConcentration]]: the share of sample queries whose kth-NN
+    * cosine sits at or above the [[PqConcStatFloorKey]] collapse level
+    * — the statistic the r17 mixture campaign showed the percentile
+    * form is blind to (a 10% diffuse minority pins the 10th
+    * percentile in the diffuse band while the clustered MAJORITY
+    * collapses the √n curve: λ = 0.5/0.75 mixtures at 200 k read
+    * stat 0.28 beside auto-curve recall 0.58/0.47 —
+    * target/r17_mix_probe.log). */
+  def annConcentratedFraction(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, sampleN: Int = 1024): Double = {
+    val cs = concentrationSample(corpus, idCol, vecCol, k, sampleN)
+    Barrier.release(cs.sample)
+    cs.concFrac
   }
 
   /** Shared sample + statistic construction behind [[annConcentration]],
@@ -599,12 +647,28 @@ object Similarity extends org.apache.spark.internal.Logging {
   private[graft] val concentrationSampleRuns =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** One concentration measurement: the barriered hash-stride sample,
+    * the 10th-percentile kth-NN cosine (`stat` — the LSH-envelope
+    * threshold: the similarity level the WEAKEST typical queries need
+    * recalled), the fraction of sample queries whose kth-NN cosine
+    * sits at or above the configured collapse level (`concFrac` — the
+    * PQ floor's statistic: how much of the query population lives in
+    * the regime where the √n curve is refuted), the stride, and the
+    * corpus count. Both statistics come from the SAME sample top-k
+    * job — adding the fraction costs one more column in the final
+    * tiny aggregate, not a second job. */
+  private final case class ConcSample(sample: DataFrame, stat: Double,
+      concFrac: Double, stride: Long, n: Long)
+
   private def concentrationSample(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, sampleN: Int,
-      nKnown: Option[Long] = None): (DataFrame, Double, Long, Long) = {
+      nKnown: Option[Long] = None): ConcSample = {
     concentrationSampleRuns.incrementAndGet()
+    val spark = corpus.sparkSession
     val n = nKnown.getOrElse(corpus.count())
     require(n > k, s"corpus must hold more than k=$k rows, got $n")
+    val level = spark.conf.get(PqConcStatFloorKey,
+      PqConcStatFloorDefault.toString).toDouble
     val stride = math.max(1L, n / sampleN)
     // The window is over ≤ ~sampleN rows — single-partition by design.
     val sample = Barrier(corpus
@@ -615,10 +679,11 @@ object Similarity extends org.apache.spark.internal.Logging {
       .select(col(idCol), col(vecCol)))
     val kk = math.min(k.toLong, sample.count() - 1).toInt
     require(kk >= 1, "hash-stride sample too small to measure concentration")
-    val stat = cosineTopK(sample, sample, idCol, vecCol, kk)
+    val row = cosineTopK(sample, sample, idCol, vecCol, kk)
       .groupBy("q_id").agg(min("cos").as("kcos"))
-      .agg(expr("percentile(kcos, 0.1)")).head.getDouble(0)
-    (sample, stat, stride, n)
+      .agg(expr("percentile(kcos, 0.1)"),
+        avg((col("kcos") >= level).cast("double"))).head
+    ConcSample(sample, row.getDouble(0), row.getDouble(1), stride, n)
   }
 
   /** MEASURED-concentration rerank budget — the r15 probe's
@@ -648,8 +713,8 @@ object Similarity extends org.apache.spark.internal.Logging {
       k: Int, m: Int = 8, ks: Int = 64, iters: Int = 2,
       sampleN: Int = 1024): Int = {
     import graft.functions.PqFunctions
-    val (sample, stat, stride, n) =
-      concentrationSample(corpus, idCol, vecCol, k, sampleN)
+    val cs = concentrationSample(corpus, idCol, vecCol, k, sampleN)
+    val (sample, stat, stride, n) = (cs.sample, cs.stat, cs.stride, cs.n)
     // ADC resolution δ at the CALLER's codebook geometry, measured on
     // the sample itself: train books on the sample, score every
     // sample pair both ways, take the 90th-percentile |adc − true|.
@@ -698,6 +763,16 @@ object Similarity extends org.apache.spark.internal.Logging {
     r
   }
 
+  /** The router's decision record: the chosen family, the
+    * 10th-percentile kth-NN cosine (`stat` — the LSH envelope's
+    * sizing threshold), the concentrated-query fraction (`concFrac` —
+    * the PQ floor's collapse statistic, see
+    * [[annConcentratedFraction]]), and the derived LSH geometry when
+    * that route was taken. Both statistics come from the router's ONE
+    * sample job. */
+  final case class AnnRoute(family: String, stat: Double,
+      concFrac: Double, geometry: Option[LshGeometry])
+
   /** Which ANN family the corpus SHAPE favors — the r15
     * clustered-fixture measurement operationalized (STATUS r15 item
     * 2: which family wins flips with corpus concentration — banded
@@ -706,12 +781,15 @@ object Similarity extends org.apache.spark.internal.Logging {
     * read 0.36; on diffuse corpora the positions reverse). The
     * routing criterion is PRINCIPLED, not a magic threshold: LSH wins
     * iff its sizing calculator can hold the recall target at the
-    * measured concentration inside the table cap — i.e. envelope
-    * membership ([[lshGeometryOption]]) at the [[annConcentration]]
-    * statistic. Returns (family, statistic, derived LSH geometry when
-    * the LSH route was taken). */
+    * measured concentration inside the table cap (and, since r17, the
+    * radius ladder) — i.e. envelope membership ([[lshGeometryOption]])
+    * at the [[annConcentration]] statistic. The returned record also
+    * carries the concentrated-query FRACTION, which decides the PQ
+    * route's budget (measured r17: mixtures keep a diffuse-looking
+    * percentile while their clustered majority collapses the √n
+    * curve — the fraction is the statistic that sees them). */
   def annRoute(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, sampleN: Int = 1024): (String, Double, Option[LshGeometry]) = {
+      k: Int = 5, sampleN: Int = 1024): AnnRoute = {
     // one corpus count, threaded into both the concentration
     // measurement and the envelope test (on a computed, non-parquet
     // corpus a second count would replay the whole lineage)
@@ -720,14 +798,13 @@ object Similarity extends org.apache.spark.internal.Logging {
     // below that there is no shape to measure and no collapse regime —
     // route "pq" with NaN, and the routed diffuse path's exact-affordable
     // auto budget answers it (the floor skips n <= k for the same reason)
-    if (n <= k) return ("pq", Double.NaN, None)
-    val (sample, stat, _, _) =
-      concentrationSample(corpus, idCol, vecCol, k, sampleN, Some(n))
-    Barrier.release(sample)
+    if (n <= k) return AnnRoute("pq", Double.NaN, 0.0, None)
+    val cs = concentrationSample(corpus, idCol, vecCol, k, sampleN, Some(n))
+    Barrier.release(cs.sample)
     val g =
-      if (stat.isNaN) None
-      else lshGeometryOption(n, stat, corpus.sparkSession)
-    (if (g.isDefined) "lsh" else "pq", stat, g)
+      if (cs.stat.isNaN) None
+      else lshGeometryOption(n, cs.stat, corpus.sparkSession)
+    AnnRoute(if (g.isDefined) "lsh" else "pq", cs.stat, cs.concFrac, g)
   }
 
   /** ADAPTIVE top-k: measure the corpus's concentration, route to the
@@ -737,17 +814,20 @@ object Similarity extends org.apache.spark.internal.Logging {
     * derived FOR the measured concentration (corpus-side cost
     * n·tables slim rows). PQ route: [[pqTopK]]'s auto overload
     * (corpus-calibrated √n rerank) at the given codebook geometry —
-    * UNLESS the measured statistic already sits past the
-    * concentration floor while the LSH envelope doesn't hold (huge
-    * concentrated corpora where tables > cap): there the router pays
-    * the honest-but-expensive PQ fallback itself, [[rerankForMeasured]]
-    * through the pinned overload, instead of handing the caller an
-    * auto path the r16 floor would (rightly) reject. The router is
-    * therefore TOTAL: every corpus shape gets an answer with a
-    * measured-recall story. Output ≡ the routed verb exactly
-    * (property-pinned in DedupSimilaritySpec) — this adds a routing
-    * decision, never a new result semantics, so the routed verb's
-    * oracle certifies it transitively. Routing cost: two
+    * UNLESS the measured concentrated-query fraction already sits
+    * past the floor's tolerated share while the LSH envelope doesn't
+    * hold (concentrated or MIXED corpora outside the table cap and
+    * radius ladder): there the router pays the honest-but-expensive
+    * PQ fallback itself, [[rerankForMeasured]] through the pinned
+    * overload, instead of handing the caller an auto path the
+    * concentration floor would (rightly) reject — measured r17
+    * (tools/MixProbe): on λ = 0.5/0.75 clustered mixtures at 200 k
+    * the auto curve reads 0.58/0.47 while this fallback reads
+    * 0.99. The router is therefore TOTAL: every corpus shape gets an
+    * answer with a measured-recall story. Output ≡ the routed verb
+    * exactly (property-pinned in DedupSimilaritySpec) — this adds a
+    * routing decision, never a new result semantics, so the routed
+    * verb's oracle certifies it transitively. Routing cost: two
     * metadata-cheap counts + one sample-sized exact top-k job. */
   def annTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -773,34 +853,34 @@ object Similarity extends org.apache.spark.internal.Logging {
       corpus, queries, idCol, vecCol, k, m, ks, iters, sampleN)
 
   private def annTopKRouted(
-      route: (String, Double, Option[LshGeometry]),
+      route: AnnRoute,
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int, ks: Int, iters: Int, sampleN: Int): DataFrame = {
-    val (family, stat, g) = route
     val spark = corpus.sparkSession
-    val floor = spark.conf.get(PqConcStatFloorKey,
-      PqConcStatFloorDefault.toString).toDouble
-    if (family == "lsh") {
-      val geom = g.get
+    val tau = spark.conf.get(PqConcFracKey,
+      PqConcFracDefault.toString).toDouble
+    if (route.family == "lsh") {
+      val geom = route.geometry.get
       lshTopK(corpus, queries, idCol, vecCol, k,
         geom.tables, geom.planes, geom.probes, geom.radius)
-    } else if (!stat.isNaN && stat >= floor)
+    } else if (!route.concFrac.isNaN && route.concFrac >= tau)
       pqTopK(corpus, queries, idCol, vecCol, k, m, ks, iters,
         rerankForMeasured(corpus, idCol, vecCol, k, m, ks, iters, sampleN))
     else {
       // Diffuse (or unmeasurably small) route: the router just
-      // produced the statistic — measured it, or served it from the
-      // `_concstat` sidecar — and it sits below the floor. Calling the
-      // public auto overload here would re-run
-      // validatePqConcentration's sample job (a SECOND sample-sized
-      // exact top-k per routed call, contradicting the documented
-      // one-sample routing cost — and on annTopKCached's hit path,
-      // re-paying the exact job the sidecar exists to skip); worse, a
-      // stale cached stat below the floor beside a freshly-measured
-      // one above it would make enforce mode throw INSIDE the routed
-      // call, breaking the router's totality. The routing decision IS
-      // the validation; run the auto-sized impl directly.
+      // produced the statistics — measured them, or served them from
+      // the `_concstat` sidecar — and the concentrated share sits
+      // under the floor's tolerance. Calling the public auto overload
+      // here would re-run validatePqConcentration's sample job (a
+      // SECOND sample-sized exact top-k per routed call, contradicting
+      // the documented one-sample routing cost — and on
+      // annTopKCached's hit path, re-paying the exact job the sidecar
+      // exists to skip); worse, a stale cached statistic below the
+      // floor beside a freshly-measured one above it would make
+      // enforce mode throw INSIDE the routed call, breaking the
+      // router's totality. The routing decision IS the validation;
+      // run the auto-sized impl directly.
       val c = Barrier(normed(corpus, idCol, vecCol))
       val n = c.count()
       pqTopKImpl(c, queries, idCol, vecCol, k, m, ks, iters, rerankFor(n, k))
@@ -813,22 +893,26 @@ object Similarity extends org.apache.spark.internal.Logging {
     * path should not re-pay the sample top-k job per call. The cache
     * file `<cacheDir>/_concstat` (atomic write-to-temp + rename, any
     * Hadoop FS — park it next to the corpus's signature/PQ index
-    * assets) stores (stat, n, k, sampleN); a cached statistic is
+    * assets) stores (stat, concFrac, n, k, sampleN) — line format
+    * `v2 <stat> <frac> <n> <k> <sampleN>`; a cached measurement is
     * REUSED only when (k, sampleN) match and the current corpus count
     * sits within 2× of the cached one — past that the corpus has
     * grown/shrunk a decade's worth and the shape claim is re-measured
-    * (and re-cached). The envelope test always uses the CURRENT count
-    * (cheap on a parquet-backed corpus); only the sample job is
-    * skipped on a hit. Delete the file to force a re-measure. */
+    * (and re-cached). Pre-r17 `v1` lines (percentile only — no
+    * fraction) read as a MISS: the routed budget decision now needs
+    * the fraction, and serving a v1 line would silently re-create the
+    * mixture blindness the fraction exists to fix. The envelope test
+    * always uses the CURRENT count (cheap on a parquet-backed
+    * corpus); only the sample job is skipped on a hit. Delete the
+    * file to force a re-measure. */
   def annRouteCached(corpus: DataFrame, idCol: String, vecCol: String,
-      cacheDir: String, k: Int = 5, sampleN: Int = 1024):
-      (String, Double, Option[LshGeometry]) = {
+      cacheDir: String, k: Int = 5, sampleN: Int = 1024): AnnRoute = {
     val spark = corpus.sparkSession
     val file = new org.apache.hadoop.fs.Path(cacheDir, "_concstat")
     val fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = corpus.count()
-    if (n <= k) return ("pq", Double.NaN, None) // totality, as in annRoute
-    def cached: Option[Double] =
+    if (n <= k) return AnnRoute("pq", Double.NaN, 0.0, None) // totality
+    def cached: Option[(Double, Double)] =
       (try {
         val in = fs.open(file)
         try Some(scala.io.Source.fromInputStream(in).mkString.trim)
@@ -842,30 +926,30 @@ object Similarity extends org.apache.spark.internal.Logging {
           // inside the guard.
           scala.util.Try {
             line.split("\\s+") match {
-              case Array("v1", s, cn, ck, cs)
+              case Array("v2", s, f, cn, ck, cs)
                 if ck.toInt == k && cs.toInt == sampleN &&
-                  n <= 2 * cn.toLong && cn.toLong <= 2 * n => Some(s.toDouble)
+                  n <= 2 * cn.toLong && cn.toLong <= 2 * n =>
+                Some((s.toDouble, f.toDouble))
               case _ => None
             }
           }.toOption.flatten
         }
-    val stat = cached.getOrElse {
-      val (sample, s, _, _) =
-        concentrationSample(corpus, idCol, vecCol, k, sampleN, Some(n))
-      Barrier.release(sample)
+    val (stat, frac) = cached.getOrElse {
+      val cs = concentrationSample(corpus, idCol, vecCol, k, sampleN, Some(n))
+      Barrier.release(cs.sample)
       val tmp = new org.apache.hadoop.fs.Path(cacheDir, "_concstat.tmp")
       val out = fs.create(tmp, true)
-      try out.write(s"v1 $s $n $k $sampleN\n"
+      try out.write(s"v2 ${cs.stat} ${cs.concFrac} $n $k $sampleN\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       fs.delete(file, false)
       require(fs.rename(tmp, file), s"failed to publish $file")
-      s
+      (cs.stat, cs.concFrac)
     }
     val g =
       if (stat.isNaN) None
       else lshGeometryOption(n, stat, spark)
-    (if (g.isDefined) "lsh" else "pq", stat, g)
+    AnnRoute(if (g.isDefined) "lsh" else "pq", stat, frac, g)
   }
 
   /** Deterministic evenly-id-rank-spaced k₁-row subset of `seeds` —

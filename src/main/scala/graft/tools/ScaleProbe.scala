@@ -233,6 +233,98 @@ object ScaleProbe {
     dir
   }
 
+  /** Build (idempotently) a WIDE-NOISE clustered fixture: every row is
+    * centroid + (noisePct/100)·unit(sign-ciphered source) — at noise
+    * 0.8 within-cluster cosines sit ≈ 1/(1+0.64) ≈ 0.61, putting the
+    * 10th-percentile statistic in the MID band (≈ 0.55–0.65) where
+    * the r17 radius ladder escalates: the radius-1 table derivation
+    * busts the 64-table cap while radius 2–3 hold the target inside
+    * both caps — the fixture that exercises the auto-chosen escalated
+    * geometry end-to-end (uniformly concentrated, unlike the mixed
+    * fixture whose 10th percentile stays diffuse). */
+  private[tools] def ensureSpreadFixture(spark: SparkSession, src: String,
+      reps: Int, noisePct: Int): String = {
+    require(noisePct > 0, s"noisePct must be positive, got $noisePct")
+    val dir = s"${fixtureDir(reps)}s$noisePct"
+    val embOut = new java.io.File(s"$dir/embeddings.parquet")
+    if (!embOut.exists()) {
+      graft.functions.VectorFunctions.register(spark)
+      val embs = graft.Tables.embeddings(spark, src)
+      val dim = embs.select(size(col("embedding"))).head().getInt(0)
+      val cents = typedLit(
+        (0 until ClusterCount).map(g => clusterCentroid(g, dim).toSeq))
+      val salted = (0 until reps).map { r =>
+        val signs = typedLit(replicaSigns(r, dim).toSeq)
+        embs.select(
+          (col("vec_id") + lit(r.toLong * ReplicaOffset)).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("u"),
+          col("label"))
+      }.reduce(_ union _)
+      val cent = element_at(cents,
+        (col("vec_id") % ReplicaOffset % ClusterCount + 1).cast("int"))
+      val scale = lit(noisePct / 100.0f) /
+        greatest(graft.functions.VectorFunctions.norm(col("u")), lit(1e-30))
+      salted
+        .select(col("vec_id"),
+          zip_with(cent, col("u"),
+            (c, x) => (c + x * scale).cast("float")).as("embedding"),
+          col("label"))
+        .repartition(math.max(32, reps / 10))
+        .write.mode("overwrite").parquet(embOut.toString)
+      println(s"[probe] built $dir: ${reps}x ${src} embeddings, " +
+        s"$ClusterCount-cluster manifold at noise ${noisePct / 100.0}")
+    }
+    dir
+  }
+
+  /** Build (idempotently) a MIXED-concentration embedding fixture: a
+    * deterministic `lambdaPct`% of rows (by id hash, replica- and
+    * cluster-independent) get the clustered treatment
+    * (centroid(vec_id % [[ClusterCount]]) + [[ClusterNoise]] ·
+    * unit(sign-ciphered source)), the rest stay the diffuse
+    * sign-ciphered source embedding verbatim — the r16 verdict's
+    * instrument for the 0.6–0.84 concentration middle: the floor's
+    * unmeasured band sits between the all-diffuse fixtures
+    * (stat 0.27–0.33) and the all-clustered ones (0.84), and a corpus
+    * that is PART manifold is exactly the shape that lands there. */
+  private[tools] def ensureMixedFixture(spark: SparkSession, src: String,
+      reps: Int, lambdaPct: Int): String = {
+    require(lambdaPct > 0 && lambdaPct < 100,
+      s"lambdaPct must be in (0,100), got $lambdaPct")
+    val dir = s"${fixtureDir(reps)}m$lambdaPct"
+    val embOut = new java.io.File(s"$dir/embeddings.parquet")
+    if (!embOut.exists()) {
+      graft.functions.VectorFunctions.register(spark)
+      val embs = graft.Tables.embeddings(spark, src)
+      val dim = embs.select(size(col("embedding"))).head().getInt(0)
+      val cents = typedLit(
+        (0 until ClusterCount).map(g => clusterCentroid(g, dim).toSeq))
+      val salted = (0 until reps).map { r =>
+        val signs = typedLit(replicaSigns(r, dim).toSeq)
+        embs.select(
+          (col("vec_id") + lit(r.toLong * ReplicaOffset)).as("vec_id"),
+          zip_with(col("embedding"), signs, (x, s) => x * s).as("u"),
+          col("label"))
+      }.reduce(_ union _)
+      val cent = element_at(cents,
+        (col("vec_id") % ReplicaOffset % ClusterCount + 1).cast("int"))
+      val scale = lit(ClusterNoise) /
+        greatest(graft.functions.VectorFunctions.norm(col("u")), lit(1e-30))
+      val inCluster = pmod(xxhash64(col("vec_id")), lit(100L)) < lambdaPct
+      salted
+        .select(col("vec_id"),
+          when(inCluster, zip_with(cent, col("u"),
+              (c, x) => (c + x * scale).cast("float")))
+            .otherwise(col("u")).as("embedding"),
+          col("label"))
+        .repartition(math.max(32, reps / 10))
+        .write.mode("overwrite").parquet(embOut.toString)
+      println(s"[probe] built $dir: ${reps}x ${src} embeddings, " +
+        s"$lambdaPct% clustered over the diffuse sign-cipher base")
+    }
+    dir
+  }
+
   /** Build (idempotently) the reps-replica fixture — documents under
     * the letter-permutation cipher, embeddings (when `needEmb`) under
     * the sign cipher — and return its dir. Shared by the wall-clock

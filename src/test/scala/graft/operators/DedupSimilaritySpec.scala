@@ -1040,27 +1040,34 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     try {
-      val (f1, s1, _) = S.annRouteCached(diffuse, "vid", "v", dir)
-      assert(f1 == "pq" && s1 < 0.6, s"diffuse must route pq, stat $s1")
+      val r1 = S.annRouteCached(diffuse, "vid", "v", dir)
+      assert(r1.family == "pq" && r1.stat < 0.6,
+        s"diffuse must route pq, stat ${r1.stat}")
       assert(new java.io.File(s"$dir/_concstat").exists())
-      // poison the sidecar with a clustered-regime statistic under the
-      // same (n, k, sampleN): the next call must SERVE it (flipping the
-      // route) — proof the hit path reads the cache, not the corpus
-      writeCache("v1 0.95 2000 5 1024")
-      val (f2, s2, _) = S.annRouteCached(diffuse, "vid", "v", dir)
-      assert(s2 == 0.95 && f2 == "lsh",
-        s"poisoned cache must be served verbatim, got ($f2, $s2)")
+      // poison the sidecar with a clustered-regime measurement under
+      // the same (n, k, sampleN): the next call must SERVE it (flipping
+      // the route) — proof the hit path reads the cache, not the corpus
+      writeCache("v2 0.95 0.9 2000 5 1024")
+      val r2 = S.annRouteCached(diffuse, "vid", "v", dir)
+      assert(r2.stat == 0.95 && r2.concFrac == 0.9 && r2.family == "lsh",
+        s"poisoned cache must be served verbatim, got $r2")
       // a cached count 10× off is stale → re-measure (and re-cache)
-      writeCache("v1 0.95 200000 5 1024")
-      val (f3, s3, _) = S.annRouteCached(diffuse, "vid", "v", dir)
-      assert(f3 == "pq" && s3 == s1, "stale count must force a re-measure")
+      writeCache("v2 0.95 0.9 200000 5 1024")
+      val r3 = S.annRouteCached(diffuse, "vid", "v", dir)
+      assert(r3.family == "pq" && r3.stat == r1.stat,
+        "stale count must force a re-measure")
       // (k, sampleN) mismatch likewise
-      writeCache("v1 0.95 2000 7 1024")
-      val (f4, s4, _) = S.annRouteCached(diffuse, "vid", "v", dir)
-      assert(f4 == "pq" && s4 == s1)
+      writeCache("v2 0.95 0.9 2000 7 1024")
+      val r4 = S.annRouteCached(diffuse, "vid", "v", dir)
+      assert(r4.family == "pq" && r4.stat == r1.stat)
+      // a pre-r17 v1 line (no fraction) must read as a MISS — serving
+      // it would re-create the mixture blindness the fraction fixes
+      writeCache("v1 0.95 2000 5 1024")
+      val r5 = S.annRouteCached(diffuse, "vid", "v", dir)
+      assert(r5.family == "pq" && r5.stat == r1.stat,
+        "v1 cache lines must re-measure, not serve")
       // and the refreshed cache now hits again
-      val (_, s5, _) = S.annRouteCached(diffuse, "vid", "v", dir)
-      assert(s5 == s1)
+      assert(S.annRouteCached(diffuse, "vid", "v", dir).stat == r1.stat)
     } finally {
       import scala.sys.process._
       Seq("rm", "-rf", dir).!
@@ -1159,7 +1166,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       try {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(cdir, "_concstat"),
-          "v1 0.30 1200 5 1024\n".getBytes(
+          "v2 0.30 0.0 1200 5 1024\n".getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
         val qc = clustered.filter(col("vid") < 2)
         // enforce mode is the default — this used to throw here
@@ -1191,7 +1198,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       .toDF("vid", "v")
     val dir = java.nio.file.Files.createTempDirectory("graft-concbad").toString
     try {
-      val (_, s1, _) = S.annRouteCached(diffuse, "vid", "v", dir)
+      val s1 = S.annRouteCached(diffuse, "vid", "v", dir).stat
       // non-numeric tokens (truncated write / manual edit): the parse
       // must treat it as a miss — the documented recovery is "delete
       // the file", so malformed MUST behave like absent, not crash
@@ -1200,11 +1207,11 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_concstat"),
         "v1 garbage nope 5 1024\n".getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
-      val (_, s2, _) = S.annRouteCached(diffuse, "vid", "v", dir)
+      val s2 = S.annRouteCached(diffuse, "vid", "v", dir).stat
       assert(s2 == s1, "corrupted cache must re-measure, not crash or serve junk")
       // and the re-measure re-published a healthy cache
       val before = S.concentrationSampleRuns.get()
-      val (_, s3, _) = S.annRouteCached(diffuse, "vid", "v", dir)
+      val s3 = S.annRouteCached(diffuse, "vid", "v", dir).stat
       assert(s3 == s1 && S.concentrationSampleRuns.get() == before)
     } finally {
       import scala.sys.process._
@@ -1220,12 +1227,53 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       .toDF("vid", "v")
     val q = tiny.filter(col("vid") === 0)
     // the router: nothing to measure, no collapse regime — route pq/NaN
-    val (fam, stat, g) = S.annRoute(tiny, "vid", "v", 5)
-    assert(fam == "pq" && stat.isNaN && g.isEmpty)
+    val r = S.annRoute(tiny, "vid", "v", 5)
+    assert(r.family == "pq" && r.stat.isNaN && r.geometry.isEmpty)
     // the floor (r16) must not regress previously-working tiny-corpus
     // auto calls in enforce mode (concentrationSample contracts n > k)
     assert(S.pqTopK(tiny, q, "vid", "v", 5, 4, 4, 1).count() > 0)
     assert(S.annTopK(tiny, q, "vid", "v", 5, 4, 4, 1).count() > 0)
+  }
+
+  test("mixture blindness fixed: a clustered-majority mix trips the fraction floor where the percentile stays diffuse") {
+    // The r17 MixProbe refutation operationalized: λ = 0.5/0.75
+    // mixtures keep a diffuse-band 10th-percentile statistic (a 10%+
+    // diffuse minority pins it) while the clustered majority collapses
+    // the √n auto curve at scale (0.58/0.47 recall@5 measured at
+    // 200 k). The floor must SEE such corpora via the at-level
+    // fraction, and the router must take the measured-rerank path.
+    val S = graft.api.Similarity
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(31)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val cents = (0 until 4).map(_ => unit(Array.fill(dim)(rnd.nextGaussian())))
+    // 55% clustered (tight, cos ≈ 0.92), 45% diffuse unit noise
+    val mixed = (0L until 2000L).map { i =>
+      val nz = unit(Array.fill(dim)(rnd.nextGaussian()))
+      if (i % 100 < 55) {
+        val c = cents((i % 4).toInt)
+        (i, c.zip(nz).map { case (a, b) => a + 0.3f * b })
+      } else (i, nz)
+    }.toDF("vid", "v")
+    val route = S.annRoute(mixed, "vid", "v")
+    assert(route.stat < 0.6,
+      s"the percentile statistic must stay diffuse-band here, got ${route.stat}")
+    assert(route.concFrac >= 0.4 && route.concFrac <= 0.7,
+      s"the fraction must see the clustered majority, got ${route.concFrac}")
+    val q = mixed.filter(col("vid") < 2)
+    // enforce mode (default): the auto overload must now REFUSE this
+    // shape — pre-r17 it passed the percentile floor silently
+    val e = intercept[IllegalArgumentException] {
+      S.pqTopK(mixed, q, "vid", "v", 5, 8, 16, 1)
+    }
+    assert(e.getMessage.contains("sampled queries") &&
+      e.getMessage.contains("rerankForMeasured"))
+    // ... while the router stays total on it, via the measured path
+    assert(S.annTopK(mixed, q, "vid", "v", 5, 8, 16, 1).count() > 0)
   }
 
   test("annTopK routes by measured concentration and equals the routed verb") {
@@ -1252,18 +1300,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       val nz = unit(Array.fill(dim)(rnd.nextGaussian()))
       (i, c.zip(nz).map { case (a, b) => a + 0.4f * b })
     }.toDF("vid", "v")
-    val (fd, sd, gd) = S.annRoute(diffuse, "vid", "v")
-    val (fc, sc, gcOpt) = S.annRoute(clustered, "vid", "v")
-    assert(fd == "pq" && gd.isEmpty,
-      s"diffuse corpus must route pq (stat $sd)")
-    assert(fc == "lsh" && gcOpt.isDefined,
-      s"clustered corpus must route lsh (stat $sc)")
-    assert(sc > sd, s"concentration must separate: clustered $sc vs diffuse $sd")
+    val routeD = S.annRoute(diffuse, "vid", "v")
+    val routeC = S.annRoute(clustered, "vid", "v")
+    assert(routeD.family == "pq" && routeD.geometry.isEmpty,
+      s"diffuse corpus must route pq (stat ${routeD.stat})")
+    assert(routeC.family == "lsh" && routeC.geometry.isDefined,
+      s"clustered corpus must route lsh (stat ${routeC.stat})")
+    assert(routeC.stat > routeD.stat,
+      s"concentration must separate: ${routeC.stat} vs ${routeD.stat}")
+    // the fraction statistic separates the same way (r17): nearly all
+    // clustered queries sit above the collapse level, nearly no
+    // diffuse ones do
+    assert(routeC.concFrac > 0.5 && routeD.concFrac < 0.1,
+      s"conc fractions: ${routeC.concFrac} vs ${routeD.concFrac}")
     def key(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "n_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // adaptive ≡ the routed verb, both families
     val qc = clustered.filter(col("vid") < 3)
-    val gc = gcOpt.get
+    val gc = routeC.geometry.get
     assert(key(S.annTopK(clustered, qc, "vid", "v", 5)) ==
       key(S.lshTopK(clustered, qc, "vid", "v", 5,
         gc.tables, gc.planes, gc.probes)))
