@@ -1191,6 +1191,15 @@ object Dedup extends org.apache.spark.internal.Logging {
 
   private val PairHistDir = "_pairhist"
 
+  /** `on` (default) serves the `_pairhist` sidecar to the incremental
+    * guards; `off` makes [[readSignatureHistogram]] return None so
+    * every precheck takes the exact full-corpus aggregate — the
+    * escape hatch for a sidecar suspected wrong, and the A/B leg that
+    * isolates the sidecar's wall-clock contribution on the daily
+    * bindings (guard OUTPUT is identical either way: the sidecar only
+    * changes the precheck's cost shape, spec-pinned). */
+  val PairHistConfKey = "spark.graft.dedup.pairhist"
+
   /** Guard-key projection for the MinHash/Jaccard family's signature
     * asset ([[minhashSignatures]] schema): the stored band-key array
     * is the asset's stand-in for the full minhash signature (equal
@@ -1249,6 +1258,16 @@ object Dedup extends org.apache.spark.internal.Logging {
   def readSignatureHistogram(spark: org.apache.spark.sql.SparkSession,
       dir: String, guardKeys: DataFrame => DataFrame,
       excludeInc: Option[String] = None): Option[DataFrame] = {
+    // `off` forces the guards onto the exact full-aggregate fallback
+    // even when a sidecar exists: the operational escape hatch for a
+    // histogram suspected wrong (semantics are unchanged either way —
+    // the sidecar only re-shapes the precheck's cost), and the A/B
+    // instrument that measures what the sidecar saves on the daily
+    // bindings (the r17 bench-attribution legs).
+    val mode = spark.conf.get(PairHistConfKey, "on")
+    require(Set("on", "off").contains(mode),
+      s"$PairHistConfKey must be on|off, got '$mode'")
+    if (mode == "off") return None
     val (fs, root) = assetFs(spark, dir)
     val scan = scanAsset(fs, root)
     val histPaths = scan.gen

@@ -38,7 +38,10 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_MIX_LAMBDAS (default "25,50,75"; "" skips mixed legs),
   * SPARK_GRAFT_MIX_SPREAD (spread-leg reps list, default "" = skip;
   * the r17 campaign ran "10,100,1000"),
-  * SPARK_GRAFT_MIX_ROUTED=0 skips the routed-verb recall leg.
+  * SPARK_GRAFT_MIX_ROUTED=0 skips the routed-verb recall leg,
+  * SPARK_GRAFT_MIX_PQ=0 the auto/measured PQ legs (each trains +
+  * encodes the full corpus — the long pole at the 2 M decade, where
+  * the row of interest is the auto-chosen radius geometry).
   */
 object MixProbe {
 
@@ -53,6 +56,11 @@ object MixProbe {
     val spreadReps = sys.env.getOrElse("SPARK_GRAFT_MIX_SPREAD", "")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val routedLeg = sys.env.getOrElse("SPARK_GRAFT_MIX_ROUTED", "1") == "1"
+    // SPARK_GRAFT_MIX_PQ=0 skips the auto/measured PQ recall legs —
+    // each trains + encodes the full corpus, the campaign's long pole
+    // at the 2 M decade, where the leg of interest is the ROUTER's
+    // auto-chosen LSH geometry (radius ladder) and its measured recall
+    val pqLeg = sys.env.getOrElse("SPARK_GRAFT_MIX_PQ", "1") == "1"
     val cpus = graft.Bench.probeCpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -88,12 +96,16 @@ object MixProbe {
         }
 
         val route = S.annRoute(emb, "vec_id", "embedding", K)
-        val autoR = S.rerankFor(n, K)
-        val recallAuto = recallOf(
-          S.pqTopK(emb, queries, "vec_id", "embedding", K, 8, 64, 2))
-        val measR = S.rerankForMeasured(emb, "vec_id", "embedding", K)
-        val recallMeas = recallOf(
-          S.pqTopK(emb, queries, "vec_id", "embedding", K, 8, 64, 2, measR))
+        val pqPart = if (!pqLeg) "" else {
+          val autoR = S.rerankFor(n, K)
+          val recallAuto = recallOf(
+            S.pqTopK(emb, queries, "vec_id", "embedding", K, 8, 64, 2))
+          val measR = S.rerankForMeasured(emb, "vec_id", "embedding", K)
+          val recallMeas = recallOf(
+            S.pqTopK(emb, queries, "vec_id", "embedding", K, 8, 64, 2, measR))
+          f""","rerank_auto":$autoR,"recall_auto":$recallAuto%.4f,""" +
+            f""""rerank_measured":$measR,"recall_measured":$recallMeas%.4f"""
+        }
         val routedPart = if (!routedLeg) "" else {
           val rec = recallOf(
             S.annTopK(emb, queries, "vec_id", "embedding", K))
@@ -114,10 +126,8 @@ object MixProbe {
         println(f"""{"probe":"mix","kind":"$kind","label":"$label",""" +
           f""""reps":$reps,"n":$n,"stat":${route.stat}%.4f,""" +
           f""""conc_frac":${route.concFrac}%.4f,""" +
-          f""""family":"${route.family}","med_kth_cos":$medKth%.4f,""" +
-          f""""rerank_auto":$autoR,"recall_auto":$recallAuto%.4f,""" +
-          f""""rerank_measured":$measR,"recall_measured":$recallMeas%.4f""" +
-          routedPart + lshPart + "}")
+          f""""family":"${route.family}","med_kth_cos":$medKth%.4f""" +
+          pqPart + routedPart + lshPart + "}")
         graft.api.Barrier.release(exactDf)
       }
 

@@ -497,6 +497,36 @@ class AssetLifecycleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pair-budget histogram sidecar: conf off forces the exact-fallback path; bad values rejected") {
+    import spark.implicits._
+    val gk = Dedup.hammingGuardKeys("sig")
+    val root = java.nio.file.Files.createTempDirectory("graft-histoff").toString
+    try {
+      Seq((1L, 100L), (2L, 100L)).toDF("doc_id", "sig")
+        .write.parquet(s"$root/base")
+      Dedup.writeSignatureHistogram(spark, s"$root/base", gk)
+      assert(Dedup.readSignatureHistogram(spark, root, gk).isDefined)
+      // off: a present, healthy sidecar must still read as None — the
+      // guards take the exact full-aggregate fallback (the operational
+      // escape hatch, and the bench A/B leg that isolates the
+      // sidecar's wall-clock contribution)
+      spark.conf.set(Dedup.PairHistConfKey, "off")
+      try assert(Dedup.readSignatureHistogram(spark, root, gk).isEmpty,
+        "pairhist=off must force the exact-fallback path")
+      finally spark.conf.unset(Dedup.PairHistConfKey)
+      assert(Dedup.readSignatureHistogram(spark, root, gk).isDefined)
+      spark.conf.set(Dedup.PairHistConfKey, "bogus")
+      try {
+        val e = intercept[IllegalArgumentException](
+          Dedup.readSignatureHistogram(spark, root, gk))
+        assert(e.getMessage.contains(Dedup.PairHistConfKey))
+      } finally spark.conf.unset(Dedup.PairHistConfKey)
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", root).!
+    }
+  }
+
   test("pair-budget histogram sidecar: multi-dir seeds refuse the fast path (per-dir truncation would under-estimate)") {
     import spark.implicits._
     val gk = Dedup.hammingGuardKeys("sig")
