@@ -230,9 +230,7 @@ object Dedup extends org.apache.spark.internal.Logging {
   private def validateCandBudget(banded: DataFrame, probes: Int,
       what: String): Unit = {
     val spark = banded.sparkSession
-    val mode = spark.conf.get(CandBudgetConfKey, "enforce")
-    require(Set("enforce", "warn", "off").contains(mode),
-      s"$CandBudgetConfKey must be enforce|warn|off, got '$mode'")
+    val mode = Similarity.guardMode(spark, CandBudgetConfKey)
     if (mode == "off") return
     val budget = spark.conf.get(CandBudgetMaxKey,
       CandBudgetDefault.toString).toLong
@@ -286,14 +284,18 @@ object Dedup extends org.apache.spark.internal.Logging {
     * conservative, over by ≤ (1+probes)·|inc banded rows|). */
   private def validateIncCandBudget(corpusBanded: DataFrame,
       incBanded: DataFrame, probes: Int, what: String,
-      corpusHist: Option[DataFrame] = None): Unit = {
+      corpusHist: Option[DataFrame] = None, radius: Int = 1): Unit = {
     val spark = incBanded.sparkSession
-    val mode = spark.conf.get(CandBudgetConfKey, "enforce")
-    require(Set("enforce", "warn", "off").contains(mode),
-      s"$CandBudgetConfKey must be enforce|warn|off, got '$mode'")
+    val mode = Similarity.guardMode(spark, CandBudgetConfKey)
     if (mode == "off") return
     val budget = spark.conf.get(CandBudgetMaxKey,
       CandBudgetDefault.toString).toLong
+    // r18: the probe targets are the FULL ≤-radius mask set (1-bit
+    // flips at the pre-r18 radius 1; +2-bit/3-bit masks under the
+    // asymmetric ladder) — the estimate must cover exactly the buckets
+    // the expanded probe join will visit, or an escalated radius could
+    // smuggle a hot 2-bits-away bucket past the guard
+    val flipMasks = Similarity.probeMasks(probes, radius).drop(1)
     val est = corpusHist match {
       case Some(h0) =>
         // Θ(increment): inc-only bucket counts, corpus counts looked up
@@ -313,10 +315,7 @@ object Dedup extends org.apache.spark.internal.Logging {
             col("ci") * (col("ci") - 1.0) / 2.0), lit(0.0)))
           .head.getDouble(0)
         val crossTerms = if (probes == 0) 0.0 else {
-          val flips = (0 until probes).map(p => incAgg.select(col("tbl"),
-              col("sig").bitwiseXOR(lit(1L << p)).as("sig"),
-              col("ci").as("cin")))
-            .reduce(_ union _)
+          val flips = flippedCounts(incAgg, "ci", flipMasks)
           flips.join(incAgg, Seq("tbl", "sig"), "left")
             .join(h, Seq("tbl", "sig"), "left")
             .agg(coalesce(sum(col("cin") *
@@ -338,10 +337,7 @@ object Dedup extends org.apache.spark.internal.Logging {
             col("ci") * (col("ci") - 1.0) / 2.0), lit(0.0)))
           .head.getDouble(0)
         val crossTerms = if (probes == 0) 0.0 else {
-          val flips = (0 until probes).map(p => hist.select(col("tbl"),
-              col("sig").bitwiseXOR(lit(1L << p)).as("sig"),
-              col("ci").as("cin")))
-            .reduce(_ union _)
+          val flips = flippedCounts(hist, "ci", flipMasks)
           hist.join(flips, Seq("tbl", "sig"))
             .agg(coalesce(sum(col("cin") * (col("cc") + col("ci"))), lit(0.0)))
             .head.getDouble(0)
@@ -361,6 +357,22 @@ object Dedup extends org.apache.spark.internal.Logging {
       if (mode == "warn") logWarning(msg)
       else throw new IllegalArgumentException(msg)
     }
+  }
+
+  /** Per-bucket counts re-keyed to every probe-mask flip: one row per
+    * (source bucket, mask) at the FLIPPED signature — the probe-target
+    * population the incremental guard's cross terms sum over. The mask
+    * list ships as a broadcast literal frame (one crossJoin of a
+    * counts aggregate against ≤ 1 + C(p,1)+C(p,2)+C(p,3) rows), not a
+    * per-mask union — at radius 2–3 the mask set is hundreds wide and
+    * a union chain that size is a plan, not a query. */
+  private def flippedCounts(counts: DataFrame, cntCol: String,
+      masks: Seq[Long]): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts.crossJoin(broadcast(masks.toDF("m")))
+      .select(col("tbl"), col("sig").bitwiseXOR(col("m")).as("sig"),
+        col(cntCol).as("cin"))
   }
 
   /** Estimate the GUARANTEED pair output — Σ over exact-signature
@@ -389,9 +401,7 @@ object Dedup extends org.apache.spark.internal.Logging {
   private def validatePairBudget(docs: DataFrame, key: Column,
       what: String, remedy: String): Unit = {
     val spark = docs.sparkSession
-    val mode = spark.conf.get(PairBudgetConfKey, "enforce")
-    require(Set("enforce", "warn", "off").contains(mode),
-      s"$PairBudgetConfKey must be enforce|warn|off, got '$mode'")
+    val mode = Similarity.guardMode(spark, PairBudgetConfKey)
     if (mode == "off") return
     val budget = spark.conf.get(PairBudgetMaxKey,
       PairBudgetDefault.toString).toLong
@@ -436,9 +446,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       key: Column, what: String, remedy: String,
       corpusHist: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
-    val mode = spark.conf.get(PairBudgetConfKey, "enforce")
-    require(Set("enforce", "warn", "off").contains(mode),
-      s"$PairBudgetConfKey must be enforce|warn|off, got '$mode'")
+    val mode = Similarity.guardMode(spark, PairBudgetConfKey)
     if (mode == "off") return
     val budget = spark.conf.get(PairBudgetMaxKey,
       PairBudgetDefault.toString).toLong
@@ -767,9 +775,7 @@ object Dedup extends org.apache.spark.internal.Logging {
   private def validateLshRecall(tables: Int, planes: Int,
       threshold: Double, probes: Int,
       spark: org.apache.spark.sql.SparkSession): Unit = {
-    val mode = spark.conf.get(Similarity.LshSizingConfKey, "enforce")
-    require(Set("enforce", "warn", "off").contains(mode),
-      s"${Similarity.LshSizingConfKey} must be enforce|warn|off, got '$mode'")
+    val mode = Similarity.guardMode(spark, Similarity.LshSizingConfKey)
     if (mode == "off") return
     val rate = Similarity.lshPerTableRate(threshold, planes, probes)
     val modelRecall = 1.0 - math.pow(1.0 - rate, tables)
@@ -807,14 +813,27 @@ object Dedup extends org.apache.spark.internal.Logging {
     * corpus×corpus is never re-paired. Both inputs come from
     * [[lshSignatureTable]] under the same (tables, planes) geometry.
     *
-    * Multi-probe lives on the increment side only — Hamming-1
-    * signature adjacency is symmetric, so probing one side finds every
-    * pair whose table signatures differ in ≤1 probed bit, the same
-    * recall surface as [[embeddingPairs]] at equal probes. Output ≡
-    * the inc-touching subset of `embeddingPairs(corpus ∪ inc)`
-    * (property-pinned in DedupSimilaritySpec). A daily-sized
+    * Multi-probe lives on the increment side only — signature-XOR
+    * adjacency is symmetric, so probing one side finds every pair
+    * whose table signatures differ in ≤ `radius` probed bits, the
+    * same recall surface symmetric probing would buy (at radius 1,
+    * [[embeddingPairs]]' exact band condition at equal probes).
+    * Output ≡ the inc-touching subset of `embeddingPairs(corpus ∪
+    * inc)` (property-pinned in DedupSimilaritySpec). A daily-sized
     * increment's slim (vec_id, tbl, sig) probe rows broadcast; the
     * corpus signature asset is scanned once, never shuffled.
+    *
+    * `radius` (default 1, the pre-r18 contract exactly) expands the
+    * increment side's probe set to every ≤-radius Hamming mask
+    * ([[Similarity.probeMasks]]) — the r17 verdict's asymmetric
+    * ladder: the increment side is query-shaped like [[Similarity
+    * .lshTopK]]'s probe side, so a mid-concentration corpus whose
+    * radius-1 model recall cannot hold the target probes at radius
+    * 2–3 WITHOUT touching the corpus asset (no re-band, no
+    * re-shuffle; candidates are a superset of radius 1, and the exact
+    * cos ≥ threshold verify is unchanged). Size it with
+    * [[Similarity.lshIncRadiusFor]] or use the (tables, planes)
+    * auto overload below.
     *
     * `probes` must not exceed the `planes` of the asset's geometry
     * (unknowable from the signatures themselves, so not `require`-able
@@ -822,22 +841,25 @@ object Dedup extends org.apache.spark.internal.Logging {
     * them can't match anything — it only wastes candidate rows. */
   def incrementalEmbeddingPairs(corpusSigs: DataFrame, incSigs: DataFrame,
       threshold: Double, probes: Int = 0,
-      corpusHist: Option[DataFrame] = None): DataFrame = {
+      corpusHist: Option[DataFrame] = None, radius: Int = 1): DataFrame = {
     require(probes >= 0, s"probes must be non-negative, got $probes")
+    require(radius >= 1 && radius <= Similarity.MaxProbeRadius,
+      s"radius must be in [1, ${Similarity.MaxProbeRadius}], got $radius")
     def banded(sigs: DataFrame): DataFrame = sigs
       .select(col("vec_id"), posexplode(col("sigs")))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
     val incBanded = Barrier(banded(incSigs))
     // r15 guard: candidate-volume precheck, two-sided (the r14
     // embeddingPairs guard extended to the incremental generator);
-    // r16: Θ(increment) when the embeddingGuardKeys sidecar is passed
+    // r16: Θ(increment) when the embeddingGuardKeys sidecar is passed;
+    // r18: cross terms cover the full ≤-radius probe-mask set
     validateIncCandBudget(banded(corpusSigs), incBanded, probes,
-      "incrementalEmbeddingPairs", corpusHist)
+      "incrementalEmbeddingPairs", corpusHist, radius)
     val probed =
       if (probes == 0) incBanded
       else incBanded.select(col("vec_id"), col("tbl"),
-        explode(array(col("sig") +:
-          (0 until probes).map(p => col("sig").bitwiseXOR(lit(1L << p))): _*)).as("sig"))
+        explode(array(Similarity.probeMasks(probes, radius)
+          .map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
     val allBanded = incBanded.union(banded(corpusSigs))
     val cands = probed.alias("a").join(allBanded.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
@@ -855,6 +877,33 @@ object Dedup extends org.apache.spark.internal.Logging {
       .join(eb, col("vec_b") === eb("vec_id")).drop("vec_id")
       .select(col("vec_a"), col("vec_b"), cos.as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** AUTO-RADIUS [[incrementalEmbeddingPairs]] (r17 verdict item #3 —
+    * the radius ladder for the asymmetric incremental generators):
+    * `tables`/`planes` are the geometry the signature ASSET was built
+    * at ([[lshSignatureTable]]'s arguments — fixed; re-sizing them
+    * means re-encoding the corpus), probes = planes (full multi-probe,
+    * dd9's committed discipline), and the probe RADIUS comes from
+    * [[Similarity.lshIncRadiusFor]]: the first rung of the 1–3 ladder
+    * whose closed-form model recall holds 0.9 at `threshold` inside
+    * the [[Similarity.LshMaxCandFracKey]] candidate budget. On
+    * mid-concentration corpora whose radius-1 model recall cannot
+    * hold the target (the spread fixtures: radius 1 at the
+    * lshGeometryFor-derived asset geometry models ~0.6–0.7 there)
+    * this routes radius 2–3 — measured r18 on the spread fixtures at
+    * 200 k and 2 M (STATUS table) — widening the incremental-dedup
+    * envelope with ZERO touch to the corpus side: candidates are a
+    * strict superset of radius 1 and the exact cos ≥ threshold verify
+    * is unchanged, so output still ≡ the inc-touching subset of the
+    * symmetric generator at equal radius. */
+  def incrementalEmbeddingPairs(corpusSigs: DataFrame, incSigs: DataFrame,
+      threshold: Double, tables: Int, planes: Int,
+      corpusHist: Option[DataFrame]): DataFrame = {
+    val radius = Similarity.lshIncRadiusFor(tables, planes, planes,
+      threshold, corpusSigs.sparkSession)
+    incrementalEmbeddingPairs(corpusSigs, incSigs, threshold, planes,
+      corpusHist, radius)
   }
 
   /** Connected components over near-dup pairs: (doc_id, group_id) with
@@ -1264,9 +1313,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     // the sidecar only re-shapes the precheck's cost), and the A/B
     // instrument that measures what the sidecar saves on the daily
     // bindings (the r17 bench-attribution legs).
-    val mode = spark.conf.get(PairHistConfKey, "on")
-    require(Set("on", "off").contains(mode),
-      s"$PairHistConfKey must be on|off, got '$mode'")
+    // normalized (trim + lowercase) like the enforce|warn|off guard
+    // confs read through SQLConf: 'OFF'/' On ' must select the mode,
+    // not throw mid-pipeline at the first read-time call (r17 ADVICE)
+    val mode = Similarity.confMode(spark, PairHistConfKey, "on", Seq("on", "off"))
     if (mode == "off") return None
     val (fs, root) = assetFs(spark, dir)
     val scan = scanAsset(fs, root)

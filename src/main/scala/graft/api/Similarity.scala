@@ -12,6 +12,23 @@ import graft.functions.VectorFunctions
   * (q_id, n_id, cos, rank). */
 object Similarity extends org.apache.spark.internal.Logging {
 
+  /** Read a mode conf (enforce|warn|off guards, the pairhist on|off
+    * toggle) NORMALIZED — trimmed and lowercased — so 'OFF' / ' Warn '
+    * select the mode instead of throwing mid-pipeline at the first
+    * guarded call (r17 ADVICE); a genuinely unknown token still fails
+    * loud naming the key and the accepted set. */
+  private[graft] def confMode(spark: org.apache.spark.sql.SparkSession,
+      key: String, default: String, allowed: Seq[String]): String = {
+    val mode = spark.conf.get(key, default).trim.toLowerCase
+    require(allowed.contains(mode),
+      s"$key must be ${allowed.mkString("|")}, got '$mode'")
+    mode
+  }
+
+  private[graft] def guardMode(spark: org.apache.spark.sql.SparkSession,
+      key: String): String =
+    confMode(spark, key, "enforce", Seq("enforce", "warn", "off"))
+
   /** Session conf governing the coarse-quantizer sizing check:
     * `enforce` (default) throws on a k₁ outside the √ band, `warn`
     * logs the cost model and proceeds, `off` skips the check. */
@@ -37,9 +54,7 @@ object Similarity extends org.apache.spark.internal.Logging {
     * "prevented only by documentation". */
   private def validateHierSizing(k: Long, k1: Long, w: Int,
       spark: org.apache.spark.sql.SparkSession): Unit = {
-    val mode = spark.conf.get(HierSizingConfKey, "enforce")
-    require(Set("enforce", "warn", "off").contains(mode),
-      s"$HierSizingConfKey must be enforce|warn|off, got '$mode'")
+    val mode = guardMode(spark, HierSizingConfKey)
     if (mode == "off" || k == 0 || k1 == 0) return
     val actual = k1 + w.toDouble * k / k1
     val optimal = 2.0 * math.sqrt(w.toDouble * k)
@@ -117,9 +132,7 @@ object Similarity extends org.apache.spark.internal.Logging {
     * R while nothing in the API stopped a caller from pinning it. */
   private def validateRerankSizing(nByName: => Long, k: Int, rerank: Int,
       spark: org.apache.spark.sql.SparkSession): Unit = {
-    val mode = spark.conf.get(RerankSizingConfKey, "enforce")
-    require(Set("enforce", "warn", "off").contains(mode),
-      s"$RerankSizingConfKey must be enforce|warn|off, got '$mode'")
+    val mode = guardMode(spark, RerankSizingConfKey)
     if (mode == "off") return // before forcing n: `off` must skip the count job
     val n = nByName
     if (n <= 0) return
@@ -215,9 +228,7 @@ object Similarity extends org.apache.spark.internal.Logging {
   private def validatePqConcentration(cNormed: DataFrame, n: Long,
       k: Int, what: String): Unit = {
     val spark = cNormed.sparkSession
-    val mode = spark.conf.get(PqConcConfKey, "enforce")
-    require(Set("enforce", "warn", "off").contains(mode),
-      s"$PqConcConfKey must be enforce|warn|off, got '$mode'")
+    val mode = guardMode(spark, PqConcConfKey)
     if (mode == "off") return
     // A corpus with n <= k rows cannot be in the collapse regime the
     // floor polices (there is no "cluster population >> rerank budget"
@@ -279,9 +290,7 @@ object Similarity extends org.apache.spark.internal.Logging {
     * in unprobed cells are unreachable. */
   private def validateProbeSizing(nCells: Int, nProbe: Int,
       spark: org.apache.spark.sql.SparkSession): Unit = {
-    val mode = spark.conf.get(ProbeSizingConfKey, "enforce")
-    require(Set("enforce", "warn", "off").contains(mode),
-      s"$ProbeSizingConfKey must be enforce|warn|off, got '$mode'")
+    val mode = guardMode(spark, ProbeSizingConfKey)
     if (mode == "off") return
     val floor = math.max(1, (nCells + 3) / 4)
     if (nProbe < floor) {
@@ -383,8 +392,10 @@ object Similarity extends org.apache.spark.internal.Logging {
 
   /** All XOR masks with ≤ `radius` set bits among the low `probes`
     * bits (mask 0 = the own bucket, first) — the probe set
-    * [[lshTopK]]'s radius overload expands each query signature by. */
-  private def probeMasks(probes: Int, radius: Int): Seq[Long] = {
+    * [[lshTopK]]'s radius overload expands each query signature by,
+    * and (r18) the probe set [[graft.api.Dedup.incrementalEmbeddingPairs]]
+    * expands the INCREMENT side's banded rows by. */
+  private[api] def probeMasks(probes: Int, radius: Int): Seq[Long] = {
     require(radius >= 1 && radius <= MaxProbeRadius,
       s"radius must be in [1, $MaxProbeRadius], got $radius")
     val one = (0 until probes).map(1L << _)
@@ -506,9 +517,7 @@ object Similarity extends org.apache.spark.internal.Logging {
       LshMaxCandFracDefault.toString).toDouble
     // conf validated on EVERY call (not just past the cap): a typo'd
     // mode must not pass silently until the first over-cap corpus
-    val mode = spark.conf.get(LshSizingConfKey, "enforce")
-    require(Set("enforce", "warn", "off").contains(mode),
-      s"$LshSizingConfKey must be enforce|warn|off, got '$mode'")
+    val mode = guardMode(spark, LshSizingConfKey)
     val tried = lshRadiusLadder(n, threshold, recallTarget, maxRadius)
     lshRadiusFit(tried, maxTables, maxFrac) match {
       case Some(g) => g
@@ -592,6 +601,78 @@ object Similarity extends org.apache.spark.internal.Logging {
       LshMaxCandFracDefault.toString).toDouble
     lshRadiusFit(lshRadiusLadder(n, threshold, recallTarget, maxRadius),
       maxTables, maxFrac)
+  }
+
+  /** Probe RADIUS for an ASYMMETRIC incremental generator against a
+    * persisted signature asset of FIXED (tables, planes) geometry —
+    * the r17 verdict's dd9 finding operationalized: a self-join pair
+    * generator cannot expand probe masks (both sides would need the
+    * expansion, squaring the bucket set), so [[lshGeometryFor]] pins
+    * `maxRadius = 1` there — but the INCREMENT side of
+    * [[graft.api.Dedup.incrementalEmbeddingPairs]] is query-shaped
+    * exactly like [[lshTopK]]'s probe side: expanding its slim
+    * (vec_id, tbl, sig) rows to the ≤-radius Hamming masks probes the
+    * UNTOUCHED corpus asset's buckets at the radius-r collision rate
+    * (signature-XOR adjacency is symmetric, so one-sided probing at
+    * radius r finds every pair whose table signatures differ in ≤ r
+    * probed bits — the same recall surface symmetric probing would
+    * buy, with no asset re-shuffle and no re-band).
+    *
+    * The ladder here is one-dimensional: tables and planes are fixed
+    * by the asset (re-sizing them means re-encoding the corpus), so
+    * the calculator walks radius 1..[[MaxProbeRadius]] and returns the
+    * FIRST rung whose closed-form model recall
+    * (1 − (1 − [[lshPerTableRate]](threshold, planes, probes, r))^tables)
+    * meets `recallTarget` while the increment-side candidate volume
+    * (tables · Σ_{j≤r} C(probes, j) / 2^planes of the corpus PER
+    * INCREMENT ROW — [[lshCandFraction]] at the asset geometry) stays
+    * inside [[LshMaxCandFracKey]]; radius 1 is always admissible (the
+    * pre-r18 contract exactly). When no rung reaches the target the
+    * call fails loud per [[LshSizingConfKey]] printing the whole
+    * ladder and naming the remedies (re-generate the asset at a
+    * geometry [[lshGeometryFor]] derives, or the PQ family); warn/off
+    * clamp to the best admissible rung — the highest-recall radius
+    * the budget admits — an explicit recall floor, logged under warn. */
+  def lshIncRadiusFor(tables: Int, planes: Int, probes: Int,
+      threshold: Double, spark: org.apache.spark.sql.SparkSession,
+      recallTarget: Double = 0.9): Int = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    require(probes >= 0 && probes <= planes,
+      s"probes must be in [0, planes=$planes], got $probes")
+    val maxFrac = spark.conf.get(LshMaxCandFracKey,
+      LshMaxCandFracDefault.toString).toDouble
+    val mode = guardMode(spark, LshSizingConfKey)
+    def recallAt(r: Int): Double = 1.0 - math.pow(
+      1.0 - lshPerTableRate(threshold, planes, probes, r), tables)
+    def fracAt(r: Int): Double =
+      lshCandFraction(LshGeometry(tables, planes, probes, r))
+    val ladder = (1 to (if (probes == 0) 1 else MaxProbeRadius))
+      .map(r => (r, recallAt(r), fracAt(r)))
+    val admissible = ladder.filter { case (r, _, f) =>
+      r == 1 || f <= maxFrac }
+    admissible.find(_._2 >= recallTarget) match {
+      case Some((r, _, _)) => r
+      case None =>
+        val rungs = ladder.map { case (r, rec, f) =>
+          f"radius $r: model recall $rec%.3f, cand/inc-row ≈ " +
+            f"${100 * f}%.1f%% of corpus" }.mkString("; ")
+        val msg = f"incremental LSH probing cannot hold recall " +
+          f"$recallTarget at threshold $threshold against a " +
+          f"$tables-table × $planes-plane signature asset inside the " +
+          f"candidate budget (${100 * maxFrac}%.0f%% of corpus per " +
+          s"increment row, conf $LshMaxCandFracKey) at any probe " +
+          s"radius <= $MaxProbeRadius [$rungs] — the asset's table " +
+          "count is fixed (re-sizing it re-encodes the corpus), and " +
+          "each +1 of radius multiplies probed buckets " +
+          "combinatorially. Re-generate the asset at the geometry " +
+          "Similarity.lshGeometryFor derives for this (n, threshold), " +
+          "use the PQ/IVF family for low-similarity search, or set " +
+          s"$LshSizingConfKey=warn|off to clamp to the best " +
+          "admissible rung (an explicit recall floor)."
+        if (mode == "enforce") throw new IllegalArgumentException(msg)
+        if (mode == "warn") logWarning(msg)
+        admissible.maxBy(_._2)._1
+    }
   }
 
   /** CONCENTRATION statistic for ANN family routing: the 10th

@@ -1118,6 +1118,122 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dd9 asymmetric radius ladder: lshIncRadiusFor walks 1-3 against a fixed asset geometry") {
+    val S = graft.api.Similarity
+    // high threshold on the committed dd9 asset geometry: radius 1
+    // already holds the target — the pre-r18 contract exactly
+    assert(S.lshIncRadiusFor(8, 6, 6, 0.5, spark) == 1)
+    // an asset built at the geometry lshGeometryFor derives for
+    // (200k, 0.55) — the spread-fixture regime where radius 1 busts
+    // the table cap: the asymmetric ladder lands on the SAME rung the
+    // symmetric calculator sized the tables for (its radius-1 model
+    // recall is by construction under target at that table count)
+    val g = S.lshGeometryOption(200000, 0.55, spark).get
+    assert(g.radius >= 2)
+    assert(S.lshIncRadiusFor(g.tables, g.planes, g.probes, 0.55, spark)
+      == g.radius)
+    // an asset too weak for the threshold at ANY radius fails loud
+    // toward asset re-generation / the PQ family, printing the ladder
+    val e = intercept[IllegalArgumentException] {
+      S.lshIncRadiusFor(4, 18, 18, 0.55, spark)
+    }
+    assert(e.getMessage.contains("PQ/IVF") &&
+      e.getMessage.contains("radius 3") &&
+      e.getMessage.contains("cand/inc-row"))
+    // warn clamps to the best admissible rung (the highest-recall
+    // radius the candidate budget admits) instead of throwing
+    spark.conf.set(S.LshSizingConfKey, "warn")
+    try assert(S.lshIncRadiusFor(4, 18, 18, 0.55, spark) == 3)
+    finally spark.conf.unset(S.LshSizingConfKey)
+    // the candidate budget binds escalated rungs: with a tiny budget
+    // only radius 1 is admissible, and warn-clamp falls back to it
+    spark.conf.set(S.LshMaxCandFracKey, "0.0001")
+    spark.conf.set(S.LshSizingConfKey, "warn")
+    try assert(S.lshIncRadiusFor(g.tables, g.planes, g.probes, 0.55,
+      spark) == 1)
+    finally {
+      spark.conf.unset(S.LshMaxCandFracKey)
+      spark.conf.unset(S.LshSizingConfKey)
+    }
+  }
+
+  test("dd9 radius-2 probing ≡ pairs within Hamming-2 of the probed bits (strict superset of radius 1)") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val thr = 0.1
+    val (tables, planes) = (4, 8)
+    def sigs(f: org.apache.spark.sql.Column) = graft.api.Dedup
+      .lshSignatureTable(emb.filter(f), "vec_id", "embedding", tables, planes)
+    def got(radius: Int) = graft.api.Dedup.incrementalEmbeddingPairs(
+        sigs(col("vec_id") % 10 =!= 0), sigs(col("vec_id") % 10 === 0),
+        thr, probes = planes, radius = radius)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got1 = got(1)
+    val got2 = got(2)
+    // truth from the signatures themselves: an inc-touching pair with
+    // cos >= thr qualifies at radius r iff some table's signature XOR
+    // has <= r set bits (probes = planes, so every bit is probed)
+    val all = sigs(lit(true)).collect().map { r =>
+      (r.getLong(0), r.getSeq[Long](3).toArray,
+        r.getSeq[Float](1).toArray, r.getDouble(2))
+    }
+    def cos(a: Array[Float], na: Double, b: Array[Float], nb: Double) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum / (na * nb)
+    def expected(radius: Int) = (for {
+      (ia, sa, ea, na) <- all; (ib, sb, eb, nb) <- all
+      if ia < ib && (ia % 10 == 0 || ib % 10 == 0)
+      if cos(ea, na, eb, nb) >= thr
+      if sa.zip(sb).exists { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) <= radius }
+    } yield (ia, ib)).toSet
+    assert(got1 == expected(1))
+    assert(got2 == expected(2))
+    assert(got1.subsetOf(got2))
+    assert(got2.size > got1.size,
+      s"fixture should hold pairs only radius 2 finds " +
+        s"(r1=${got1.size}, r2=${got2.size})")
+  }
+
+  test("dd9 candidate-volume guard covers the expanded radius-2 probe targets (exact and sidecar paths)") {
+    val s = spark
+    import s.implicits._
+    val D = graft.api.Dedup
+    val dim = 4
+    def row(id: Long, sig: Long) =
+      (id, Array.fill(dim)(1.0f), 2.0, Array(sig))
+    // hot corpus bucket at sig 5; the increment's bucket (6) is TWO
+    // probed bits away (5 ^ 6 = 3) — invisible to radius-1 flips,
+    // dragged whole through the join by a radius-2 probe
+    val corpus = (0L until 200L).map(row(_, 5L))
+      .toDF("vec_id", "embedding", "nrm", "sigs")
+    val inc = Seq(row(1000L, 6L))
+      .toDF("vec_id", "embedding", "nrm", "sigs")
+    val hist = Seq((0, 5L, 200L)).toDF("tbl", "sig", "cc")
+      .select(struct(col("tbl"), col("sig")).as("k"), col("cc"))
+    spark.conf.set(D.CandBudgetMaxKey, "100")
+    try {
+      // radius 1: neither the one-shot term nor any 1-bit flip sees
+      // the hot bucket — the precheck passes and the join runs empty
+      assert(D.incrementalEmbeddingPairs(corpus, inc, 0.9,
+        probes = 2, radius = 1).count() == 0)
+      // radius 2: the 2-bit mask lands the increment row IN the hot
+      // bucket — the guard must price those 200 candidates (exact path)
+      val e2 = intercept[IllegalArgumentException] {
+        D.incrementalEmbeddingPairs(corpus, inc, 0.9,
+          probes = 2, radius = 2)
+      }
+      assert(e2.getMessage.contains("incrementalEmbeddingPairs"))
+      // ...and through the Θ(increment) sidecar path equally
+      val eh = intercept[IllegalArgumentException] {
+        D.incrementalEmbeddingPairs(corpus, inc, 0.9,
+          probes = 2, corpusHist = Some(hist), radius = 2)
+      }
+      assert(eh.getMessage.contains("incrementalEmbeddingPairs"))
+      assert(D.incrementalEmbeddingPairs(corpus, inc, 0.9,
+        probes = 2, corpusHist = Some(hist), radius = 1).count() == 0)
+    } finally spark.conf.unset(D.CandBudgetMaxKey)
+  }
+
   test("routed PQ path: one concentration sample per cold call, zero per cached hit, and a stale cached stat cannot break totality") {
     val S = graft.api.Similarity
     import spark.implicits._
