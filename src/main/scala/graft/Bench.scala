@@ -273,6 +273,27 @@ object Bench {
     val spark = withShuffleEnv(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_EXEC_TIMELINE=1: sample the live executor count
+    // every 5 s (public SparkStatusTracker — no backend reflection) and
+    // append it to the artifact — the r17 verdict's elasticity leg
+    // wants the lease trajectory BESIDE the composite, not asserted in
+    // a separate spec. Daemon thread; buffer read once at the end.
+    val execTimeline =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_EXEC_TIMELINE", "0") != "1") None
+      else {
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+        val t0 = System.nanoTime()
+        val th = new Thread(() => while (true) {
+          val n = spark.sparkContext.statusTracker.getExecutorInfos.length - 1
+          buf.synchronized {
+            buf += (((System.nanoTime() - t0) / 1000000000L, n)) }
+          Thread.sleep(5000)
+        })
+        th.setDaemon(true)
+        th.start()
+        Some(buf)
+      }
+
     // Pass 1: cold, at the target SF (doubles as the warmup for pass 2).
     // Each pass runs under Barrier.scoped so its barriers release at
     // pass end — a full-set × N-pass session otherwise accumulates
@@ -375,7 +396,12 @@ object Bench {
     val passDetail = allPasses.map(p =>
       names.flatMap(n => p.get(n).map(m => "\"" + n + "\":" + m._1))
         .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}"""
+    val execPart = execTimeline.map { buf =>
+      val samples = buf.synchronized {
+        buf.map { case (t, n) => s"[$t,$n]" }.mkString("[", ",", "]") }
+      s""""executors_timeline":$samples,"""
+    }.getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,$execPart"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}"""
     println(line)
     // stdout of an sbt run gets interleaved/truncated by the harness —
     // persist the full line so the round artifact always parses

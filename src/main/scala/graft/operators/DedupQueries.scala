@@ -276,9 +276,15 @@ object DedupQueries {
     val emb = Tables.embeddings(s, dir)
     def sigs(f: Column) = graft.api.Dedup.lshSignatureTable(
       emb.filter(f), "vec_id", "embedding", DupTables, DupPlanes)
+    // r18: the auto-radius overload — probes = planes, radius from
+    // Similarity.lshIncRadiusFor at the asset geometry (1 here: the
+    // fixture's 8x6 geometry already models >=0.93 at the 0.4 bar, so
+    // the oracle surface is byte-identical to the pinned form; the
+    // ladder routes radius 2-3 on the mid-concentration spread
+    // fixtures — measured in target/r18_dd9_ladder.log)
     graft.api.Dedup.incrementalEmbeddingPairs(
       sigs(col("vec_id") % IncMod =!= 0), sigs(col("vec_id") % IncMod === 0),
-      0.4, probes = DupPlanes)
+      0.4, DupTables, DupPlanes, None)
   }
 
   // -- dd10: incremental connected components — the group step for the

@@ -60,7 +60,18 @@ object MixProbe {
     // each trains + encodes the full corpus, the campaign's long pole
     // at the 2 M decade, where the leg of interest is the ROUTER's
     // auto-chosen LSH geometry (radius ladder) and its measured recall
-    val pqLeg = sys.env.getOrElse("SPARK_GRAFT_MIX_PQ", "1") == "1"
+    // "1" = auto + measured PQ legs, "auto" = the auto (√n-budget) leg
+    // only — half the train+encode cost, the leg that locates the
+    // collapse point at the 2 M decade — "0" = none
+    val pqMode = sys.env.getOrElse("SPARK_GRAFT_MIX_PQ", "1")
+    val pqLeg = pqMode == "1" || pqMode == "auto"
+    // SPARK_GRAFT_MIX_DD9=1 adds the r18 ASYMMETRIC-LADDER leg on the
+    // spread fixtures: a 150-row increment probes a corpus signature
+    // asset built at the route's auto geometry, at the radius
+    // lshIncRadiusFor derives vs the radius-1 baseline — pair recall
+    // against the exact inc-touching truth (brute-forced via one
+    // broadcast nested-loop pass; the increment is query-shaped small)
+    val dd9Leg = sys.env.getOrElse("SPARK_GRAFT_MIX_DD9", "0") == "1"
     val cpus = graft.Bench.probeCpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,6 +82,7 @@ object MixProbe {
       .config(graft.api.Similarity.ProbeSizingConfKey, "warn")
       .config(graft.api.Similarity.LshSizingConfKey, "warn")
       .config(graft.api.Similarity.PqConcConfKey, "warn")
+      .config(graft.api.Dedup.CandBudgetConfKey, "warn")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -100,17 +112,73 @@ object MixProbe {
           val autoR = S.rerankFor(n, K)
           val recallAuto = recallOf(
             S.pqTopK(emb, queries, "vec_id", "embedding", K, 8, 64, 2))
-          val measR = S.rerankForMeasured(emb, "vec_id", "embedding", K)
-          val recallMeas = recallOf(
-            S.pqTopK(emb, queries, "vec_id", "embedding", K, 8, 64, 2, measR))
-          f""","rerank_auto":$autoR,"recall_auto":$recallAuto%.4f,""" +
-            f""""rerank_measured":$measR,"recall_measured":$recallMeas%.4f"""
+          val autoPart =
+            f""","rerank_auto":$autoR,"recall_auto":$recallAuto%.4f"""
+          if (pqMode == "auto") autoPart else {
+            val measR = S.rerankForMeasured(emb, "vec_id", "embedding", K)
+            val recallMeas = recallOf(
+              S.pqTopK(emb, queries, "vec_id", "embedding", K, 8, 64, 2, measR))
+            autoPart + f""","rerank_measured":$measR,""" +
+              f""""recall_measured":$recallMeas%.4f"""
+          }
         }
         val routedPart = if (!routedLeg) "" else {
           val rec = recallOf(
             S.annTopK(emb, queries, "vec_id", "embedding", K))
           f""","recall_routed":$rec%.4f"""
         }
+        val dd9Part = (if (dd9Leg) route.geometry else None).map { g =>
+          import graft.functions.VectorFunctions
+          VectorFunctions.register(spark)
+          val D = graft.api.Dedup
+          val thr = route.stat // the level the route's geometry is derived at
+          val isInc = col("vec_id") % off < 5 && col("vec_id") / off < 30
+          val incRows = emb.filter(isInc)
+          // exact inc-touching truth: one broadcast pass, 150 x n cos
+          val aT = incRows.select(col("vec_id").as("va"),
+            col("embedding").as("ea"),
+            VectorFunctions.norm(col("embedding")).as("na"))
+          val bT = emb.select(col("vec_id").as("vb"),
+            col("embedding").as("eb"),
+            VectorFunctions.norm(col("embedding")).as("nb"))
+          // truth stays DISTRIBUTED (at 2 M the inc-touching pair set
+          // is millions of rows — collecting it OOMed the first run);
+          // recall is a semi-join count, never a driver-side set
+          val truthDf = graft.api.Barrier(
+            bT.join(broadcast(aT), col("va") =!= col("vb"))
+              .filter(VectorFunctions.dot(col("ea"), col("eb")) /
+                (col("na") * col("nb")) >= thr)
+              .select(least(col("va"), col("vb")).as("pa"),
+                greatest(col("va"), col("vb")).as("pb"))
+              .distinct())
+          val nTruth = truthDf.count()
+          // the persisted-asset shape: corpus sigs at the route's
+          // (tables, planes); only the increment probes
+          val corpusSigs = graft.api.Barrier(D.lshSignatureTable(
+            emb.filter(!isInc), "vec_id", "embedding", g.tables, g.planes))
+          val incSigs = D.lshSignatureTable(
+            incRows, "vec_id", "embedding", g.tables, g.planes)
+          val autoRadius = graft.api.Similarity.lshIncRadiusFor(
+            g.tables, g.planes, g.planes, thr, spark)
+          def pairRecall(radius: Int): Double = {
+            val found = D.incrementalEmbeddingPairs(corpusSigs, incSigs,
+                thr, probes = g.planes, radius = radius)
+              .select(col("vec_a").as("pa"), col("vec_b").as("pb"))
+            val hit = truthDf.join(found, Seq("pa", "pb"), "left_semi")
+              .count()
+            hit.toDouble / math.max(1L, nTruth)
+          }
+          val rAuto = pairRecall(autoRadius)
+          val r1 = if (autoRadius == 1) rAuto else pairRecall(1)
+          val frac = graft.api.Similarity.lshCandFraction(
+            graft.api.Similarity.LshGeometry(g.tables, g.planes, g.planes,
+              autoRadius))
+          graft.api.Barrier.release(corpusSigs)
+          graft.api.Barrier.release(truthDf)
+          f""","dd9_threshold":$thr%.4f,"dd9_truth":$nTruth,""" +
+            f""""dd9_radius":$autoRadius,"dd9_recall":$rAuto%.4f,""" +
+            f""""dd9_recall_r1":$r1%.4f,"dd9_cand_frac":$frac%.4g"""
+        }.getOrElse("")
         val lshPart = route.geometry.map { g =>
           val rec = recallOf(S.lshTopK(emb, queries, "vec_id", "embedding",
             K, g.tables, g.planes, g.probes, g.radius))
@@ -127,7 +195,7 @@ object MixProbe {
           f""""reps":$reps,"n":$n,"stat":${route.stat}%.4f,""" +
           f""""conc_frac":${route.concFrac}%.4f,""" +
           f""""family":"${route.family}","med_kth_cos":$medKth%.4f""" +
-          pqPart + routedPart + lshPart + "}")
+          pqPart + routedPart + lshPart + dd9Part + "}")
         graft.api.Barrier.release(exactDf)
       }
 
