@@ -1716,26 +1716,72 @@ object Similarity extends org.apache.spark.internal.Logging {
       qB.select(col("q_id"), col("q_emb"), col("q_nrm")), cNormed, k, rerank)
   }
 
+  /** Ceiling on queries × rerank ENTRIES the heap-based ADC candidate
+    * selection may hold per task (conf [[PqHeapSelectMaxKey]], default
+    * 2²¹ ≈ 2.1 M ≈ 100 MB/task worst case): [[TopKPerKey]]'s partial
+    * state is one (id, score) heap per query PER TASK — every task
+    * scans rows of every query, so the aggregation holds queries ×
+    * rerank entries in each of the N parallel tasks. The r18 mixture
+    * campaign measured the wall this guards: at the 2 M λ-mixture
+    * decade the routed measured-rerank budget lands at the at-level
+    * population (R ~ λ·n ≈ 10⁵⁻⁶), and 30 queries × R heaps × 32
+    * tasks put an 8 GB driver-JVM into a GC death spiral — the r17
+    * campaign's ">70 min, killed" 2 M leg reproduced and explained.
+    * Past the ceiling the selection switches to a rank-based
+    * distributed sort (memory Θ(partition), shuffle n·queries slim
+    * rows) and the re-rank join stops broadcasting the
+    * queries × R survivor set. */
+  val PqHeapSelectMaxKey = "spark.graft.pq.heapselect.max"
+  val PqHeapSelectMaxDefault: Long = 1L << 21
+
   /** Bounded ADC-candidate selection + exact re-rank (shared by the PQ
-    * and IVFADC paths): [[TopKPerKey]] keeps the top-`rerank` per query
-    * map-side, survivors join the (tiny) query table and then the
-    * normed base for exact cosine. */
+    * and IVFADC paths). Small queries × rerank products (every auto
+    * path; the benched s6/s7/s8 geometries): [[TopKPerKey]] keeps the
+    * top-`rerank` per query map-side — no shuffle of the scored set —
+    * and the survivor pairs broadcast into the re-rank join. Past
+    * [[PqHeapSelectMaxKey]] entries (measured-rerank budgets on
+    * clustered corpora at scale, R ~ concentrated population): a
+    * per-query rank over the scored set selects the same survivors
+    * with memory bounded by partition size, and the re-rank joins by
+    * shuffle — same rows out, different resource shape. */
   private def adcSelectRerank(scored: DataFrame, qSmall: DataFrame,
       cNormed: DataFrame, k: Int, rerank: Int): DataFrame = {
-    // the query table is ≤ queries rows BY CONTRACT — broadcast
-    // explicitly (post-aggregate stats are unknown, so the planner
-    // otherwise falls back to a sort-merge join of two tiny sides)
-    val survivors = TopKPerKey(scored, "q_id", "adc", "n_id", rerank)
-      .select(col("q_id").as("s_q_id"), col("n_id"))
-      .join(broadcast(qSmall), col("s_q_id") === col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("n_id"))
-    val cos = VectorFunctions.cosinePre(
-      VectorFunctions.dot(col("q_emb"), col("embedding")),
-      col("q_nrm"), col("nrm"))
-    cNormed.join(broadcast(survivors), col("vec_id") === col("n_id"))
-      .select(col("q_id"), col("n_id"), cos.as("cos"))
-      .withColumn("rank", row_number().over(rankWindow))
-      .filter(col("rank") <= k)
+    val spark = scored.sparkSession
+    val heapMax = spark.conf.get(PqHeapSelectMaxKey,
+      PqHeapSelectMaxDefault.toString).toLong
+    // qSmall is a projection of a barrier'd ≤-queries-row frame by
+    // contract — counting it is a cached scan, not a recompute
+    val nq = qSmall.count()
+    if (nq * rerank <= heapMax) {
+      // the query table is ≤ queries rows BY CONTRACT — broadcast
+      // explicitly (post-aggregate stats are unknown, so the planner
+      // otherwise falls back to a sort-merge join of two tiny sides)
+      val survivors = TopKPerKey(scored, "q_id", "adc", "n_id", rerank)
+        .select(col("q_id").as("s_q_id"), col("n_id"))
+        .join(broadcast(qSmall), col("s_q_id") === col("q_id"))
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("n_id"))
+      val cos = VectorFunctions.cosinePre(
+        VectorFunctions.dot(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm"))
+      cNormed.join(broadcast(survivors), col("vec_id") === col("n_id"))
+        .select(col("q_id"), col("n_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(rankWindow))
+        .filter(col("rank") <= k)
+    } else {
+      val selW = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").desc, col("n_id"))
+      val pairs = scored.withColumn("sel_rk", row_number().over(selW))
+        .filter(col("sel_rk") <= rerank)
+        .select(col("q_id"), col("n_id"))
+      val cos = VectorFunctions.cosinePre(
+        VectorFunctions.dot(col("q_emb"), col("embedding")),
+        col("q_nrm"), col("nrm"))
+      cNormed.join(pairs, col("vec_id") === col("n_id"))
+        .join(broadcast(qSmall), "q_id")
+        .select(col("q_id"), col("n_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(rankWindow))
+        .filter(col("rank") <= k)
+    }
   }
 
   /** IVFADC [Jégou et al. 2011, §IV]: the canonical composition of the

@@ -1234,6 +1234,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset(D.CandBudgetMaxKey)
   }
 
+  test("ADC candidate selection: past the heap ceiling the sort path returns exactly the heap path's rows") {
+    val S = graft.api.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val emb = (0L until 2000L)
+      .map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vid", "v")
+    val q = emb.filter(col("vid") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    // nq (5) x rerank (300) = 1500 <= default ceiling: heap path
+    val heap = rows(S.pqTopK(emb, q, "vid", "v", 5, 8, 16, 1, 300))
+    // force the sort path for the SAME call; identical output rows
+    spark.conf.set(S.PqHeapSelectMaxKey, "100")
+    try {
+      val sorted = rows(S.pqTopK(emb, q, "vid", "v", 5, 8, 16, 1, 300))
+      assert(sorted == heap)
+    } finally spark.conf.unset(S.PqHeapSelectMaxKey)
+  }
+
   test("routed PQ path: one concentration sample per cold call, zero per cached hit, and a stale cached stat cannot break totality") {
     val S = graft.api.Similarity
     import spark.implicits._
