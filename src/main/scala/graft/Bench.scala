@@ -284,9 +284,19 @@ object Bench {
         val buf = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
         val t0 = System.nanoTime()
         val th = new Thread(() => while (true) {
-          val n = spark.sparkContext.statusTracker.getExecutorInfos.length - 1
-          buf.synchronized {
-            buf += (((System.nanoTime() - t0) / 1000000000L, n)) }
+          // FaaS masters: the backend's own lease count (the status
+          // store's ACTIVE list drops deactivated-but-leased executors
+          // under dynamic allocation — see LeaseCount); local: the
+          // status store. try/catch: a sample thrown during executor
+          // churn must not kill the sampler for the rest of the run.
+          try {
+            val n = org.apache.spark.graft.LeaseCount
+              .active(spark.sparkContext)
+              .getOrElse(
+                spark.sparkContext.statusTracker.getExecutorInfos.length - 1)
+            buf.synchronized {
+              buf += (((System.nanoTime() - t0) / 1000000000L, n)) }
+          } catch { case _: Throwable => }
           Thread.sleep(5000)
         })
         th.setDaemon(true)
