@@ -181,7 +181,17 @@ object Sketches {
   * state per key — each map task pre-reduces to ≤k rows per key BEFORE
   * the shuffle, where the window-function formulation shuffles every
   * row and sorts whole partitions. Ties break on the id (ascending).
-  * Output columns: (keyCol, idCol, orderCol, rank). */
+  * Output columns: (keyCol, idCol, orderCol, rank).
+  *
+  * SIZING caveat (measured r18): the partial state is one k-entry
+  * heap per key PER TASK — a task that sees rows of every key holds
+  * keys × k entries, and N parallel tasks hold N× that. Fine for
+  * small k (q30's bounded top-k) or key-partitioned inputs; for
+  * large k × broadcast-shaped keys (every task sees all keys — the
+  * ADC candidate selection at measured-rerank budgets) the aggregate
+  * stops fitting and a rank-over-window formulation is the
+  * memory-bounded tool — see
+  * [[Similarity.PqHeapSelectMaxKey]] for the switch this repo ships. */
 object TopKPerKey {
   import graft.functions.Aggregators.{Priced, TopK, TopKAgg}
 

@@ -376,7 +376,12 @@ object StreamingOps {
 
   /** dd9's streaming twin — hyperplane-LSH/cosine family. Seed the
     * asset with [[graft.api.Dedup.lshSignatureTable]] output of the
-    * same (tables, planes) geometry. */
+    * same (tables, planes) geometry. `radius` (default 1, the
+    * pre-r18 contract) expands each micro-batch's probe masks like
+    * the batch verb — size it with
+    * [[graft.api.Similarity.lshIncRadiusFor]] at the asset geometry;
+    * the candidate guard prices the expanded mask set per batch
+    * through the sidecar path. */
   def incrementalEmbeddingStream(vecs: DataFrame, idCol: String, vecCol: String,
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
       tables: Int, planes: Int, threshold: Double, probes: Int = 0,
@@ -384,12 +389,13 @@ object StreamingOps {
       groupsDir: Option[String] = None,
       compactOnFinish: Boolean = false,
       keepSuperseded: Int = 1,
-      maxUpsertDirs: Int = graft.api.Dedup.DefaultMaxUpsertDirs):
+      maxUpsertDirs: Int = graft.api.Dedup.DefaultMaxUpsertDirs,
+      radius: Int = 1):
       org.apache.spark.sql.streaming.StreamingQuery =
     incrementalPairStream(vecs,
       df => graft.api.Dedup.lshSignatureTable(df, idCol, vecCol, tables, planes),
       (c, i, h) => graft.api.Dedup.incrementalEmbeddingPairs(
-        c, i, threshold, probes, h),
+        c, i, threshold, probes, h, radius),
       corpusSigDir, pairsOutDir, checkpointDir, "vec_id", assertDisjointIds,
       groupsDir.map(d => (d, "vec_a", "vec_b")), compactOnFinish,
       keepSuperseded, maxUpsertDirs,

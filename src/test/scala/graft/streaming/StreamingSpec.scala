@@ -564,7 +564,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         spark.readStream.schema(inc.schema)
           .option("maxFilesPerTrigger", "1").parquet(landing.toString),
         "vec_id", "embedding", s"$work/sigs", s"$work/pairs", s"$work/ckpt",
-        8, 6, 0.3, probes = 6, groupsDir = Some(s"$work/groups"))
+        8, 6, 0.3, probes = 6, groupsDir = Some(s"$work/groups"),
+        // r18: radius-2 probing through the streaming plumb — the
+        // batch twin below probes at the same radius, so equality
+        // also pins the cross-batch symmetry (batch-2's masks find
+        // batch-1 pairs in the upserted asset at radius 2)
+        radius = 2)
       assert(q.awaitTermination(180000), "AvailableNow query did not stop")
       val gotDf = spark.read.parquet(s"$work/pairs")
       assert(gotDf.select("batch").distinct().count() == 2)
@@ -574,17 +579,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       val expected = graft.api.Dedup.incrementalEmbeddingPairs(
           graft.api.Dedup.lshSignatureTable(corpus, "vec_id", "embedding", 8, 6),
           graft.api.Dedup.lshSignatureTable(inc, "vec_id", "embedding", 8, 6),
-          0.3, probes = 6)
+          0.3, probes = 6, radius = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == expected)
       assert(got.nonEmpty, "fixture should hold inc-touching embedding pairs")
       // the embedding-family group pin: resolved streaming groups ≡
-      // one batch dd6 over the full embedding pair set
+      // one batch dd6 over the EDGE SET the stream accumulates —
+      // corpus-corpus pairs from the seeded asset (the radius-1
+      // symmetric generator: a self-join cannot expand probe masks)
+      // UNION the radius-2 incremental pairs (the query-shaped
+      // increment side CAN — the r18 asymmetric ladder)
       val gotGroups = graft.api.Dedup.readGroupsAsset(spark, s"$work/groups")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val expectedGroups = graft.api.Dedup.duplicateGroups(
-          graft.api.Dedup.embeddingPairs(emb, "vec_id", "embedding",
-            8, 6, 0.3, probes = 6),
+          graft.api.Dedup.embeddingPairs(corpus, "vec_id", "embedding",
+              8, 6, 0.3, probes = 6)
+            .unionByName(graft.api.Dedup.incrementalEmbeddingPairs(
+              graft.api.Dedup.lshSignatureTable(
+                corpus, "vec_id", "embedding", 8, 6),
+              graft.api.Dedup.lshSignatureTable(
+                inc, "vec_id", "embedding", 8, 6),
+              0.3, probes = 6, radius = 2)),
           "vec_a", "vec_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(gotGroups == expectedGroups)
