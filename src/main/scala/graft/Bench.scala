@@ -227,6 +227,139 @@ object Bench {
     case c => c.toString
   } + "\""
 
+  /** Absolute contention anchor (r18 verdict task #1): the round's own
+    * artifact proved the relative sentinels blind — `BENCH_r18.json`
+    * read 81.12 s with `contended: false` while four independent
+    * same-code runs (builder + judge A/B) read 58–63 s, because box
+    * load that inflates cold and warm passes TOGETHER never trips a
+    * warm-vs-cold comparison.
+    *
+    * The flagging anchor is the kernel's SCHEDULER-DELAY factor: the
+    * deterministic fixed-iteration xorshift loop runs on every
+    * available core at once, each thread records its own CPU time,
+    * and the factor is wall · threads / Σ per-thread-cpu — exactly
+    * 1.0 when every kernel thread held a core for its whole run,
+    * (p+q)/p when q co-tenant threads timeslice against our p. It is
+    * frequency-, SMT- and hardware-independent (both numerator and
+    * denominator scale with the same clock), so it needs NO committed
+    * box reference and cannot be fooled by uniform inflation: this
+    * box's ambient load (avg 2–3, the measured 3–10% same-code
+    * composite drift band) reads ~1.05–1.09, a co-tenant build
+    * stealing half the box reads ~1.5, full oversubscription ~2.0.
+    * Absolute kernel wall-clock rides along against a committed
+    * quiet-box reference ([[CalibRefSec]]) as `box_load` —
+    * informational (catches a THROTTLED box: slow but unshared, the
+    * one state the delay ratio cannot see).
+    *
+    * Wall-clock prototypes measured and rejected this round
+    * (tools/CalibProbe): a single-thread kernel jitters 29% quiet on
+    * this box (frequency ramp + migration — false-flags at any
+    * useful threshold), and an all-cores wall-clock anchor at 1.15
+    * false-flagged a quiet suite off ambient load that a 32-slot
+    * Spark suite shrugs off.
+    *
+    * The anchor samples THREE legs — suite start, after the cold
+    * pass, suite end — and flags on the MEDIAN: sustained contention
+    * inflates at least two legs; a transient burst at one endpoint
+    * inflates one and is outvoted. Past [[CalibDriftMax]] on the
+    * median delay factor the run is flagged `contended` regardless
+    * of what the relative sentinels say. */
+  private[graft] val CalibIters = 1L << 28
+
+  /** Committed quiet-box reference (sec) for the all-cores kernel's
+    * wall-clock — the informational `box_load` denominator. Override
+    * with `SPARK_GRAFT_BENCH_CALIB_REF` on different hardware;
+    * `SPARK_GRAFT_BENCH_CALIB=0` skips the anchor entirely
+    * (box_factor -1 in the artifact = not measured). Measured r19 on
+    * this box: tools/CalibProbe min 0.529–0.539 s across three
+    * sessions. */
+  private[graft] val CalibRefSec = 0.53
+
+  /** Contended past this median delay factor. The box is a VM, so the
+    * factor sees GUEST scheduling delay plus HOST steal together
+    * (both manifest as wall > Σcpu/threads — host steal is invisible
+    * to guest load average and is the leading suspect for r18's
+    * flagged-by-nobody 1.4× driver run). Committed from measurement:
+    * the quiet band on this box reads 1.07–1.14 (ambient load avg
+    * 2–3 + baseline host steal, r19 tools/CalibProbe across
+    * sessions), i.e. ≤ the ±10% same-code composite drift already
+    * attributed to box noise; 1.25 ≈ a quarter of the CPU stolen —
+    * past any noise attribution, and well under the ~1.5 a co-tenant
+    * build stealing half the box produces. */
+  private[graft] val CalibDriftMax = 1.25
+
+  // DCE sink: the kernel's result must escape or the JIT deletes the loop
+  private val calibSink = new java.util.concurrent.atomic.AtomicLong()
+
+  /** One thread's kernel: CalibIters xorshift64 steps — pure
+    * register arithmetic, no allocation, no memory traffic, so the
+    * measurement is CPU-scheduler time, not cache state. */
+  private def calibKernelOnce(seed: Long): Long = {
+    var x = seed | 1L
+    var i = 0L
+    while (i < CalibIters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    x
+  }
+
+  /** One timed run of the kernel on `threads` concurrent threads:
+    * (wall-clock sec, scheduler-delay factor = wall · threads / Σ
+    * per-thread CPU time). Delay -1.0 when the JVM cannot read
+    * per-thread CPU time. */
+  private[graft] def calibOnce(threads: Int, seedBase: Long): (Double, Double) = {
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+    val cpuOk = mx.isCurrentThreadCpuTimeSupported
+    val cpus = new Array[Long](threads)
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        val c0 = if (cpuOk) mx.getCurrentThreadCpuTime else 0L
+        calibSink.addAndGet(calibKernelOnce(seedBase + i))
+        if (cpuOk) cpus(i) = mx.getCurrentThreadCpuTime - c0
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    val cpuSum = cpus.sum / 1e9
+    (wall, if (cpuOk && cpuSum > 0) wall * threads / cpuSum else -1.0)
+  }
+
+  /** Kernel wall-clock (sec) on `threads` concurrent threads, min
+    * over `reps` (the first rep carries JIT; the min is the box's
+    * best currently-available schedule — under sustained contention
+    * every rep is inflated, which is exactly the signal). */
+  private[graft] def calibSec(reps: Int = 3, threads: Int = 1): Double =
+    (1 to reps).map(r => calibOnce(threads, r * 1000L)._1).min
+
+  /** One anchor leg on all cores, min-of-3 by wall-clock:
+    * (wall sec, scheduler-delay factor from the min-wall rep). */
+  private[graft] def calibLeg(): (Double, Double) = {
+    val p = Runtime.getRuntime.availableProcessors()
+    (1 to 3).map(r => calibOnce(p, r * 1000L)).minBy(_._1)
+  }
+
+  /** `box_factor` for the artifact: MEDIAN of the legs' delay factors
+    * (sustained load inflates ≥ 2 of 3 legs; a transient burst at one
+    * endpoint is outvoted); -1 (not measured) when the anchor is
+    * skipped, the legs are empty, or CPU time was unreadable. */
+  private[graft] def boxFactorOf(calibOn: Boolean, legs: Seq[Double]): Double = {
+    val ok = legs.filter(_ > 0)
+    if (!calibOn || ok.isEmpty) -1.0
+    else math.rint(1000 * ok.sorted.apply(ok.size / 2)) / 1000
+  }
+
+  /** `box_load` for the artifact: MEDIAN of the legs' wall-clocks
+    * over the committed quiet-box reference — informational (a
+    * throttled-but-unshared box shows here, not in the delay
+    * factor); -1 when not measured or no reference is known. */
+  private[graft] def boxLoadOf(calibOn: Boolean, ref: Double,
+      legs: Seq[Double]): Double =
+    if (!calibOn || ref <= 0 || legs.isEmpty) -1.0
+    else math.rint(1000 * legs.sorted.apply(legs.size / 2) / ref) / 1000
+
   /** Queries whose warm min over the base passes is ≥ `HeavySec` —
     * their run-to-run spread dominates the composite's noise, so they
     * earn extra min-of-N passes. */
@@ -262,6 +395,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // contention anchor leg 1: before the session exists — the purest
+    // read of what the box will give this process
+    val calibOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB", "1") == "1"
+    val calibRef = sys.env.get("SPARK_GRAFT_BENCH_CALIB_REF")
+      .map(_.toDouble).getOrElse(CalibRefSec)
+    val calibLegs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    if (calibOn) calibLegs += calibLeg()
     val builder = withMasterEnv(SparkSession.builder(), s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -282,26 +422,47 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_EXEC_TIMELINE", "0") != "1") None
       else {
         val buf = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+        // which counter produced the samples: "lease" (FaaS backend's
+        // own lease count) or "status-store" (driver status store —
+        // NOTE its scope: on local masters the active list holds only
+        // the driver, and under dynamic allocation + shuffle tracking
+        // it drops deactivated-but-leased executors, so a flat-0 or
+        // undercounted trajectory from this source is the counter's
+        // blind spot, not the cluster's shape — the artifact carries
+        // the source so such a trajectory is attributable)
+        val srcLease = new java.util.concurrent.atomic.AtomicBoolean(false)
         val t0 = System.nanoTime()
-        val th = new Thread(() => while (true) {
+        val th = new Thread(() => {
           // FaaS masters: the backend's own lease count (the status
           // store's ACTIVE list drops deactivated-but-leased executors
           // under dynamic allocation — see LeaseCount); local: the
-          // status store. try/catch: a sample thrown during executor
-          // churn must not kill the sampler for the rest of the run.
-          try {
-            val n = org.apache.spark.graft.LeaseCount
-              .active(spark.sparkContext)
-              .getOrElse(
-                spark.sparkContext.statusTracker.getExecutorInfos.length - 1)
-            buf.synchronized {
-              buf += (((System.nanoTime() - t0) / 1000000000L, n)) }
-          } catch { case _: Throwable => }
-          Thread.sleep(5000)
+          // status store, clamped at 0 (the list is driver-only on
+          // local masters). NonFatal only — an OOM must surface, not
+          // be eaten — and the sleep sits INSIDE the try so an
+          // interrupt ends the sampler cleanly instead of escaping
+          // through the uncaught-exception path.
+          var live = true
+          while (live) {
+            try {
+              val lease = org.apache.spark.graft.LeaseCount
+                .active(spark.sparkContext)
+              lease.foreach(_ => srcLease.set(true))
+              val n = lease.getOrElse(math.max(0,
+                spark.sparkContext.statusTracker.getExecutorInfos.length - 1))
+              buf.synchronized {
+                buf += (((System.nanoTime() - t0) / 1000000000L, n)) }
+              Thread.sleep(5000)
+            } catch {
+              case _: InterruptedException => live = false
+              case scala.util.control.NonFatal(_) =>
+                try Thread.sleep(5000)
+                catch { case _: InterruptedException => live = false }
+            }
+          }
         })
         th.setDaemon(true)
         th.start()
-        Some(buf)
+        Some((buf, srcLease))
       }
 
     // Pass 1: cold, at the target SF (doubles as the warmup for pass 2).
@@ -317,6 +478,10 @@ object Bench {
       }
       catch { case _: Throwable => (name, -1.0) } // failure surfaces in the warm pass
     }
+    // contention anchor leg 2: between the cold and warm passes — load
+    // arriving mid-suite shows here and at the end leg, outvoting a
+    // quiet start sample in the median
+    if (calibOn) calibLegs += calibLeg()
 
     // N warm passes; the headline is the per-query MIN across them.
     val warmPasses = math.max(2,
@@ -400,18 +565,31 @@ object Bench {
     // means the box was busy during the run — the numbers are a bad
     // measurement, not a regression (round-8 postmortem).
     val coldByName = cold.toMap
+    // contention anchor leg 3: after the suite — load that arrived
+    // late inflates the tail queries and this leg
+    if (calibOn) calibLegs += calibLeg()
+    val boxFactor = boxFactorOf(calibOn, calibLegs.map(_._2).toSeq)
+    val boxLoad = boxLoadOf(calibOn, calibRef, calibLegs.map(_._1).toSeq)
     val contended = (totalCold > 0 && total > totalCold) ||
       results.exists { case (k, v, _, _, _, _) =>
-        val c = coldByName.getOrElse(k, -1.0); c > 0 && v > 2 * c }
+        val c = coldByName.getOrElse(k, -1.0); c > 0 && v > 2 * c } ||
+      boxFactor > CalibDriftMax
     val passDetail = allPasses.map(p =>
       names.flatMap(n => p.get(n).map(m => "\"" + n + "\":" + m._1))
         .mkString("{", ",", "}")).mkString("[", ",", "]")
-    val execPart = execTimeline.map { buf =>
+    val execPart = execTimeline.map { case (buf, srcLease) =>
       val samples = buf.synchronized {
         buf.map { case (t, n) => s"[$t,$n]" }.mkString("[", ",", "]") }
-      s""""executors_timeline":$samples,"""
+      val src = if (srcLease.get()) "lease" else "status-store"
+      s""""executors_timeline":$samples,"executors_timeline_source":"$src","""
     }.getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,$execPart"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}"""
+    // calib_legs rows are [wall_sec, delay_factor] per leg (start,
+    // post-cold, end)
+    val calibLegsJson = calibLegs
+      .map { case (w, d) => s"[${math.rint(1000 * w) / 1000},${math.rint(1000 * d) / 1000}]" }
+      .mkString("[", ",", "]")
+    val calibPart = s""""box_factor":$boxFactor,"box_load":$boxLoad,"calib_legs":$calibLegsJson,"calib_ref_sec":$calibRef,"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,$calibPart$execPart"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}"""
     println(line)
     // stdout of an sbt run gets interleaved/truncated by the harness —
     // persist the full line so the round artifact always parses
@@ -428,7 +606,7 @@ object Bench {
     // sets Global/showSuccess := false so sbt's "[success] Total time"
     // banner doesn't land AFTER this line — r8's tail showed the banner
     // as the true last line, which is what a last-line parser chokes on.)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,"box_factor":$boxFactor,"box_load":$boxLoad,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -89,4 +89,51 @@ class BenchAggregationSpec extends AnyFunSuite {
     // heavy; d: min 2.0 — light (one fast pass disqualifies)
     assert(Bench.heavyQueries(Seq("a", "b", "c", "d"), passes) == Seq("b"))
   }
+
+  test("box_factor: median of the legs' delay factors") {
+    // sustained contention inflates >= 2 of 3 legs — the median sees
+    // it; a transient burst at ONE endpoint is outvoted (the r19
+    // wall-clock prototype false-flagged a quiet suite off a single
+    // inflated start sample)
+    assert(Bench.boxFactorOf(true, Seq(1.02, 2.0, 1.9)) == 1.9)
+    assert(Bench.boxFactorOf(true, Seq(2.0, 1.02, 1.05)) == 1.05)
+    // quiet box at ambient load: ~1.05-1.09, under the drift threshold
+    assert(Bench.boxFactorOf(true,
+      Seq(1.05, 1.09, 1.03)) <= Bench.CalibDriftMax)
+    // the r18 postmortem's shape: a co-tenant build timeslices every
+    // leg — MUST flag; the relative warm-vs-cold sentinels cannot see
+    // uniform inflation
+    assert(Bench.boxFactorOf(true,
+      Seq(1.5, 1.6, 1.45)) > Bench.CalibDriftMax)
+    // a leg whose CPU time was unreadable (-1) is dropped, not median'd
+    assert(Bench.boxFactorOf(true, Seq(-1.0, 1.5, 1.6)) == 1.6)
+  }
+
+  test("box_factor/box_load: -1 (not measured) when skipped or empty") {
+    assert(Bench.boxFactorOf(false, Seq(1.5)) == -1.0)
+    assert(Bench.boxFactorOf(true, Seq.empty) == -1.0)
+    assert(Bench.boxFactorOf(true, Seq(-1.0, -1.0)) == -1.0)
+    assert(Bench.boxLoadOf(false, 0.53, Seq(0.6)) == -1.0)
+    assert(Bench.boxLoadOf(true, 0.0, Seq(0.6)) == -1.0)
+    assert(Bench.boxLoadOf(true, 0.53, Seq.empty) == -1.0)
+  }
+
+  test("box_load: median wall over the committed reference") {
+    assert(Bench.boxLoadOf(true, 0.5, Seq(0.5, 1.0, 1.0)) == 2.0)
+    assert(Bench.boxLoadOf(true, 0.5, Seq(1.0, 0.5, 0.52)) == 1.04)
+  }
+
+  test("calibration kernel runs, is not DCE'd, and reads CPU time") {
+    // one anchor leg takes ~0.5 s/rep on this box; anything under
+    // 50 ms means the JIT deleted the loop (the sink failed to keep
+    // it live)
+    val (wall, delay) = Bench.calibLeg()
+    assert(wall > 0.05, s"kernel wall-clock $wall s — loop eliminated?")
+    assert(wall < 60.0, s"kernel wall-clock $wall s — runaway")
+    // delay factor: >= ~1 by construction (threads can't get more
+    // than a core each); an in-test upper bound would encode box
+    // state, so only sanity-check the support path
+    assert(delay == -1.0 || delay > 0.9,
+      s"delay factor $delay — per-thread CPU accounting broken?")
+  }
 }
