@@ -481,13 +481,53 @@ object Dedup extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** The Hamming family's distance wall and its ladder (r18 verdict
+    * item #4 — "does the dd9 radius hole exist here?"): NO for
+    * hamming ≤ 3 — unlike hyperplane LSH, whose per-table collision
+    * is a Bernoulli in the pair's angle (the model-recall hole dd9's
+    * ladder fixes), the 16-bit-piece banding is DETERMINISTIC:
+    * h ≤ 3 differing bits across 4 pieces leaves ≥ 1 piece with 0
+    * differing bits (pigeonhole), so the piece equi-join's recall is
+    * exactly 1.0 at every corpus size — there is no radius to buy
+    * back. The REAL gap was the hard wall at 3: realistic 64-bit
+    * perceptual-hash near-dup thresholds run past it (pHash/aHash
+    * practice commonly accepts distance ≤ 10), and the family
+    * refused them outright. The same pigeonhole extends one rung:
+    * h ≤ 7 leaves ≥ 1 piece with ≤ 1 differing bit (4 pieces × ≥ 2
+    * would need ≥ 8), so probing each PROBE-side piece value at its
+    * 16 one-bit flips (+ itself — 17 masks, [[piecesProbed]]) is
+    * complete for h ≤ 7, at 17× the probe side's slim piece rows
+    * and ZERO touch to the build side (the incremental verb's corpus
+    * asset). Past 7 the next rung needs 2-bit piece masks (137/piece,
+    * complete to h ≤ 11) — ~8× the probe volume again; at that
+    * distance band the signature is no longer a near-dup sketch and
+    * the embedding family is the honest tool, so the wall moves to 7
+    * and fails loud. */
+  private[api] val MaxPieceHamming = 7
+
+  /** Probe-side piece rows for `maxHamming`: exact (piece, pval) rows
+    * at h ≤ 3 (pigeonhole: some piece matches exactly), plus the 16
+    * one-bit flips of each piece value at 4 ≤ h ≤ 7 (some piece is
+    * within 1 bit). One-sided by symmetry: piece values within 1 bit
+    * of each other see each other's flip sets. */
+  private def piecesProbed(pieces: DataFrame, maxHamming: Int): DataFrame =
+    if (maxHamming <= 3) pieces
+    else pieces.select(col("doc_id"), col("sig"), col("piece"),
+      explode(array(col("pval") +:
+        (0 until 16).map(b => col("pval").bitwiseXOR(lit(1L << b))): _*))
+        .as("pval"))
+
   /** Hamming-distance near-dup pairs over PRECOMPUTED 64-bit signatures
     * (SimHash, perceptual image hashes, any 64-bit sketch):
     * pigeonhole-complete 16-bit piece banding — hamming ≤ 3 implies at
     * least one of the 4 pieces is identical, so an equi-join on
     * (piece_idx, piece_value) finds ALL qualifying pairs with
-    * O(n·4) shuffled rows at any corpus size.
-    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, each pair once.
+    * O(n·4) shuffled rows at any corpus size. `maxHamming` ∈ [4, 7]
+    * (r19) probes each left-side piece at its 16 one-bit flips —
+    * complete by the same pigeonhole ([[MaxPieceHamming]]), candidate
+    * volume 17× the slim probe rows, exact `bit_count` verification
+    * unchanged. Output: (doc_a, doc_b, hamming), doc_a < doc_b, each
+    * pair once.
     *
     * PAIR-OUTPUT caveat (guarded since r14, [[PairBudgetConfKey]]):
     * shuffled INPUT is linear, but the join's OUTPUT is Σ C(c, 2) over
@@ -497,7 +537,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     * scale-shaped form for such corpora is [[hammingGroups]]. */
   def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "16-bit piece banding is complete only for hamming <= 3")
+    require(maxHamming <= MaxPieceHamming,
+      s"16-bit piece banding with 1-bit probes is complete only for " +
+        s"hamming <= $MaxPieceHamming (got $maxHamming); past that " +
+        "band the signature is not a near-dup sketch — use the " +
+        "embedding family (Dedup.embeddingPairs)")
     // barrier: both sides of the self-join re-derive the signature
     // input — without it the (possibly expensive) signature computation
     // runs twice per row (for mm8 that is a full image decode per side;
@@ -512,7 +556,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     validatePairBudget(docs, col("sig"), "hammingPairs",
       "Use Dedup.hammingGroups (contracts to distinct signatures " +
         "first — linear in n, members never pair-expanded)")
-    val a = pieces.alias("a")
+    val a = piecesProbed(pieces, maxHamming).alias("a")
     val b = pieces.alias("b")
     val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
     a.join(b,
@@ -622,11 +666,23 @@ object Dedup extends org.apache.spark.internal.Logging {
     * output ≡ the inc-touching subset of `hammingPairs(corpus ∪ inc)`
     * (property-pinned in DedupSimilaritySpec). Only the increment's
     * 4 piece rows per doc probe; a daily-sized increment broadcasts,
-    * leaving the corpus scan shuffle-free. */
+    * leaving the corpus scan shuffle-free.
+    *
+    * `maxHamming` ∈ [4, 7] (r19) is the family's asymmetric ladder in
+    * the dd9 sense, with a stronger guarantee: the increment side's
+    * piece rows expand to their 16 one-bit flips ([[piecesProbed]] —
+    * 17× the increment's slim rows, the corpus signature asset
+    * untouched), and completeness at h ≤ 7 is DETERMINISTIC
+    * (pigeonhole, [[MaxPieceHamming]]) where dd9's escalation buys
+    * model recall. Exact `bit_count` verification unchanged. */
   def incrementalHammingPairs(corpusSigs: DataFrame, incSigs: DataFrame,
       idCol: String, sigCol: String, maxHamming: Int = 3,
       corpusHist: Option[DataFrame] = None): DataFrame = {
-    require(maxHamming <= 3, "16-bit piece banding is complete only for hamming <= 3")
+    require(maxHamming <= MaxPieceHamming,
+      s"16-bit piece banding with 1-bit probes is complete only for " +
+        s"hamming <= $MaxPieceHamming (got $maxHamming); past that " +
+        "band the signature is not a near-dup sketch — use the " +
+        "embedding family (Dedup.incrementalEmbeddingPairs)")
     def pieces(sigs: DataFrame): DataFrame = sigs
       .select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
       .select(col("doc_id"), col("sig"),
@@ -650,8 +706,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     val allPieces = incPieces.union(pieces(corpusSigs))
     val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
     // inc probes the union: inc-inc pairs arrive in both orientations,
-    // inc-corpus in one; canonicalize + distinct (hamming is symmetric)
-    incPieces.alias("a").join(allPieces.alias("b"),
+    // inc-corpus in one; canonicalize + distinct (hamming is symmetric
+    // — and so is piece-value 1-bit adjacency, which keeps the
+    // maxHamming > 3 probe expansion one-sided-complete)
+    piecesProbed(incPieces, maxHamming).alias("a").join(allPieces.alias("b"),
         col("a.piece") === col("b.piece") && col("a.pval") === col("b.pval") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),

@@ -648,6 +648,19 @@ object Similarity extends org.apache.spark.internal.Logging {
       lshCandFraction(LshGeometry(tables, planes, probes, r))
     val ladder = (1 to (if (probes == 0) 1 else MaxProbeRadius))
       .map(r => (r, recallAt(r), fracAt(r)))
+    // radius 1 is admitted unconditionally (the pre-r18 contract: the
+    // baseline the asset was built to run at), but an over-budget
+    // BASELINE should not pass silently — an escalated radius at the
+    // same fraction would be rejected (r18 ADVICE)
+    if (mode != "off" && ladder.head._3 > maxFrac)
+      logWarning(f"lshIncRadiusFor: the radius-1 BASELINE already " +
+        f"probes ${100 * ladder.head._3}%.1f%% of the corpus per " +
+        f"increment row (> the ${100 * maxFrac}%.0f%% budget, conf " +
+        s"$LshMaxCandFracKey) at the $tables-table × $planes-plane " +
+        "asset geometry — admitted for contract compatibility, but " +
+        "this asset geometry is over budget before any escalation; " +
+        "consider re-generating it at Similarity.lshGeometryFor's " +
+        "derivation.")
     val admissible = ladder.filter { case (r, _, f) =>
       r == 1 || f <= maxFrac }
     admissible.find(_._2 >= recallTarget) match {
@@ -1712,8 +1725,11 @@ object Similarity extends org.apache.spark.internal.Logging {
       (col("q_nrm") * col("nrm"))
     val scored = index.join(broadcast(qB), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), adcCos.as("adc"))
+    // qB is barrier'd and one-row-per-query by construction — its
+    // count is a cached scan, no distinct job (r18 ADVICE)
     adcSelectRerank(scored,
-      qB.select(col("q_id"), col("q_emb"), col("q_nrm")), cNormed, k, rerank)
+      qB.select(col("q_id"), col("q_emb"), col("q_nrm")), cNormed, k, rerank,
+      qB.count())
   }
 
   /** Ceiling on queries × rerank ENTRIES the heap-based ADC candidate
@@ -1734,6 +1750,24 @@ object Similarity extends org.apache.spark.internal.Logging {
   val PqHeapSelectMaxKey = "spark.graft.pq.heapselect.max"
   val PqHeapSelectMaxDefault: Long = 1L << 21
 
+  /** Salt count for the sort path's two-phase rank (conf
+    * [[PqSortSelectSaltsKey]]): 0 (default) derives it as
+    * clamp(⌈4 · shuffle.partitions / queries⌉, 2, 64) — enough
+    * (q_id, salt) groups that the phase-1 local rank runs at scan
+    * width instead of one task per query (the r18 verdict's
+    * parallelism finding: a ~30-query batch ran its selection on 30
+    * tasks however wide the cluster), with the 4× overpartition
+    * factor measured at the 2 M routed decade (30 q × 1e5 rerank,
+    * min-of-2: 22.5 s at 1 salt group/query, 20.7 s at 2, 13.6 s at
+    * 8 — group-per-partition balance, not raw group count, is what
+    * pays; target/r19_sortsel_2m.log). The 64 cap bounds phase 2:
+    * its per-query sort is rerank · salts rows in one (spillable)
+    * task, so an uncapped wide-cluster derivation would rebuild the
+    * very single-task hot spot phase 1 escapes — at the cap the
+    * phase-2 input is ≤ 64 · rerank rows per query, corpus-size-free.
+    * A positive conf value pins the count. */
+  val PqSortSelectSaltsKey = "spark.graft.pq.sortselect.salts"
+
   /** Bounded ADC-candidate selection + exact re-rank (shared by the PQ
     * and IVFADC paths). Small queries × rerank products (every auto
     * path; the benched s6/s7/s8 geometries): [[TopKPerKey]] keeps the
@@ -1741,17 +1775,25 @@ object Similarity extends org.apache.spark.internal.Logging {
     * and the survivor pairs broadcast into the re-rank join. Past
     * [[PqHeapSelectMaxKey]] entries (measured-rerank budgets on
     * clustered corpora at scale, R ~ concentrated population): a
-    * per-query rank over the scored set selects the same survivors
-    * with memory bounded by partition size, and the re-rank joins by
-    * shuffle — same rows out, different resource shape. */
+    * SALTED two-phase rank selects the same survivors with memory
+    * bounded by partition size — phase 1 ranks within (q_id, salt =
+    * hash(n_id) mod S) and keeps each group's top-`rerank` (a
+    * superset of the global top-`rerank`: any globally-surviving row
+    * survives its own salt group), phase 2 ranks the ≤ rerank · S
+    * survivors per query — and the re-rank joins by shuffle. Same
+    * rows out as the heap path (deterministic (adc desc, n_id)
+    * ordering in both phases), different resource shape; the salt
+    * restores scan-width parallelism the r18 single-phase
+    * Window.partitionBy(q_id) fallback gave up (#queries tasks).
+    * `nq` is the (exact or contractual) query-row count, threaded
+    * from callers that already hold a barrier'd query frame — the
+    * r18 ADVICE finding: counting the qSmall projection here paid a
+    * distinct+shuffle job per call on the IVFADC path. */
   private def adcSelectRerank(scored: DataFrame, qSmall: DataFrame,
-      cNormed: DataFrame, k: Int, rerank: Int): DataFrame = {
+      cNormed: DataFrame, k: Int, rerank: Int, nq: Long): DataFrame = {
     val spark = scored.sparkSession
     val heapMax = spark.conf.get(PqHeapSelectMaxKey,
       PqHeapSelectMaxDefault.toString).toLong
-    // qSmall is a projection of a barrier'd ≤-queries-row frame by
-    // contract — counting it is a cached scan, not a recompute
-    val nq = qSmall.count()
     if (nq * rerank <= heapMax) {
       // the query table is ≤ queries rows BY CONTRACT — broadcast
       // explicitly (post-aggregate stats are unknown, so the planner
@@ -1768,9 +1810,22 @@ object Similarity extends org.apache.spark.internal.Logging {
         .withColumn("rank", row_number().over(rankWindow))
         .filter(col("rank") <= k)
     } else {
+      val saltsConf = spark.conf.get(PqSortSelectSaltsKey, "0").toInt
+      val shufflePart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val salts =
+        if (saltsConf > 0) saltsConf
+        else math.min(64L, math.max(2L,
+          (4L * shufflePart + nq - 1) / math.max(1L, nq))).toInt
+      val localW = Window.partitionBy(col("q_id"), col("salt"))
+        .orderBy(col("adc").desc, col("n_id"))
+      val local = scored
+        .withColumn("salt", pmod(xxhash64(col("n_id")), lit(salts.toLong)))
+        .withColumn("loc_rk", row_number().over(localW))
+        .filter(col("loc_rk") <= rerank)
+        .select(col("q_id"), col("n_id"), col("adc"))
       val selW = Window.partitionBy(col("q_id"))
         .orderBy(col("adc").desc, col("n_id"))
-      val pairs = scored.withColumn("sel_rk", row_number().over(selW))
+      val pairs = local.withColumn("sel_rk", row_number().over(selW))
         .filter(col("sel_rk") <= rerank)
         .select(col("q_id"), col("n_id"))
       val cos = VectorFunctions.cosinePre(
@@ -1867,9 +1922,14 @@ object Similarity extends org.apache.spark.internal.Logging {
     val scored = index.join(broadcast(qB),
         qB("cent_id") === index("cent_id") && col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), adcCos.as("adc"))
-    adcSelectRerank(scored,
-      qB.select(col("q_id"), col("q_emb"), col("q_nrm")).distinct(),
-      c, k, rerank)
+    // qB carries nProbe rows per query — barrier the distinct query
+    // projection so the dedup shuffle runs ONCE (the pre-r19 shape
+    // re-ran it per consumer: one distinct+shuffle job just to count,
+    // another under the re-rank join — the r18 ADVICE finding) and
+    // its count is a cached scan
+    val qSmall = Barrier(
+      qB.select(col("q_id"), col("q_emb"), col("q_nrm")).distinct())
+    adcSelectRerank(scored, qSmall, c, k, rerank, qSmall.count())
   }
 
   /** Shared IVF probe + exact re-rank tail: queries pick their nProbe

@@ -200,12 +200,41 @@ object DedupQueries {
       "doc_id", "sig", 3)
   }
 
+  // -- dd13: dd8 at the r19 extended distance band ----------------------
+  // The Hamming family's ladder rung: maxHamming 5 sits in the [4, 7]
+  // band where the increment's piece rows expand to their 16 one-bit
+  // flips (pigeonhole-complete — Dedup.MaxPieceHamming) and the corpus
+  // signature asset stays untouched. The oracle brute-forces bit_count
+  // over all pairs BECAUSE the banding is complete — the strongest
+  // check available: any probe-expansion miss is a hash mismatch.
+  private val LadderMaxHamming = 5
+
+  private def incrementalSimhashLadder(s: SparkSession, dir: String): DataFrame = {
+    HashFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    def sigs(df: DataFrame) = df.select(col("doc_id"),
+      HashFunctions.simhashText(col("text")).as("sig"))
+    graft.api.Dedup.incrementalHammingPairs(
+      sigs(docs.filter(col("doc_id") % IncMod =!= 0)),
+      sigs(docs.filter(col("doc_id") % IncMod === 0)),
+      "doc_id", "sig", LadderMaxHamming)
+  }
+
   private val simhashSql: String = simhashSqlWhere("")
 
   private def incSimhashSql: String =
     simhashSqlWhere(s" AND (doc_a % $IncMod = 0 OR doc_b % $IncMod = 0)")
 
-  private def simhashSqlWhere(extraWhere: String): String = {
+  // dd13's oracle: the r19 ladder's completeness argument IS the
+  // oracle simplification — piece banding with 1-bit probes finds
+  // every pair at hamming <= 7 (pigeonhole), so the reference result
+  // is plain all-pairs bit_count, no piece CTE to mirror
+  private def incSimhashLadderSql: String =
+    simhashSqlWhere(s" AND (doc_a % $IncMod = 0 OR doc_b % $IncMod = 0)",
+      maxH = LadderMaxHamming, brute = true)
+
+  private def simhashSqlWhere(extraWhere: String, maxH: Int = 3,
+      brute: Boolean = false): String = {
     import PolyHashConstants.{Half, P, SimA, SimB}
     val votes = (0 until 64).map { b =>
       s"list_sum(list_transform(hs, h -> CASE WHEN (h * ${SimA(b)} + ${SimB(b)}) % $P >= $Half THEN 1 ELSE -1 END)) AS v$b"
@@ -236,11 +265,18 @@ object DedupQueries {
        |pieces AS (
        |$pieceBranches),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-       |  FROM pieces a JOIN pieces b
-       |    ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3$extraWhere""".stripMargin
+       |${
+        if (brute)
+          """  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)""".stripMargin
+        else
+          """  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            |  FROM pieces a JOIN pieces b
+            |    ON a.piece = b.piece AND a.pval = b.pval AND a.doc_id < b.doc_id)""".stripMargin
+      }
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $maxH$extraWhere""".stripMargin
   }
 
   // -- dd5: embedding-cosine near-dup -----------------------------------
@@ -460,6 +496,10 @@ object DedupQueries {
     QueryDef("dd6_dup_groups", dupGroups, Some(dupGroupsSql), bench = true),
     QueryDef("dd7_incremental", incremental, Some(incrementalSql), bench = true),
     QueryDef("dd8_inc_simhash", incrementalSimhash, Some(incSimhashSql), bench = true),
+    // dd13 carries a DISTINCT cost shape from dd8 (17x probe-side
+    // piece rows through the same asset join), so it earns a bench row
+    QueryDef("dd13_inc_simhash_h5", incrementalSimhashLadder,
+      Some(incSimhashLadderSql), bench = true),
     QueryDef("dd9_inc_embed", incrementalEmbed, Some(incEmbedSql), bench = true),
     // dd10's in-query fixture rebuild (~80% of its wall-clock) made its
     // bench row measure the fixture, not the operator — dd10p below is

@@ -379,8 +379,10 @@ object StreamingOps {
     * same (tables, planes) geometry. `radius` (default 1, the
     * pre-r18 contract) expands each micro-batch's probe masks like
     * the batch verb — size it with
-    * [[graft.api.Similarity.lshIncRadiusFor]] at the asset geometry;
-    * the candidate guard prices the expanded mask set per batch
+    * [[graft.api.Similarity.lshIncRadiusFor]] at the asset geometry,
+    * or use the `(tables, planes, threshold, recallTarget)` AUTO
+    * overload below (r19), which derives it the same way; the
+    * candidate guard prices the expanded mask set per batch
     * through the sidecar path. */
   def incrementalEmbeddingStream(vecs: DataFrame, idCol: String, vecCol: String,
       corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
@@ -400,6 +402,38 @@ object StreamingOps {
       groupsDir.map(d => (d, "vec_a", "vec_b")), compactOnFinish,
       keepSuperseded, maxUpsertDirs,
       histKeys = Some(graft.api.Dedup.embeddingGuardKeys))
+
+  /** AUTO-RADIUS [[incrementalEmbeddingStream]] (r18 verdict item #3
+    * — the batch `(tables, planes)` auto overload mirrored to the
+    * stream twin, which until r19 asked the caller to size the probe
+    * radius by hand): `tables`/`planes` are the geometry the
+    * signature ASSET at `corpusSigDir` was built at (fixed —
+    * re-sizing them re-encodes the corpus), probes = planes (full
+    * multi-probe, dd9's committed discipline), and the per-batch
+    * probe RADIUS comes from [[graft.api.Similarity.lshIncRadiusFor]]
+    * at `recallTarget`: the first rung of the 1–3 ladder whose
+    * closed-form model recall holds the target at `threshold` inside
+    * the [[graft.api.Similarity.LshMaxCandFracKey]] candidate
+    * budget. The ladder is pure arithmetic over the asset geometry —
+    * no data is touched — so the radius is derived once at stream
+    * start and every micro-batch probes at it; the candidate guard
+    * still prices each batch's expanded mask set through the sidecar
+    * path. Output ≡ the batch auto overload over the accumulated
+    * increments (batch≡stream pinned in StreamingSpec). No default
+    * arguments (Scala allows one defaulted overload per name — the
+    * manual-radius overload holds them); compose `groupsDir`/
+    * compaction via that overload, passing the derived radius
+    * explicitly. */
+  def incrementalEmbeddingStream(vecs: DataFrame, idCol: String, vecCol: String,
+      corpusSigDir: String, pairsOutDir: String, checkpointDir: String,
+      tables: Int, planes: Int, threshold: Double, recallTarget: Double):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val radius = graft.api.Similarity.lshIncRadiusFor(
+      tables, planes, planes, threshold, vecs.sparkSession, recallTarget)
+    incrementalEmbeddingStream(vecs, idCol, vecCol, corpusSigDir,
+      pairsOutDir, checkpointDir, tables, planes, threshold,
+      probes = planes, radius = radius)
+  }
 
   /** s7's streaming twin — CONTINUOUS PQ index maintenance: each
     * micro-batch of new vectors is encoded against the FROZEN

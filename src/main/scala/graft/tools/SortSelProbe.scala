@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** A/B measurement for the SALTED two-phase ADC sort-path selection
+  * (r18 verdict task #2): at the 2 M mixed-corpus decade the routed
+  * measured-rerank remedy crosses the heap ceiling and takes the
+  * sort path, whose r18 single-phase `Window.partitionBy(q_id)` ran
+  * the whole selection on #queries tasks. This probe pre-builds the
+  * PQ index ONCE (train + encode barrier'd out of the timed region —
+  * the campaign's long pole), then times `pqTopKFromIndex` at a
+  * ceiling-crossing rerank under each salt setting, with a stage
+  * listener recording per-stage task counts so the selection stage's
+  * width is measured, not asserted.
+  *
+  * `salts=1` is the single-phase r18 shape (one salt group per query
+  * — same task-per-query selection, plus one degenerate slim
+  * re-rank); `salts=0` is the derived default
+  * (max(2, ⌈shuffle.partitions / queries⌉)); larger pins exercise
+  * the width the conf buys on a wide cluster.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (source, default sf0.1),
+  * SPARK_GRAFT_SORTSEL_REPS (mixed-fixture reps, default 1000 = 2 M
+  * vectors), SPARK_GRAFT_SORTSEL_LAMBDA (default 25),
+  * SPARK_GRAFT_SORTSEL_RERANK (default 100000 — 30 queries × 1e5 =
+  * 3e6 > the 2²¹ ceiling), SPARK_GRAFT_SORTSEL_SALTS (comma list,
+  * default "1,0,8"), SPARK_GRAFT_SORTSEL_PASSES (default 2; the
+  * reported number is the min).
+  */
+object SortSelProbe {
+  private val K = 5
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SORTSEL_REPS", "1000").toInt
+    val lam = sys.env.getOrElse("SPARK_GRAFT_SORTSEL_LAMBDA", "25").toInt
+    val rerank = sys.env.getOrElse("SPARK_GRAFT_SORTSEL_RERANK", "100000").toInt
+    val saltsList = sys.env.getOrElse("SPARK_GRAFT_SORTSEL_SALTS", "1,0,8")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SORTSEL_PASSES", "2").toInt
+    val cpus = graft.Bench.probeCpus
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-sortsel-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config(graft.api.Similarity.RerankSizingConfKey, "warn")
+      .config(graft.api.Similarity.PqConcConfKey, "warn")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val S = graft.api.Similarity
+    val off = ScaleProbe.ReplicaOffset
+
+    // stage log: (stageId, numTasks, name); cleared per timed leg so
+    // each leg's selection width is separable
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        stages.add((i.stageId, i.numTasks, i.name.takeWhile(_ != '\n')))
+        ()
+      }
+    })
+
+    graft.api.Barrier.scoped {
+      val dir = ScaleProbe.ensureMixedFixture(spark, src, reps, lam)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val queries = emb.filter(
+        col("vec_id") % off < 3 && col("vec_id") / off < 10)
+      val nq = queries.count()
+      println(s"[sortsel] fixture reps=$reps lambda=$lam n=$n nq=$nq " +
+        s"rerank=$rerank (ceiling=${S.PqHeapSelectMaxDefault}, " +
+        s"crossing=${nq * rerank > S.PqHeapSelectMaxDefault})")
+      // train + encode once, outside every timed region
+      val books = graft.api.Barrier(
+        S.pqTrain(emb, "vec_id", "embedding", 8, 64, 2))
+      val index = graft.api.Barrier(
+        S.pqEncodeIndex(emb, books, "vec_id", "embedding"))
+      println(s"[sortsel] index built: ${index.count()} rows")
+
+      for (salts <- saltsList) {
+        if (salts > 0)
+          spark.conf.set(S.PqSortSelectSaltsKey, salts.toString)
+        else spark.conf.unset(S.PqSortSelectSaltsKey)
+        val times = (1 to passes).map { p =>
+          stages.clear()
+          val t0 = System.nanoTime()
+          graft.Bench.materialize(S.pqTopKFromIndex(
+            index, emb, queries, books, "vec_id", "embedding", K, rerank))
+          val sec = (System.nanoTime() - t0) / 1e9
+          val st = {
+            val it = stages.iterator(); val b = Seq.newBuilder[(Int, Int, String)]
+            while (it.hasNext) b += it.next()
+            b.result().sortBy(_._1)
+          }
+          val stageStr = st.map { case (id, t, nm) => s"$id:$t" }.mkString(" ")
+          println(f"[sortsel] salts=$salts pass=$p wall=$sec%.2f s " +
+            s"stage_tasks=[$stageStr]")
+          // the selection stages are the post-scoring window sorts —
+          // print names once per leg for attribution
+          if (p == 1) st.foreach { case (id, t, nm) =>
+            println(s"[sortsel]   stage $id tasks=$t $nm") }
+          sec
+        }
+        val effSalts = if (salts > 0) salts.toLong
+          else math.min(64L, math.max(2L,
+            (4L * cpus.toInt + nq - 1) / math.max(1L, nq)))
+        println(f"[sortsel] salts=$salts min-wall=${times.min}%.2f s " +
+          s"(groups=${nq * effSalts})")
+      }
+      graft.api.Barrier.release(index)
+      graft.api.Barrier.release(books)
+    }
+    spark.stop()
+  }
+}

@@ -40,6 +40,10 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
       "dd4_simhash", "dd5_embed_dup", "dd6_dup_groups", "dd7_incremental",
       "dd8_inc_simhash", "dd9_inc_embed", "dd10p_inc_groups_asset",
       "dd11_semantic",
+      // r19 (verdict task #4): the Hamming ladder's extended band —
+      // 17x probe-side piece rows through the untouched asset join is
+      // a distinct cost shape from dd8's exact-piece probe
+      "dd13_inc_simhash_h5",
       // r16 (verdict task #3): the jaccard guard's remedy verb gets a
       // first-class committed number
       "dd12_jaccard_groups",
@@ -60,7 +64,7 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.benchQueries.toSet == pinned,
       s"bench set drifted: +${SparkEntry.benchQueries.toSet -- pinned} " +
         s"-${pinned -- SparkEntry.benchQueries.toSet}")
-    assert(SparkEntry.benchQueries.size == 50)
+    assert(SparkEntry.benchQueries.size == 51)
   }
 
   test("approx_count_distinct tracks the exact distinct count within 5%") {

@@ -86,6 +86,77 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       "fixture should also hold corpus-corpus pairs dd8 must NOT re-find")
   }
 
+  test("dd8 ladder: maxHamming 4-7 one-bit piece probing is pigeonhole-complete; 8 fails toward the embedding family") {
+    val D = graft.api.Dedup
+    val s = spark
+    import s.implicits._
+    // fixture with known distance structure: random 64-bit sigs plus
+    // planted neighbors at every distance 1..8 (distinct flipped bits)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 120).map(_ => rnd.nextLong())
+    val planted = (0 until 40).map { i =>
+      val d = 1 + (i % 8) // distances 1..8
+      val bits = rnd.shuffle((0 until 64).toList).take(d)
+      bits.foldLeft(base(i))((s, b) => s ^ (1L << b))
+    }
+    val all = (base ++ planted).zipWithIndex.map { case (sg, i) => (i.toLong, sg) }
+    val sigs = all.toDF("doc_id", "sig")
+    def brute(maxH: Int): Set[(Long, Long, Int)] = (for {
+      (ia, a) <- all; (ib, b) <- all if ia < ib
+      h = java.lang.Long.bitCount(a ^ b) if h <= maxH
+    } yield (ia, ib, h)).toSet
+    for (maxH <- Seq(3, 4, 5, 7)) {
+      val got = D.hammingPairs(sigs, "doc_id", "sig", maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(maxH), s"completeness broken at maxHamming=$maxH")
+    }
+    // the fixture must actually exercise the extension: pairs at
+    // distances 4..7 exist (found only by the probed form)
+    assert(brute(7).size > brute(3).size,
+      "fixture must hold pairs in the 4..7 band")
+    val e = intercept[IllegalArgumentException] {
+      D.hammingPairs(sigs, "doc_id", "sig", 8)
+    }
+    assert(e.getMessage.contains("embedding"))
+    val ei = intercept[IllegalArgumentException] {
+      D.incrementalHammingPairs(sigs, sigs, "doc_id", "sig", 8)
+    }
+    assert(ei.getMessage.contains("embedding"))
+  }
+
+  test("dd8 ladder: incremental maxHamming=5 ≡ inc-touching subset; groups compose") {
+    val D = graft.api.Dedup
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 150).map(_ => rnd.nextLong())
+    val planted = (0 until 50).map { i =>
+      val d = 1 + (i % 8)
+      val bits = rnd.shuffle((0 until 64).toList).take(d)
+      bits.foldLeft(base(i))((s, b) => s ^ (1L << b))
+    }
+    val all = (base ++ planted).zipWithIndex.map { case (sg, i) => (i.toLong, sg) }
+    val sigs = all.toDF("doc_id", "sig")
+    val corpus = sigs.filter(col("doc_id") % 5 =!= 0)
+    val inc = sigs.filter(col("doc_id") % 5 === 0)
+    val full = D.hammingPairs(sigs, "doc_id", "sig", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = D.incrementalHammingPairs(corpus, inc, "doc_id", "sig", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(got == expected)
+    assert(got.exists(_._3 > 3),
+      "fixture must hold inc-touching pairs only the 4..7 probes find")
+    assert(full.exists(p => p._1 % 5 != 0 && p._2 % 5 != 0),
+      "fixture should also hold corpus-corpus pairs dd8 must NOT re-find")
+    // groups compose at the extended distance too
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(D.hammingGroups(sigs, "doc_id", "sig", 5)) ==
+      key(D.duplicateGroups(
+        D.hammingPairs(sigs, "doc_id", "sig", 5), "doc_a", "doc_b")))
+  }
+
   test("dd9 incremental embedding ≡ inc-touching subset of full embeddingPairs") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     def sigs(f: org.apache.spark.sql.Column) = graft.api.Dedup.lshSignatureTable(
@@ -1247,11 +1318,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
         math.rint(r.getDouble(2) * 1e9), r.getInt(3))).toSet
     // nq (5) x rerank (300) = 1500 <= default ceiling: heap path
     val heap = rows(S.pqTopK(emb, q, "vid", "v", 5, 8, 16, 1, 300))
-    // force the sort path for the SAME call; identical output rows
+    // force the sort path for the SAME call; identical output rows —
+    // first at the derived salt count (max(2, partitions/queries)),
+    // then across pinned salt counts including salts that do not
+    // divide the candidate set and a degenerate single salt: the
+    // phase-1 local top-rerank must be a superset of the global
+    // top-rerank at ANY salting, or the two-phase rank is wrong
     spark.conf.set(S.PqHeapSelectMaxKey, "100")
     try {
       val sorted = rows(S.pqTopK(emb, q, "vid", "v", 5, 8, 16, 1, 300))
       assert(sorted == heap)
+      for (salts <- Seq(1, 3, 16)) {
+        spark.conf.set(S.PqSortSelectSaltsKey, salts.toString)
+        try assert(rows(S.pqTopK(emb, q, "vid", "v", 5, 8, 16, 1, 300)) == heap,
+          s"salted two-phase rank diverged at salts=$salts")
+        finally spark.conf.unset(S.PqSortSelectSaltsKey)
+      }
     } finally spark.conf.unset(S.PqHeapSelectMaxKey)
   }
 

@@ -610,6 +610,69 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("auto-radius embedding stream derives radius 2 and equals the batch auto overload") {
+    import java.nio.file.Files
+    val S = graft.api.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val inc = emb.filter(col("vec_id") % 10 === 0)
+    val work = Files.createTempDirectory("graft-embauto")
+    val landing = Files.createTempDirectory("graft-embauto-landing")
+    // 8x6 at threshold 0.3: radius-1 model recall 0.875 < 0.9, so the
+    // ladder escalates — admissible at this tiny 64-bucket geometry
+    // only with the candidate budget raised (fractions are
+    // meaningless at 2^6 buckets; production geometries carry
+    // planes ~ log2 n)
+    spark.conf.set(S.LshMaxCandFracKey, "3.0")
+    try {
+      assert(S.lshIncRadiusFor(8, 6, 6, 0.3, spark) == 2,
+        "precondition: the ladder must derive radius 2 here")
+      graft.api.Dedup.lshSignatureTable(corpus, "vec_id", "embedding", 8, 6)
+        .write.parquet(s"$work/sigs/base")
+      inc.coalesce(1).write.parquet(work.resolve("incall").toString)
+      val part = Files.list(work.resolve("incall"))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get
+      Files.copy(part, landing.resolve("inc.parquet"))
+      val q = StreamingOps.incrementalEmbeddingStream(
+        spark.readStream.schema(inc.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+        "vec_id", "embedding", s"$work/sigs", s"$work/pairs", s"$work/ckpt",
+        8, 6, 0.3, 0.9)
+      assert(q.awaitTermination(180000), "AvailableNow query did not stop")
+      val got = spark.read.parquet(s"$work/pairs")
+        .select("vec_a", "vec_b", "cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // ≡ the batch AUTO overload (same ladder, same probes=planes)
+      val expected = graft.api.Dedup.incrementalEmbeddingPairs(
+          graft.api.Dedup.lshSignatureTable(corpus, "vec_id", "embedding", 8, 6),
+          graft.api.Dedup.lshSignatureTable(inc, "vec_id", "embedding", 8, 6),
+          0.3, 8, 6, None)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected)
+      // and ≡ the manual verb at radius 2 — the radius the ladder
+      // derived, distinguishable from radius 1 on this fixture
+      val atR2 = graft.api.Dedup.incrementalEmbeddingPairs(
+          graft.api.Dedup.lshSignatureTable(corpus, "vec_id", "embedding", 8, 6),
+          graft.api.Dedup.lshSignatureTable(inc, "vec_id", "embedding", 8, 6),
+          0.3, probes = 6, radius = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == atR2)
+      val atR1 = graft.api.Dedup.incrementalEmbeddingPairs(
+          graft.api.Dedup.lshSignatureTable(corpus, "vec_id", "embedding", 8, 6),
+          graft.api.Dedup.lshSignatureTable(inc, "vec_id", "embedding", 8, 6),
+          0.3, probes = 6, radius = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(atR1.subsetOf(got) && got != atR1,
+        "radius 2 must find strictly more than radius 1 on this fixture")
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.unset(S.LshMaxCandFracKey)
+      import scala.sys.process._
+      Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
+
   test("watermark finalizes windows and drops late data (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
