@@ -280,7 +280,7 @@ object Bench {
     * (both manifest as wall > Σcpu/threads — host steal is invisible
     * to guest load average and is the leading suspect for r18's
     * flagged-by-nobody 1.4× driver run). Committed from measurement:
-    * the quiet band on this box reads 1.07–1.14 (ambient load avg
+    * the quiet band on this box reads 1.07–1.17 (ambient load avg
     * 2–3 + baseline host steal, r19 tools/CalibProbe across
     * sessions), i.e. ≤ the ±10% same-code composite drift already
     * attributed to box noise; 1.25 ≈ a quarter of the CPU stolen —
