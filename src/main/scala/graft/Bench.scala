@@ -360,6 +360,19 @@ object Bench {
     if (!calibOn || ref <= 0 || legs.isEmpty) -1.0
     else math.rint(1000 * legs.sorted.apply(legs.size / 2) / ref) / 1000
 
+  /** Attribution for the `contended` flag: WHICH sentinel fired —
+    * "relative" (warm-vs-cold, sees load that arrives mid-suite),
+    * "anchor" (the delay-factor kernel, sees load that inflates cold
+    * and warm together — the r18 blind spot), "both", or "none". */
+  private[graft] def contendedReasonOf(relative: Boolean,
+      anchor: Boolean): String =
+    (relative, anchor) match {
+      case (true, true)   => "both"
+      case (true, false)  => "relative"
+      case (false, true)  => "anchor"
+      case (false, false) => "none"
+    }
+
   /** Queries whose warm min over the base passes is ≥ `HeavySec` —
     * their run-to-run spread dominates the composite's noise, so they
     * earn extra min-of-N passes. */
@@ -570,10 +583,12 @@ object Bench {
     if (calibOn) calibLegs += calibLeg()
     val boxFactor = boxFactorOf(calibOn, calibLegs.map(_._2).toSeq)
     val boxLoad = boxLoadOf(calibOn, calibRef, calibLegs.map(_._1).toSeq)
-    val contended = (totalCold > 0 && total > totalCold) ||
+    val relativeContended = (totalCold > 0 && total > totalCold) ||
       results.exists { case (k, v, _, _, _, _) =>
-        val c = coldByName.getOrElse(k, -1.0); c > 0 && v > 2 * c } ||
-      boxFactor > CalibDriftMax
+        val c = coldByName.getOrElse(k, -1.0); c > 0 && v > 2 * c }
+    val anchorContended = boxFactor > CalibDriftMax
+    val contended = relativeContended || anchorContended
+    val contendedReason = contendedReasonOf(relativeContended, anchorContended)
     val passDetail = allPasses.map(p =>
       names.flatMap(n => p.get(n).map(m => "\"" + n + "\":" + m._1))
         .mkString("{", ",", "}")).mkString("[", ",", "]")
@@ -588,7 +603,7 @@ object Bench {
     val calibLegsJson = calibLegs
       .map { case (w, d) => s"[${math.rint(1000 * w) / 1000},${math.rint(1000 * d) / 1000}]" }
       .mkString("[", ",", "]")
-    val calibPart = s""""box_factor":$boxFactor,"box_load":$boxLoad,"calib_legs":$calibLegsJson,"calib_ref_sec":$calibRef,"""
+    val calibPart = s""""box_factor":$boxFactor,"box_load":$boxLoad,"contended_reason":"$contendedReason","calib_legs":$calibLegsJson,"calib_ref_sec":$calibRef,"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,$calibPart$execPart"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}"""
     println(line)
     // stdout of an sbt run gets interleaved/truncated by the harness —
@@ -606,7 +621,7 @@ object Bench {
     // sets Global/showSuccess := false so sbt's "[success] Total time"
     // banner doesn't land AFTER this line — r8's tail showed the banner
     // as the true last line, which is what a last-line parser chokes on.)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,"box_factor":$boxFactor,"box_load":$boxLoad,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,"contended_reason":"$contendedReason","box_factor":$boxFactor,"box_load":$boxLoad,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

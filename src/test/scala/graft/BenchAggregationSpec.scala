@@ -123,6 +123,13 @@ class BenchAggregationSpec extends AnyFunSuite {
     assert(Bench.boxLoadOf(true, 0.5, Seq(1.0, 0.5, 0.52)) == 1.04)
   }
 
+  test("contended_reason attributes the firing sentinel") {
+    assert(Bench.contendedReasonOf(relative = false, anchor = false) == "none")
+    assert(Bench.contendedReasonOf(relative = true, anchor = false) == "relative")
+    assert(Bench.contendedReasonOf(relative = false, anchor = true) == "anchor")
+    assert(Bench.contendedReasonOf(relative = true, anchor = true) == "both")
+  }
+
   test("calibration kernel runs, is not DCE'd, and reads CPU time") {
     // one anchor leg takes ~0.5 s/rep on this box; anything under
     // 50 ms means the JIT deleted the loop (the sink failed to keep

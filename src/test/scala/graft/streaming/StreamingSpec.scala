@@ -673,6 +673,55 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hamming stream at maxHamming=5: extended-band pairs flow through the streaming twin") {
+    import java.nio.file.Files
+    val s = spark
+    import s.implicits._
+    // planted-distance fixture (the dd8 ladder's shape): random sigs
+    // plus neighbors at distances 1..8 — only the [4, 7] rungs find
+    // the 4/5-distance pairs, so stream==batch here pins the probe
+    // expansion through the per-batch plumbing, not just radius <= 3
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 80).map(_ => rnd.nextLong())
+    val planted = (0 until 30).map { i =>
+      val d = 1 + (i % 8)
+      val bits = rnd.shuffle((0 until 64).toList).take(d)
+      bits.foldLeft(base(i))((sg, b) => sg ^ (1L << b))
+    }
+    val all = (base ++ planted).zipWithIndex.map { case (sg, i) => (i.toLong, sg) }
+    val sigs = all.toDF("doc_id", "sig")
+    val corpus = sigs.filter(col("doc_id") % 4 =!= 0)
+    val inc = sigs.filter(col("doc_id") % 4 === 0)
+    val work = Files.createTempDirectory("graft-hamstream5")
+    val landing = Files.createTempDirectory("graft-hamstream5-landing")
+    try {
+      corpus.write.parquet(s"$work/sigs/base")
+      inc.coalesce(1).write.parquet(work.resolve("incall").toString)
+      val part = Files.list(work.resolve("incall"))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get
+      Files.copy(part, landing.resolve("inc.parquet"))
+      val q = StreamingOps.incrementalHammingStream(
+        spark.readStream.schema(inc.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+        "doc_id", "sig", s"$work/sigs", s"$work/pairs", s"$work/ckpt",
+        maxHamming = 5)
+      assert(q.awaitTermination(180000), "AvailableNow query did not stop")
+      val got = spark.read.parquet(s"$work/pairs")
+        .select("doc_a", "doc_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expected = graft.api.Dedup.incrementalHammingPairs(
+          corpus, inc, "doc_id", "sig", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected)
+      assert(got.exists(_._3 > 3),
+        "fixture must hold pairs only the extended band finds")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", work.toString, landing.toString).!
+    }
+  }
+
   test("watermark finalizes windows and drops late data (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
