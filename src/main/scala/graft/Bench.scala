@@ -17,7 +17,11 @@ import org.apache.spark.sql.SparkSession
   * snapshot) — the per-query min over independent passes is the
   * steady-state number to compare against the reference. A
   * `contended` sentinel flags measurements to distrust: warm composite
-  * slower than cold, or any query's warm min > 2× its own cold time.
+  * slower than cold, any query's warm min > 2× its own cold time,
+  * or (r19) the ABSOLUTE anchor — the calibration kernel's median
+  * scheduler-delay factor past [[CalibDriftMax]], which sees the
+  * load-inflates-cold-and-warm-together case the relative checks
+  * cannot; `contended_reason` attributes which sentinel fired.
   * Heavy hitters (warm min ≥ 3 s) automatically get a third warm pass
   * when `SPARK_GRAFT_BENCH_WARM_PASSES` < 3 — their run-to-run spread
   * dominates the composite's noise. Since r15, queries whose spread
