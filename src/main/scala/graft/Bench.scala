@@ -18,10 +18,17 @@ import org.apache.spark.sql.SparkSession
   * steady-state number to compare against the reference. A
   * `contended` sentinel flags measurements to distrust: warm composite
   * slower than cold, any query's warm min > 2× its own cold time,
-  * or (r19) the ABSOLUTE anchor — the calibration kernel's median
+  * (r19) the ABSOLUTE anchor — the calibration kernel's median
   * scheduler-delay factor past [[CalibDriftMax]], which sees the
   * load-inflates-cold-and-warm-together case the relative checks
-  * cannot; `contended_reason` attributes which sentinel fired.
+  * cannot — or (r20) the PER-QUERY sentinel: each query row carries
+  * its min-pass tasks' own scheduler-delay factor
+  * ([[Metrics.Snapshot.delayFactor]] — the suite's tasks ARE the
+  * kernel, zero added load), and ≥ [[DelaySuspectMinRows]] rows past
+  * [[DelayOutlierMult]]× their own cold-pass baseline flag the run:
+  * the load WINDOW between the anchor's three legs that inflated
+  * BENCH_r19 1.45× non-uniformly while the leg median read quiet.
+  * `contended_reason` attributes which sentinels fired.
   * Heavy hitters (warm min ≥ 3 s) automatically get a third warm pass
   * when `SPARK_GRAFT_BENCH_WARM_PASSES` < 3 — their run-to-run spread
   * dominates the composite's noise. Since r15, queries whose spread
@@ -75,8 +82,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** One warm measurement: (wallClockSec — -1.0 on failure, bytesRead,
-    * shuffleBytesWritten, fsBytesRead). */
-  type Measurement = (Double, Long, Long, Long)
+    * shuffleBytesWritten, fsBytesRead, delayFactor — the query's own
+    * tasks' Σ runTime / Σ cpuTime, -1.0 when unmeasured; see
+    * [[Metrics.Snapshot.delayFactor]]). */
+  type Measurement = (Double, Long, Long, Long, Double)
 
   private[graft] val HeavySec = 3.0
   private[graft] val MinHeavyPasses = 3
@@ -95,7 +104,7 @@ object Bench {
   private[graft] def refineTargets(names: Seq[String],
       passes: Seq[Map[String, Measurement]]): Seq[String] =
     aggregate(names, passes)
-      .collect { case (n, t, _, _, _, sp) if t >= 0 && sp > SpreadTarget => n }
+      .collect { case (n, t, _, _, _, sp, _) if t >= 0 && sp > SpreadTarget => n }
 
   /** The timing action: materialize EVERY output row through Spark's
     * noop sink. A bare `count()` lets Catalyst prune per-row work the
@@ -348,34 +357,118 @@ object Bench {
   /** `box_factor` for the artifact: MEDIAN of the legs' delay factors
     * (sustained load inflates ≥ 2 of 3 legs; a transient burst at one
     * endpoint is outvoted); -1 (not measured) when the anchor is
-    * skipped, the legs are empty, or CPU time was unreadable. */
+    * skipped, the legs are empty, or CPU time was unreadable.
+    * Even-sized leg lists (a leg lost its factor to unreadable CPU
+    * time) take the LOWER median — with two legs left, the upper
+    * median IS the max, so a single transient burst in either would
+    * flag the run alone, losing the outvoting property the 3-leg
+    * design is for (r19 ADVICE). */
   private[graft] def boxFactorOf(calibOn: Boolean, legs: Seq[Double]): Double = {
     val ok = legs.filter(_ > 0)
     if (!calibOn || ok.isEmpty) -1.0
-    else math.rint(1000 * ok.sorted.apply(ok.size / 2)) / 1000
+    else math.rint(1000 * ok.sorted.apply((ok.size - 1) / 2)) / 1000
   }
 
   /** `box_load` for the artifact: MEDIAN of the legs' wall-clocks
     * over the committed quiet-box reference — informational (a
     * throttled-but-unshared box shows here, not in the delay
-    * factor); -1 when not measured or no reference is known. */
+    * factor); -1 when not measured or no reference is known.
+    * Lower median on even-sized lists, same rationale as
+    * [[boxFactorOf]]. */
   private[graft] def boxLoadOf(calibOn: Boolean, ref: Double,
       legs: Seq[Double]): Double =
     if (!calibOn || ref <= 0 || legs.isEmpty) -1.0
-    else math.rint(1000 * legs.sorted.apply(legs.size / 2) / ref) / 1000
+    else math.rint(1000 * legs.sorted.apply((legs.size - 1) / 2) / ref) / 1000
 
-  /** Attribution for the `contended` flag: WHICH sentinel fired —
-    * "relative" (warm-vs-cold, sees load that arrives mid-suite),
+  /** Attribution for the `contended` flag: WHICH sentinels fired,
+    * "+"-joined in canonical order — "relative" (warm-vs-cold, sees
+    * load that arrives mid-suite AND persists into the warm passes),
     * "anchor" (the delay-factor kernel, sees load that inflates cold
-    * and warm together — the r18 blind spot), "both", or "none". */
+    * and warm together — the r18 blind spot), "per-query" (the
+    * suite's own task metrics, sees a load WINDOW between the
+    * anchor's three legs that inflates a minority of query rows —
+    * the r19 blind spot: BENCH_r19.json read 78.79 s / anchor quiet
+    * against five same-code 57–63 s runs, with NON-uniform per-row
+    * inflation the median-of-3 legs outvotes by design), or "none".
+    * r19's two-sentinel "both" value became "relative+anchor" when
+    * the third sentinel landed (r20). */
   private[graft] def contendedReasonOf(relative: Boolean,
-      anchor: Boolean): String =
-    (relative, anchor) match {
-      case (true, true)   => "both"
-      case (true, false)  => "relative"
-      case (false, true)  => "anchor"
-      case (false, false) => "none"
-    }
+      anchor: Boolean, perQuery: Boolean = false): String = {
+    val rs = Seq("relative" -> relative, "anchor" -> anchor,
+      "per-query" -> perQuery).collect { case (n, true) => n }
+    if (rs.isEmpty) "none" else rs.mkString("+")
+  }
+
+  /** Suite median of the per-query delay factors (unmeasured rows
+    * dropped; lower median on even sizes, as [[boxFactorOf]]);
+    * -1 when nothing was measured. The NORMALIZER for the per-query
+    * sentinel: a query's absolute factor mixes contention with its
+    * own non-CPU task time (shuffle-fetch wait, spill IO, GC), so
+    * the committed threshold is relative to the same run's median,
+    * not to 1.0. */
+  private[graft] def delayMedian(factors: Seq[Double]): Double = {
+    val ok = factors.filter(_ > 0).sorted
+    if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
+  }
+
+  /** Per-query contention threshold, applied to the min-pass factor
+    * against the row's OWN cold-pass factor floored at the COLD
+    * suite median (see [[delaySuspects]]). The per-row baseline is
+    * what the r20 quiet calibration forced: a query's absolute
+    * factor mixes contention with its intrinsic non-CPU task time —
+    * the quiet sf0.001 run put ex6_shard_roundtrip (parquet write +
+    * read-back: wall is commit/IO wait, CPU tiny) at 3.4× the suite
+    * median with nothing wrong — but that shape is STABLE, so the
+    * row's cold factor carries it (quiet: warm 4.79 / cold 4.14),
+    * while load arriving after the cold pass (the r19 blind spot:
+    * the anchor's post-cold leg ran before it opened) inflates the
+    * warm factor and not the cold one. Load that ALSO covers the
+    * cold pass biases the baseline — and inflates ≥ 2 of the 3
+    * anchor legs, which is the anchor's case, not this sentinel's.
+    * Committed from r20 measurement (see STATUS): quiet sf0.001
+    * suites put rows at ≤ ~1.3× their baseline with 1–2 single-row
+    * excursions to 1.7–2.4× per run (absorbed by
+    * [[DelaySuspectMinRows]]), while a 32-busy-loop window covering
+    * both warm passes of a row SHOULD double its factor but lands it
+    * at 1.4–2.05× — the min-pass selection takes the row's
+    * least-contended sample, so the loaded signature compresses
+    * toward the threshold rather than sitting at a clean 2×. 1.5
+    * separates the two measured populations: the loaded demo puts
+    * ≥ 4 rows past it while quiet runs put at most 2. */
+  private[graft] val DelayOutlierMult = 1.5
+
+  /** The per-query sentinel needs ≥ this many outlier rows to flag
+    * the RUN (one row past the threshold is that query's own noise
+    * story — its `delay_factor` and `delay_suspect` membership still
+    * mark the row itself); a load window wide enough to matter
+    * inflates several adjacent rows (the r19 driver artifact's
+    * signature: s1/s2/ex2/q30 adjacent at 2–2.15×). */
+  private[graft] val DelaySuspectMinRows = 3
+
+  /** Rows whose min-pass delay factor is an outlier vs their own
+    * cold-pass factor (floored at the COLD suite median) — the
+    * queries whose RECORDED MIN carries box contention (warm-pass
+    * spread cannot see consistent-within-run slowness: the r19
+    * driver run's worst-inflated rows were absent from
+    * noise_suspect). Factor taken from the pass that produced the
+    * min time, so a row whose min escaped the load window is
+    * correctly NOT listed. Both baselines come from the COLD pass,
+    * not the warm suite: in the scenario this sentinel exists for —
+    * the anchor reads quiet, so its start and post-cold legs bracket
+    * a quiet cold pass — load arriving later inflates the WARM
+    * factors of every row it covers, and a warm-median baseline
+    * would self-normalize exactly the r19 case (most of the suite
+    * inflated ~1.45× together). The cold-median floor covers a row
+    * whose own cold factor is unmeasured (cold pass failed) or
+    * transiently low. Empty when no cold factor was measured. */
+  private[graft] def delaySuspects(
+      rows: Seq[(String, Double, Double)]): Seq[String] = {
+    val medCold = delayMedian(rows.map(_._3))
+    if (medCold <= 0) Seq.empty
+    else rows.collect {
+      case (n, d, dc) if d > DelayOutlierMult * math.max(medCold,
+        if (dc > 0) dc else medCold) => n }
+  }
 
   /** Queries whose warm min over the base passes is ≥ `HeavySec` —
     * their run-to-run spread dominates the composite's noise, so they
@@ -391,22 +484,25 @@ object Bench {
     * every pass failed, bytes FROM THE PASS THAT PRODUCED THE MIN (the
     * first pass may have failed, or not be the headline's), spread =
     * max/min over successful passes — > 2 marks the row noise-suspect:
-    * run-to-run variance, not a plan property). */
+    * run-to-run variance, not a plan property — and the min pass's
+    * delay factor: the contention read on the NUMBER THE COMPOSITE
+    * USES, so a min that escaped a load window reads quiet and a min
+    * that never did carries the inflation). */
   private[graft] def aggregate(names: Seq[String],
       passes: Seq[Map[String, Measurement]]):
-      Seq[(String, Double, Long, Long, Long, Double)] =
+      Seq[(String, Double, Long, Long, Long, Double, Double)] =
     names.map { name =>
       val ms = passes.flatMap(_.get(name))
       val ok = ms.filter(_._1 >= 0)
       val best = if (ok.isEmpty) -1.0 else ok.map(_._1).min
-      val (_, r, s, f) = if (ok.isEmpty) ms.head else ok.minBy(_._1)
+      val (_, r, s, f, d) = if (ok.isEmpty) ms.head else ok.minBy(_._1)
       // a 0.0 min would make the division emit Infinity/NaN — a bare
       // token that breaks the artifact-always-parses contract; a
       // sub-resolution measurement has no meaningful spread anyway
       val spread =
         if (ok.size >= 2 && ok.map(_._1).min > 0) ok.map(_._1).max / ok.map(_._1).min
         else 1.0
-      (name, best, r, s, f, spread)
+      (name, best, r, s, f, spread, d)
     }
 
   def main(args: Array[String]): Unit = {
@@ -487,18 +583,27 @@ object Bench {
     // pass end — a full-set × N-pass session otherwise accumulates
     // every pass's localCheckpoint blocks until GC (r13; the release
     // cost is a few unpersist calls and is honestly inside the timing).
+    // tracked like the warm passes (same wall-clock read): the cold
+    // delay factor is each row's own SHAPE baseline for the per-query
+    // sentinel — an IO-bound row's factor is high in every pass, a
+    // contention window's only in the passes it covered
     val cold = SparkEntry.benchQueries.map { name =>
-      val t0 = System.nanoTime()
       try {
-        graft.api.Barrier.scoped(materialize(SparkEntry.queries(name)(spark, sfDir)))
-        (name, (System.nanoTime() - t0) / 1e9)
+        val (_, snap) = Metrics.track(spark)(graft.api.Barrier.scoped(
+          materialize(SparkEntry.queries(name)(spark, sfDir))))
+        (name, snap.wallClockSec, snap.delayFactor)
       }
-      catch { case _: Throwable => (name, -1.0) } // failure surfaces in the warm pass
+      catch { case _: Throwable => (name, -1.0, -1.0) } // failure surfaces in the warm pass
     }
     // contention anchor leg 2: between the cold and warm passes — load
     // arriving mid-suite shows here and at the end leg, outvoting a
     // quiet start sample in the median
     if (calibOn) calibLegs += calibLeg()
+    // pass-boundary markers (stderr — stdout stays the artifact's):
+    // lets an external observer time a load window against the suite's
+    // actual phases (the r20 per-query demo drives its busy loops off
+    // these)
+    System.err.println("[bench] cold pass done")
 
     // N warm passes; the headline is the per-query MIN across them.
     val warmPasses = math.max(2,
@@ -511,15 +616,19 @@ object Bench {
             graft.api.Barrier.scoped(materialize(fn(spark, sfDir))))
           name -> ((snap.wallClockSec,
             math.max(snap.bytesRead, snap.fsBytesRead),
-            snap.shuffleBytesWritten, snap.fsBytesRead))
+            snap.shuffleBytesWritten, snap.fsBytesRead, snap.delayFactor))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           // failed queries are marked -1.0 instead of masquerading as timings
-          name -> ((-1.0, 0L, 0L, 0L))
+          name -> ((-1.0, 0L, 0L, 0L, -1.0))
         }
       }.toMap
     val names = SparkEntry.benchQueries
-    val basePasses = (1 to warmPasses).map(_ => runPass(names))
+    val basePasses = (1 to warmPasses).map { k =>
+      val p = runPass(names)
+      System.err.println(s"[bench] warm pass $k done")
+      p
+    }
     // heavy hitters get at least MinHeavyPasses min-of-N samples —
     // the cheapest variance reduction available
     val heavy = heavyQueries(names, basePasses)
@@ -543,12 +652,12 @@ object Bench {
     var refines = 0
     while (targets.nonEmpty && refines < maxRefine) {
       val prevMin = aggregate(targets, allPasses)
-        .collect { case (n, t, _, _, _, _) if t >= 0 => n -> t }.toMap
+        .collect { case (n, t, _, _, _, _, _) if t >= 0 => n -> t }.toMap
       val p = runPass(targets)
       allPasses = allPasses :+ p
       targets = targets.filter { n =>
         (p.get(n), prevMin.get(n)) match {
-          case (Some((t, _, _, _)), Some(pm)) =>
+          case (Some((t, _, _, _, _)), Some(pm)) =>
             t >= 0 && t < (1 - ImproveEps) * pm
           case _ => false
         }
@@ -556,43 +665,67 @@ object Bench {
       refines += 1
     }
     val results = aggregate(names, allPasses)
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // bytesRead is task-level (counts each consumer's read of a
     // barrier/cached block AGAIN); fsBytesRead is the storage-layer
     // truth — see tools/BarrierBytes for the per-mode attribution
     val bytes = results
-      .map { case (k, _, r, s, f, _) =>
+      .map { case (k, _, r, s, f, _, _) =>
         s""""$k":{"bytesRead":$r,"fsBytesRead":$f,"shuffleWrite":$s}""" }
       .mkString("{", ",", "}")
     // locale-safe rounding: Double.toString never emits comma decimals,
     // unlike the f-interpolator under a non-English default locale
     val spreads = results
-      .map { case (k, _, _, _, _, sp) =>
+      .map { case (k, _, _, _, _, sp, _) =>
         "\"" + k + "\":" + math.rint(sp * 1000) / 1000 }
       .mkString("{", ",", "}")
     val noiseSuspect = results
-      .collect { case (k, _, _, _, _, sp) if sp > 2.0 => "\"" + k + "\"" }
+      .collect { case (k, _, _, _, _, sp, _) if sp > 2.0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
-    val qsCold = cold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val totalCold = cold.collect { case (_, v) if v >= 0 => v }.sum
+    // per-query contention attribution (r19 verdict tasks #1/#2): each
+    // row's min-pass delay factor, the suite median, and the outlier
+    // rows — the signal that catches a load window between the
+    // anchor's three legs, which inflates a MINORITY of rows while
+    // both the anchor median and warm-pass spread read quiet
+    val coldDelay = cold.map { case (k, _, d) => k -> d }.toMap
+    val delayRows = results
+      .collect { case (k, v, _, _, _, _, d) if v >= 0 =>
+        (k, d, coldDelay.getOrElse(k, -1.0)) }
+    val delayFactors = delayRows
+      .map { case (k, d, _) => "\"" + k + "\":" + math.rint(d * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    val delayFactorsCold = delayRows
+      .map { case (k, _, dc) => "\"" + k + "\":" + math.rint(dc * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    val delayMed = delayMedian(delayRows.map(_._2))
+    val delayMedJson = math.rint(delayMed * 1000) / 1000
+    val delayMedCold = delayMedian(delayRows.map(_._3))
+    val delayMedColdJson = math.rint(delayMedCold * 1000) / 1000
+    val delaySusp = delaySuspects(delayRows)
+    val delaySuspJson = delaySusp.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _, _, _, _, _) if v >= 0 => v }.sum
+    val qsCold = cold.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val totalCold = cold.collect { case (_, v, _) if v >= 0 => v }.sum
     // Contention sentinel: a warm min composite slower than the cold
     // pass, or any query whose warm min exceeds 2× its own cold time,
     // means the box was busy during the run — the numbers are a bad
     // measurement, not a regression (round-8 postmortem).
-    val coldByName = cold.toMap
+    val coldByName = cold.map { case (k, v, _) => k -> v }.toMap
     // contention anchor leg 3: after the suite — load that arrived
     // late inflates the tail queries and this leg
     if (calibOn) calibLegs += calibLeg()
     val boxFactor = boxFactorOf(calibOn, calibLegs.map(_._2).toSeq)
     val boxLoad = boxLoadOf(calibOn, calibRef, calibLegs.map(_._1).toSeq)
     val relativeContended = (totalCold > 0 && total > totalCold) ||
-      results.exists { case (k, v, _, _, _, _) =>
+      results.exists { case (k, v, _, _, _, _, _) =>
         val c = coldByName.getOrElse(k, -1.0); c > 0 && v > 2 * c }
     val anchorContended = boxFactor > CalibDriftMax
-    val contended = relativeContended || anchorContended
-    val contendedReason = contendedReasonOf(relativeContended, anchorContended)
+    val perQueryContended = delaySusp.size >= DelaySuspectMinRows
+    val contended = relativeContended || anchorContended || perQueryContended
+    val contendedReason = contendedReasonOf(relativeContended,
+      anchorContended, perQueryContended)
     val passDetail = allPasses.map(p =>
       names.flatMap(n => p.get(n).map(m => "\"" + n + "\":" + m._1))
         .mkString("{", ",", "}")).mkString("[", ",", "]")
@@ -608,7 +741,8 @@ object Bench {
       .map { case (w, d) => s"[${math.rint(1000 * w) / 1000},${math.rint(1000 * d) / 1000}]" }
       .mkString("[", ",", "]")
     val calibPart = s""""box_factor":$boxFactor,"box_load":$boxLoad,"contended_reason":"$contendedReason","calib_legs":$calibLegsJson,"calib_ref_sec":$calibRef,"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,$calibPart$execPart"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}"""
+    val delayPart = s""""delay_factor":$delayFactors,"delay_factor_cold":$delayFactorsCold,"delay_median":$delayMedJson,"delay_median_cold":$delayMedColdJson,"delay_suspect":$delaySuspJson,"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,$calibPart$delayPart$execPart"queries":$qs,"warm_spread":$spreads,"noise_suspect":$noiseSuspect,"queries_cold":$qsCold,"queries_warm_passes":$passDetail,"bytes":$bytes,"warmup":"cold-pass@sf","shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}"""
     println(line)
     // stdout of an sbt run gets interleaved/truncated by the harness —
     // persist the full line so the round artifact always parses
@@ -625,7 +759,7 @@ object Bench {
     // sets Global/showSuccess := false so sbt's "[success] Total time"
     // banner doesn't land AFTER this line — r8's tail showed the banner
     // as the true last line, which is what a last-line parser chokes on.)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,"contended_reason":"$contendedReason","box_factor":$boxFactor,"box_load":$boxLoad,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"warm_passes":$warmPasses,"refine_passes":$refines,"contended":$contended,"contended_reason":"$contendedReason","box_factor":$boxFactor,"box_load":$boxLoad,"delay_median":$delayMedJson,"delay_suspect":$delaySuspJson,"noise_suspect":$noiseSuspect,"queries":$qs,"shuffle":${jstr(shuffleMode)},"master":${jstr(masterMode)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

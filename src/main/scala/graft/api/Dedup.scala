@@ -441,7 +441,23 @@ object Dedup extends org.apache.spark.internal.Logging {
     * The sidecar stores only keys with ≥ 2 corpus copies, so a key
     * absent from it has 0 or 1 true copies — modeled as 1 (the
     * `+ 1.0` floor below): the histogram estimate is ALWAYS ≥ the
-    * exact one, over by at most Σ c_inc = |increment| pairs. */
+    * exact one, over by at most Σ c_inc = |increment| pairs.
+    *
+    * SCOPE (widened by the r19 hamming band, per the r19 ADVICE):
+    * the estimate counts EXACT-signature heaps only — the pairs the
+    * join GUARANTEES to emit at any distance threshold — so it is a
+    * LOWER bound on output, tight for the duplicate-heap detonation
+    * it exists to catch. At `maxHamming` ∈ [4, 7] a cluster of
+    * near-equal-but-unequal signatures (hamming ≤ 7 pairwise, e.g.
+    * re-encodes of one image whose perceptual hashes wobble a few
+    * bits) also yields quadratic join output, and this guard cannot
+    * see it: those pairs collide on FLIP-ADJACENT piece values, not
+    * equal keys. The hamming callers close that gap at maxHamming > 3
+    * with a separate piece-collision CANDIDATE estimate
+    * ([[validateHamCandBudget]], r20): the (piece, pval) histogram is
+    * bounded at 4·2¹⁶ rows at ANY corpus size, so the flip-adjacent
+    * term is priceable there where the full-signature flip
+    * enumeration (C(64, ≤ 7) masks) is not. */
   private def validateIncPairBudget(corpus: DataFrame, inc: DataFrame,
       key: Column, what: String, remedy: String,
       corpusHist: Option[DataFrame] = None): Unit = {
@@ -480,6 +496,68 @@ object Dedup extends org.apache.spark.internal.Logging {
       else throw new IllegalArgumentException(msg)
     }
   }
+
+  /** Piece-collision CANDIDATE budget for the extended hamming band
+    * (maxHamming ∈ [4, 7] — r19 ADVICE, the option it offered beyond
+    * a doc note): the pair-output guards above count EXACT-signature
+    * heaps — a LOWER bound that goes blind on clusters of near-equal-
+    * but-unequal signatures (hamming ≤ 7 pairwise: re-encodes whose
+    * perceptual hashes wobble a few bits), whose pairs collide on
+    * FLIP-ADJACENT piece values, not equal keys. This guard prices
+    * the probe join's physical candidate volume instead:
+    * Σ over (piece, pval, mask ∈ {0} ∪ 16 one-bit flips) of
+    * cp(piece, pval) · cb(piece, pval ⊕ mask) — an UPPER bound on
+    * joined rows (self-matches and the doc_a < doc_b halving are not
+    * subtracted; a guard wants the ceiling). Priceable where the
+    * full-signature flip enumeration (C(64, ≤7) masks) is not: a
+    * (piece, pval) histogram is bounded at 4·2¹⁶ rows at ANY corpus
+    * size, so the 17-mask probe expansion tops out at ~4.5 M slim
+    * rows and the estimate is two map-side-combined aggregates plus
+    * a bounded join. Reuses the LSH family's candidate budget conf
+    * ([[CandBudgetConfKey]]/[[CandBudgetMaxKey]]) — the same
+    * semantic: rows the banded join materializes before exact
+    * verification. `partial` marks a build histogram that UNDERcounts
+    * (the sidecar path's ≥ 2-copy truncation hides singleton corpus
+    * sigs) — the Θ(increment + histogram) daily-path contract is kept
+    * at the price of that documented gap, and the message says so. */
+  private def validateHamCandBudget(probeHist: DataFrame,
+      buildHist: DataFrame, what: String, remedy: String,
+      partial: Boolean): Unit = {
+    val spark = probeHist.sparkSession
+    val mode = Similarity.guardMode(spark, CandBudgetConfKey)
+    if (mode == "off") return
+    val budget = spark.conf.get(CandBudgetMaxKey,
+      CandBudgetDefault.toString).toLong
+    val probed = probeHist.select(col("piece"),
+      explode(array(col("pval") +:
+        (0 until 16).map(b => col("pval").bitwiseXOR(lit(1L << b))): _*))
+        .as("pval"),
+      col("c").as("cp"))
+    val est = probed.join(buildHist, Seq("piece", "pval"))
+      .agg(coalesce(sum(col("cp") * col("c")), lit(0.0)))
+      .head.getDouble(0)
+    if (est > budget) {
+      val part = if (!partial) "" else " (an UNDERcount here: the " +
+        "sidecar histogram's >=2-copy truncation hides singleton " +
+        "corpus sigs, so the true volume is higher still)"
+      val msg = f"$what: the one-bit piece probe join at the extended " +
+        f"hamming band would materialize ~$est%.3g candidate rows$part " +
+        s"(> budget $budget, conf $CandBudgetMaxKey) — near-equal " +
+        "signature clusters collide on flip-adjacent piece values the " +
+        "exact-heap pair guard cannot see. At this signature density " +
+        "the h >= 4 probe join is quadratic-shaped; " +
+        s"$remedy, or set $CandBudgetConfKey=warn|off."
+      if (mode == "warn") logWarning(msg)
+      else throw new IllegalArgumentException(msg)
+    }
+  }
+
+  /** (piece, pval) histogram of slim piece rows — bounded at 4·2¹⁶
+    * rows at any corpus size (the property [[validateHamCandBudget]]
+    * prices with). */
+  private def pieceHistOf(pieces: DataFrame): DataFrame =
+    pieces.groupBy(col("piece"), col("pval"))
+      .agg(count(lit(1)).cast("double").as("c"))
 
   /** The Hamming family's distance wall and its ladder (r18 verdict
     * item #4 — "does the dd9 radius hole exist here?"): NO for
@@ -534,7 +612,21 @@ object Dedup extends org.apache.spark.internal.Logging {
     * band buckets — quadratic when many rows share a signature (exact
     * duplicate heaps: re-crawled images, boilerplate). The budget
     * precheck throws with the estimate before the join runs; the
-    * scale-shaped form for such corpora is [[hammingGroups]]. */
+    * scale-shaped form for such corpora is [[hammingGroups]].
+    *
+    * PROBE-SIDE choice at maxHamming ≥ 4 (r19 verdict item #4): the
+    * 17× expansion is ONE-sided by symmetry (piece values within one
+    * bit see each other's flip sets), so it should land on the
+    * SMALLER relation. In this self-join form both sides are the full
+    * corpus — there is no smaller side to pick, and the expansion
+    * pays 17× n·4 probe rows; [[hammingGroups]] is the scale form at
+    * h ≥ 4 (its probes run over DISTINCT signatures only — ≤ the
+    * smaller of any framing — and members are never pair-expanded),
+    * and [[incrementalHammingPairs]] already probes the increment.
+    * At h ≥ 4 the flip-adjacent candidate volume is additionally
+    * priced by [[validateHamCandBudget]] (r19 ADVICE: near-equal
+    * signature clusters are invisible to the exact-heap pair guard),
+    * one bounded aggregate before the join runs. */
   def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= MaxPieceHamming,
@@ -556,6 +648,17 @@ object Dedup extends org.apache.spark.internal.Logging {
     validatePairBudget(docs, col("sig"), "hammingPairs",
       "Use Dedup.hammingGroups (contracts to distinct signatures " +
         "first — linear in n, members never pair-expanded)")
+    if (maxHamming > 3) {
+      // both sides of the candidate estimate read one histogram — a
+      // barrier keeps the (possibly expensive) signature input from
+      // being aggregated twice
+      val hist = Barrier(pieceHistOf(pieces))
+      validateHamCandBudget(hist, hist, "hammingPairs",
+        "Use Dedup.hammingGroups (the 17x probe expansion then runs " +
+          "over DISTINCT signatures) or tighten maxHamming to <= 3",
+        partial = false)
+      Barrier.release(hist)
+    }
     val a = piecesProbed(pieces, maxHamming).alias("a")
     val b = pieces.alias("b")
     val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
@@ -704,6 +807,39 @@ object Dedup extends org.apache.spark.internal.Logging {
     // run twice per increment row
     val incPieces = Barrier(pieces(incSigs))
     val allPieces = incPieces.union(pieces(corpusSigs))
+    // r20 (r19 ADVICE): at the extended band, price the flip-adjacent
+    // candidate volume the exact-heap pair guard above cannot see.
+    // Probe histogram is Θ(increment); the build histogram is the
+    // sidecar's heap sigs exploded to weighted piece rows when the
+    // sidecar is present (Θ(histogram) — the daily path's
+    // no-corpus-scan contract kept; its >= 2-copy truncation makes
+    // the estimate partial, which the failure message says) or one
+    // corpus-scan aggregate otherwise (the same cost shape as the
+    // pair guard's own fallback).
+    if (maxHamming > 3) {
+      val incHist = Barrier(pieceHistOf(incPieces))
+      val buildHist = corpusHist match {
+        case Some(h) =>
+          val corpusPieceHist = h.select(col("k").as("sig"),
+              col("cc").cast("double").as("cc"))
+            .select(col("cc"), posexplode(array((0 until 4).map(i =>
+              shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL)): _*)))
+            .withColumnRenamed("pos", "piece")
+            .withColumnRenamed("col", "pval")
+            .groupBy(col("piece"), col("pval"))
+            .agg(sum(col("cc")).as("c"))
+          // split (piece, pval) keys across the two sides sum
+          // linearly through the estimate's Σ cp·cb — no re-aggregate
+          corpusPieceHist.union(incHist)
+        case None => pieceHistOf(allPieces)
+      }
+      validateHamCandBudget(incHist, buildHist, "incrementalHammingPairs",
+        "Contract the corpus heaps with Dedup.hammingGroups (persist " +
+          "the contracted signature asset), exact-dedup the increment " +
+          "first, or tighten maxHamming to <= 3",
+        partial = corpusHist.isDefined)
+      Barrier.release(incHist)
+    }
     val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
     // inc probes the union: inc-inc pairs arrive in both orientations,
     // inc-corpus in one; canonicalize + distinct (hamming is symmetric

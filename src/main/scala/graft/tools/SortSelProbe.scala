@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   * `salts=1` is the single-phase r18 shape (one salt group per query
   * — same task-per-query selection, plus one degenerate slim
   * re-rank); `salts=0` is the derived default
-  * (max(2, ⌈shuffle.partitions / queries⌉)); larger pins exercise
-  * the width the conf buys on a wide cluster.
+  * (clamp(⌈4·shuffle.partitions / queries⌉, 2, 64) — the 4×
+  * over-partition factor buys group BALANCE, which the 2 M A/B
+  * measured as what actually pays, and the 64 cap keeps phase 2's
+  * per-query survivor set corpus-size-free; see
+  * `Similarity.PqSortSelectSaltsKey`); larger pins exercise the width
+  * the conf buys on a wide cluster.
   *
   * Env: SPARK_GRAFT_SF_DIR (source, default sf0.1),
   * SPARK_GRAFT_SORTSEL_REPS (mixed-fixture reps, default 1000 = 2 M

@@ -9,15 +9,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * round artifact's headline numbers come from.) */
 class BenchAggregationSpec extends AnyFunSuite {
 
-  private def m(t: Double, r: Long = 0L, s: Long = 0L, f: Long = 0L) =
-    (t, r, s, f)
+  private def m(t: Double, r: Long = 0L, s: Long = 0L, f: Long = 0L,
+      d: Double = 1.0) =
+    (t, r, s, f, d)
 
   test("min over passes; bytes come from the pass that produced the min") {
     val passes = Seq(
       Map("q" -> m(2.0, r = 111L, s = 11L, f = 1L)),
       Map("q" -> m(1.5, r = 222L, s = 22L, f = 2L)),
       Map("q" -> m(1.8, r = 333L, s = 33L, f = 3L)))
-    val Seq((name, best, r, s, f, spread)) = Bench.aggregate(Seq("q"), passes)
+    val Seq((name, best, r, s, f, spread, _)) = Bench.aggregate(Seq("q"), passes)
     assert(name == "q" && best == 1.5)
     assert((r, s, f) == ((222L, 22L, 2L)),
       "bytes must be attributed to the min-time pass, not the first")
@@ -28,7 +29,7 @@ class BenchAggregationSpec extends AnyFunSuite {
     val passes = Seq(
       Map("q" -> m(-1.0)), // failed: zero bytes recorded
       Map("q" -> m(2.5, r = 42L, s = 7L, f = 9L)))
-    val Seq((_, best, r, s, f, spread)) = Bench.aggregate(Seq("q"), passes)
+    val Seq((_, best, r, s, f, spread, _)) = Bench.aggregate(Seq("q"), passes)
     assert(best == 2.5)
     assert((r, s, f) == ((42L, 7L, 9L)),
       "the old first-pass rule reported 0 bytes for a query with a valid timing")
@@ -37,7 +38,7 @@ class BenchAggregationSpec extends AnyFunSuite {
 
   test("a query that failed every pass stays -1.0") {
     val passes = Seq(Map("q" -> m(-1.0)), Map("q" -> m(-1.0)))
-    val Seq((_, best, _, _, _, _)) = Bench.aggregate(Seq("q"), passes)
+    val Seq((_, best, _, _, _, _, _)) = Bench.aggregate(Seq("q"), passes)
     assert(best == -1.0)
   }
 
@@ -58,10 +59,10 @@ class BenchAggregationSpec extends AnyFunSuite {
   test("a 0.0 min yields spread 1.0, never Infinity/NaN in the artifact") {
     // max/min over a sub-resolution 0.0 measurement would print a bare
     // Infinity (or NaN for 0/0) token — unparseable JSON
-    val Seq((_, _, _, _, _, zeroMin)) =
+    val Seq((_, _, _, _, _, zeroMin, _)) =
       Bench.aggregate(Seq("q"), Seq(Map("q" -> m(0.0)), Map("q" -> m(0.4))))
     assert(zeroMin == 1.0)
-    val Seq((_, _, _, _, _, allZero)) =
+    val Seq((_, _, _, _, _, allZero, _)) =
       Bench.aggregate(Seq("q"), Seq(Map("q" -> m(0.0)), Map("q" -> m(0.0))))
     assert(allZero == 1.0)
   }
@@ -106,7 +107,12 @@ class BenchAggregationSpec extends AnyFunSuite {
     assert(Bench.boxFactorOf(true,
       Seq(1.5, 1.6, 1.45)) > Bench.CalibDriftMax)
     // a leg whose CPU time was unreadable (-1) is dropped, not median'd
-    assert(Bench.boxFactorOf(true, Seq(-1.0, 1.5, 1.6)) == 1.6)
+    // — and the remaining EVEN-sized list takes the LOWER median: with
+    // two legs the upper median is the max, so one transient burst in
+    // either leg would flag the run alone (r19 ADVICE)
+    assert(Bench.boxFactorOf(true, Seq(-1.0, 1.5, 1.6)) == 1.5)
+    assert(Bench.boxFactorOf(true, Seq(-1.0, 1.05, 2.4)) == 1.05)
+    assert(Bench.boxLoadOf(true, 0.5, Seq(0.55, 2.0)) == 1.1)
   }
 
   test("box_factor/box_load: -1 (not measured) when skipped or empty") {
@@ -123,11 +129,69 @@ class BenchAggregationSpec extends AnyFunSuite {
     assert(Bench.boxLoadOf(true, 0.5, Seq(1.0, 0.5, 0.52)) == 1.04)
   }
 
-  test("contended_reason attributes the firing sentinel") {
+  test("contended_reason attributes the firing sentinels, +-joined") {
     assert(Bench.contendedReasonOf(relative = false, anchor = false) == "none")
     assert(Bench.contendedReasonOf(relative = true, anchor = false) == "relative")
     assert(Bench.contendedReasonOf(relative = false, anchor = true) == "anchor")
-    assert(Bench.contendedReasonOf(relative = true, anchor = true) == "both")
+    assert(Bench.contendedReasonOf(relative = true, anchor = true) ==
+      "relative+anchor")
+    // the r19-verdict scenario: load window between the anchor legs —
+    // the 3-leg median reads quiet, the relative sentinels read quiet,
+    // ONLY the suite's own tasks see it
+    assert(Bench.contendedReasonOf(relative = false, anchor = false,
+      perQuery = true) == "per-query")
+    assert(Bench.contendedReasonOf(relative = false, anchor = true,
+      perQuery = true) == "anchor+per-query")
+    assert(Bench.contendedReasonOf(relative = true, anchor = true,
+      perQuery = true) == "relative+anchor+per-query")
+  }
+
+  test("delay factor is attributed to the pass that produced the min") {
+    // the composite uses the min time — its contention read must come
+    // from the SAME pass: a min that escaped the load window reads
+    // quiet even when another pass of the query was inflated
+    val passes = Seq(
+      Map("q" -> m(2.0, d = 4.2)), // loaded pass: slow AND delayed
+      Map("q" -> m(1.5, d = 1.2)))
+    val Seq((_, best, _, _, _, _, d)) = Bench.aggregate(Seq("q"), passes)
+    assert(best == 1.5 && d == 1.2)
+  }
+
+  test("delay median: unmeasured rows dropped, lower median, -1 when empty") {
+    assert(Bench.delayMedian(Seq(1.0, 1.2, 1.4)) == 1.2)
+    assert(Bench.delayMedian(Seq(-1.0, 1.0, 3.0)) == 1.0)
+    assert(Bench.delayMedian(Seq.empty) == -1.0)
+    assert(Bench.delayMedian(Seq(-1.0, -1.0)) == -1.0)
+  }
+
+  test("delay suspects: outliers vs own cold factor floored at the cold median") {
+    // rows are (name, min-pass factor, cold factor) — both baselines
+    // come from the COLD pass: a warm-median baseline would
+    // self-normalize the r19 case (most of the suite inflated
+    // together after a quiet cold pass)
+    // quiet suite: every factor near the median, cold matches warm
+    val quiet = Seq(("a", 1.1, 1.2), ("b", 1.3, 1.3), ("c", 1.2, 1.1),
+      ("d", 1.6, 1.5))
+    assert(Bench.delaySuspects(quiet).isEmpty)
+    // the r20 calibration case: an IO-shaped row (parquet write +
+    // read-back) reads 3.4x the suite median on a QUIET box — but its
+    // cold factor carries the same shape, so it must NOT be flagged
+    val ioShaped = Seq(("a", 1.2, 1.3), ("b", 1.4, 1.3), ("c", 1.3, 1.2),
+      ("ex6", 4.9, 4.8))
+    assert(Bench.delaySuspects(ioShaped).isEmpty)
+    // a load window strictly inside the warm passes: affected rows'
+    // warm factors inflate ~2x while their cold factors stay quiet
+    val windowed = Seq(("a", 1.1, 1.2), ("b", 1.2, 1.1), ("c", 3.9, 1.3),
+      ("d", 4.4, 1.2), ("e", 1.3, 1.4), ("f", 2.9, 1.2))
+    assert(Bench.delaySuspects(windowed) == Seq("c", "d", "f"))
+    // an unmeasured cold factor (cold pass failed) falls back to the
+    // suite-median clause alone
+    val noCold = Seq(("a", 1.1, 1.2), ("b", 1.2, 1.1), ("c", 3.9, -1.0),
+      ("d", 1.3, 1.2))
+    assert(Bench.delaySuspects(noCold) == Seq("c"))
+    // nothing measured -> nothing flagged (never a spurious flag on a
+    // JVM without per-thread CPU accounting)
+    assert(Bench.delaySuspects(Seq(("a", -1.0, -1.0))).isEmpty)
   }
 
   test("calibration kernel runs, is not DCE'd, and reads CPU time") {

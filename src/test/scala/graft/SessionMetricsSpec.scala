@@ -66,6 +66,16 @@ class SessionMetricsSpec extends AnyFunSuite with SparkSpec {
     assert(n > 0)
     assert(snap.bytesRead > 0, s"expected parquet bytes read, got $snap")
     assert(snap.wallClockSec > 0)
+    // the r20 per-query contention kernel: the tracked body's own
+    // tasks must report run AND cpu time, and the factor must be
+    // finite and >= ~1 (a task thread cannot get more than a core);
+    // an upper bound would encode box state, so none is asserted
+    assert(snap.executorRunTimeMs > 0, s"no task run time in $snap")
+    assert(snap.executorCpuTimeNs > 0, s"no task cpu time in $snap")
+    assert(snap.delayFactor > 0.5 && !snap.delayFactor.isInfinite,
+      s"delay factor ${snap.delayFactor}")
+    // unmeasured sentinel: no cpu time -> -1, never a division blowup
+    assert(Metrics.Snapshot(0, 0, 0, 1.0).delayFactor == -1.0)
   }
 
   test("metrics see shuffle writes for a grouped query") {

@@ -672,6 +672,53 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       Seq("doc_a", "doc_b", "hamming")))
   }
 
+  test("extended-band hamming candidate budget: near-equal wobble clusters trip where the exact-heap pair guard is blind (r19 ADVICE)") {
+    import spark.implicits._
+    val D = graft.api.Dedup
+    // a 40-doc WOBBLE cluster: every sig one distinct bit off a base —
+    // all sigs DISTINCT (the exact-heap pair guard estimates 0
+    // guaranteed pairs) yet every pair is at hamming 2, so the h >= 4
+    // probe join emits all C(40,2) = 780 pairs
+    val base = 0x1234ABCD5678EF01L
+    val wobble = (0L until 40L).map(i => (i, base ^ (1L << i.toInt)))
+      .toDF("doc_id", "sig")
+    spark.conf.set(D.CandBudgetMaxKey, "1000")
+    try {
+      // maxHamming 3: the new guard does not run (pre-r19 band,
+      // behavior unchanged) — and the pair guard sees nothing
+      assert(D.hammingPairs(wobble, "doc_id", "sig", 3).count() == 780)
+      // maxHamming 5: the piece-collision estimate (>= 40^2 on the
+      // unflipped pieces alone) trips the lowered budget
+      val e = intercept[IllegalArgumentException] {
+        D.hammingPairs(wobble, "doc_id", "sig", 5)
+      }
+      assert(e.getMessage.contains("flip-adjacent") &&
+        e.getMessage.contains("hammingGroups"))
+      // warn proceeds; same pairs out (all at hamming 2 <= 5)
+      spark.conf.set(D.CandBudgetConfKey, "warn")
+      try assert(D.hammingPairs(wobble, "doc_id", "sig", 5).count() == 780)
+      finally spark.conf.unset(D.CandBudgetConfKey)
+      // incremental form: one increment doc at the cluster's base
+      // pairs with all 40 corpus wobbles — distinct sigs everywhere,
+      // so only the candidate estimate can see it coming
+      val inc = Seq((100L, base)).toDF("doc_id", "sig")
+      spark.conf.set(D.CandBudgetMaxKey, "100")
+      val ei = intercept[IllegalArgumentException] {
+        D.incrementalHammingPairs(wobble, inc, "doc_id", "sig", 5)
+      }
+      assert(ei.getMessage.contains("incrementalHammingPairs"))
+      spark.conf.set(D.CandBudgetConfKey, "warn")
+      try {
+        val got = D.incrementalHammingPairs(wobble, inc, "doc_id", "sig", 5)
+        assert(got.count() == 40)
+      } finally spark.conf.unset(D.CandBudgetConfKey)
+    } finally spark.conf.unset(D.CandBudgetMaxKey)
+    // the committed dd13 binding (h = 5 on the sf0.001 corpus) passes
+    // untouched under the DEFAULT budget — its oracle row stays green
+    assert(run("dd13_inc_simhash_h5").columns.sameElements(
+      Seq("doc_a", "doc_b", "hamming")))
+  }
+
   test("embeddingPairs candidate budget: volume estimate trips a lowered budget, warn proceeds") {
     val D = graft.api.Dedup
     val emb = graft.Tables.embeddings(spark, sf0001)
