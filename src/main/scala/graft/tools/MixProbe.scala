@@ -38,6 +38,10 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_MIX_LAMBDAS (default "25,50,75"; "" skips mixed legs),
   * SPARK_GRAFT_MIX_SPREAD (spread-leg reps list, default "" = skip;
   * the r17 campaign ran "10,100,1000"),
+  * SPARK_GRAFT_MIX_SYNTH (comma list of SYNTHETIC row counts — r20:
+  * [[ScaleProbe.ensureSynthMixedFixture]] legs at arbitrary n, the
+  * embedding family's analogue of the hamming 20 M synthetic-sig
+  * point; default "" = skip; SPARK_GRAFT_MIX_SYNTH_DIM, default 64),
   * SPARK_GRAFT_MIX_ROUTED=0 skips the routed-verb recall leg,
   * SPARK_GRAFT_MIX_PQ=0 the auto/measured PQ legs (each trains +
   * encodes the full corpus — the long pole at the 2 M decade, where
@@ -89,12 +93,20 @@ object MixProbe {
     val S = graft.api.Similarity
     val off = ScaleProbe.ReplicaOffset
 
-    def leg(kind: String, label: String, reps: Int, dir: String): Unit =
+    def leg(kind: String, label: String, reps: Int, dir: String,
+        synth: Boolean = false): Unit =
       graft.api.Barrier.scoped {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         val n = emb.count()
-        val queries = emb.filter(
-          col("vec_id") % off < 3 && col("vec_id") / off < 10)
+        // replica fixtures: 10 base ids x 3 sign replicas; synthetic
+        // fixtures have no replica structure — every (n/30)th id, so
+        // the 30 queries spread across the id space and mix
+        // clustered/diffuse rows by the same id-hash rule as the corpus
+        val queries =
+          if (synth) emb.filter(pmod(col("vec_id"),
+            lit(math.max(1L, n / 30L))) === 0 && col("vec_id") < n / 30L * 30L)
+          else emb.filter(
+            col("vec_id") % off < 3 && col("vec_id") / off < 10)
         val exactDf = graft.api.Barrier(
           S.cosineTopK(emb, queries, "vec_id", "embedding", K))
         val exact = topkSets(exactDf)
@@ -202,6 +214,13 @@ object MixProbe {
     for (reps <- repsList; lam <- lambdas)
       leg("mixed", s"m$lam",
         reps, ScaleProbe.ensureMixedFixture(spark, src, reps, lam))
+    val synthNs = sys.env.getOrElse("SPARK_GRAFT_MIX_SYNTH", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+    val synthDim = sys.env.getOrElse("SPARK_GRAFT_MIX_SYNTH_DIM", "64").toInt
+    for (sn <- synthNs; lam <- lambdas)
+      leg("synth", s"m$lam", (sn / 2000L).toInt,
+        ScaleProbe.ensureSynthMixedFixture(spark, sn, synthDim, lam),
+        synth = true)
     for (reps <- spreadReps)
       leg("spread", "s80",
         reps, ScaleProbe.ensureSpreadFixture(spark, src, reps, 80))

@@ -325,6 +325,57 @@ object ScaleProbe {
     dir
   }
 
+  /** Build (idempotently) a fully SYNTHETIC mixed-concentration
+    * embedding fixture at arbitrary row count — the r19 verdict's
+    * item #3 instrument: the embedding family's measured ceiling was
+    * the 2 M replica fixture (reps = 1000 was already a 1000-way
+    * union plan; 5000 replicas would stress Catalyst analysis, not
+    * the engine), while the hamming family's 20 M point came free
+    * from synthetic sigs. Same semantics as [[ensureMixedFixture]],
+    * no source fixture and no per-replica unions: a deterministic
+    * `lambdaPct`% of ids (by id hash — the same `xxhash64(vec_id) %
+    * 100` rule, so the clustered share is scale-free by construction)
+    * get centroid(vec_id % [[ClusterCount]]) + [[ClusterNoise]] ·
+    * unit(u); the rest stay the diffuse vector u verbatim, where
+    * u(id)_j = ±1 from bit 0 of xxhash64(id·dim + j) — pairwise
+    * cosines of distinct diffuse rows concentrate at N(0, 1/dim)
+    * exactly like the replica fixtures' sign-ciphered sources
+    * (norm √dim instead of the source norms; cosine geometry is
+    * norm-free). One spark.range(n) pass, ~640 M hash evaluations at
+    * 10 M × 64 — minutes on 32 slots. */
+  private[tools] def ensureSynthMixedFixture(spark: SparkSession,
+      n: Long, dim: Int, lambdaPct: Int): String = {
+    require(lambdaPct > 0 && lambdaPct < 100,
+      s"lambdaPct must be in (0,100), got $lambdaPct")
+    val dir = s"target/scale_synth_n${n}d${dim}m$lambdaPct"
+    val embOut = new java.io.File(s"$dir/embeddings.parquet")
+    if (!embOut.exists()) {
+      graft.functions.VectorFunctions.register(spark)
+      val cents = typedLit(
+        (0 until ClusterCount).map(g => clusterCentroid(g, dim).toSeq))
+      val u = expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+        s"IF(pmod(xxhash64(id * $dim + CAST(j AS BIGINT)), 2) = 0, " +
+        "CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)))")
+      val cent = element_at(cents, (col("id") % ClusterCount + 1).cast("int"))
+      // |u| = sqrt(dim) exactly, so unit(u) = u / sqrt(dim) — no
+      // norm job and no zero-vector guard needed
+      val scale = lit(ClusterNoise / math.sqrt(dim.toDouble).toFloat)
+      val inCluster = pmod(xxhash64(col("id")), lit(100L)) < lambdaPct
+      spark.range(n)
+        .select(col("id"), u.as("u"))
+        .select(col("id").as("vec_id"),
+          when(inCluster, zip_with(cent, col("u"),
+              (c, x) => (c + x * scale).cast("float")))
+            .otherwise(col("u")).as("embedding"),
+          (col("id") % ClusterCount).cast("int").as("label"))
+        .repartition(math.max(32, (n / 200000L).toInt))
+        .write.mode("overwrite").parquet(embOut.toString)
+      println(s"[probe] built $dir: $n synthetic ${dim}d vectors, " +
+        s"$lambdaPct% clustered over the hash-sign diffuse base")
+    }
+    dir
+  }
+
   /** Build (idempotently) the reps-replica fixture — documents under
     * the letter-permutation cipher, embeddings (when `needEmb`) under
     * the sign cipher — and return its dir. Shared by the wall-clock

@@ -712,6 +712,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
         val got = D.incrementalHammingPairs(wobble, inc, "doc_id", "sig", 5)
         assert(got.count() == 40)
       } finally spark.conf.unset(D.CandBudgetConfKey)
+      // r19 verdict item #4 (probe-side choice at h >= 4): on a
+      // duplicate-heaped corpus — the same 40 wobble sigs at 100
+      // copies each — raw hammingPairs pays the 17x expansion on all
+      // 4000 rows and trips, while hammingGroups probes the
+      // CONTRACTED relation (40 distinct sigs) and passes UNDER THE
+      // SAME BUDGET, emitting every member's group label
+      import org.apache.spark.sql.functions.{col => c2, explode => ex2,
+        lit => l2, sequence => seq2}
+      val heaped = wobble
+        .select(c2("doc_id"), c2("sig"), ex2(seq2(l2(0), l2(99))).as("r"))
+        .select((c2("doc_id") + c2("r") * 1000L).as("doc_id"), c2("sig"))
+      spark.conf.set(D.CandBudgetMaxKey, "200000")
+      // the pair guard would refuse the raw form first (100-copy
+      // heaps): route it to warn so the trip observed is the
+      // candidate guard's
+      spark.conf.set(D.PairBudgetConfKey, "warn")
+      try {
+        val er = intercept[IllegalArgumentException] {
+          D.hammingPairs(heaped, "doc_id", "sig", 5)
+        }
+        assert(er.getMessage.contains("flip-adjacent"))
+        val groups = D.hammingGroups(heaped, "doc_id", "sig", 5)
+        // all 4000 docs form one component (wobbles pairwise h=2)
+        assert(groups.count() == 4000)
+      } finally {
+        spark.conf.unset(D.PairBudgetConfKey)
+      }
     } finally spark.conf.unset(D.CandBudgetMaxKey)
     // the committed dd13 binding (h = 5 on the sf0.001 corpus) passes
     // untouched under the DEFAULT budget — its oracle row stays green
