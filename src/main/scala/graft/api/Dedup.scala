@@ -792,21 +792,39 @@ object Dedup extends org.apache.spark.internal.Logging {
         posexplode(array((0 until 4).map(i =>
           shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "piece").withColumnRenamed("col", "pval")
+    // barrier: the increment's pieces are probed against the union below
+    // AND feed both guards' increment aggregates, so the (possibly
+    // expensive) signature computation would otherwise run 3x per
+    // increment row
+    val incPieces = Barrier(pieces(incSigs))
+    // r20: the extended band's NO-SIDECAR path reads the corpus pieces
+    // up to three times (pair-guard fallback scan + candidate histogram
+    // + the join's build side) — barrier them so an EXPENSIVE signature
+    // input (simhash over text, perceptual hash over decoded images)
+    // computes once: slim (id, sig, piece, pval) rows are far cheaper
+    // to materialize than to re-derive (measured r20: dd13's bench row
+    // paid ~1.6x for the triple derivation). The sidecar path never
+    // scans the corpus and skips the barrier; guard mode `off` skips
+    // it too (nothing would read it twice).
+    val guardedFallback = maxHamming > 3 && corpusHist.isEmpty &&
+      Similarity.guardMode(corpusSigs.sparkSession, CandBudgetConfKey) != "off"
+    val corpusPieces =
+      if (guardedFallback) Barrier(pieces(corpusSigs)) else pieces(corpusSigs)
+    val allPieces = incPieces.union(corpusPieces)
+    // one keyed (doc_id, sig) row per doc out of the piece frames —
+    // the guards read these so they hit the barriers above instead of
+    // re-deriving the signature column
+    def keyed(p: DataFrame): DataFrame =
+      p.filter(col("piece") === 0).select(col("doc_id"), col("sig"))
     // r15 guard: two-sided exact-signature heap estimate (an increment
     // image landing in a corpus duplicate heap pairs with every copy);
     // r16: Θ(increment) when the hammingGuardKeys sidecar is passed
     validateIncPairBudget(
-      corpusSigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig")),
-      incSigs.select(col(idCol).as("doc_id"), col(sigCol).as("sig")),
+      keyed(corpusPieces), keyed(incPieces),
       col("sig"), "incrementalHammingPairs",
       "Contract the corpus heaps with Dedup.hammingGroups (persist the " +
         "contracted signature asset) or exact-dedup the increment first",
       corpusHist)
-    // barrier: the increment's pieces are probed against the union below,
-    // so the (possibly expensive) signature computation would otherwise
-    // run twice per increment row
-    val incPieces = Barrier(pieces(incSigs))
-    val allPieces = incPieces.union(pieces(corpusSigs))
     // r20 (r19 ADVICE): at the extended band, price the flip-adjacent
     // candidate volume the exact-heap pair guard above cannot see.
     // Probe histogram is Θ(increment); the build histogram is the
