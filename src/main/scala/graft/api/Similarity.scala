@@ -1760,13 +1760,43 @@ object Similarity extends org.apache.spark.internal.Logging {
     * factor measured at the 2 M routed decade (30 q × 1e5 rerank,
     * min-of-2: 22.5 s at 1 salt group/query, 20.7 s at 2, 13.6 s at
     * 8 — group-per-partition balance, not raw group count, is what
-    * pays; target/r19_sortsel_2m.log). The 64 cap bounds phase 2:
-    * its per-query sort is rerank · salts rows in one (spillable)
-    * task, so an uncapped wide-cluster derivation would rebuild the
-    * very single-task hot spot phase 1 escapes — at the cap the
-    * phase-2 input is ≤ 64 · rerank rows per query, corpus-size-free.
-    * A positive conf value pins the count. */
+    * pays; target/r19_sortsel_2m.log). The 64 cap bounds phase 2's
+    * TOTAL survivor volume (≤ 64 · rerank rows per query,
+    * corpus-size-free); since r20 phase 2 is a fold tree
+    * ([[PqSortSelectFoldKey]]) whose per-task sort is additionally
+    * bounded at fold · rerank rows, so the cap prices shuffle volume,
+    * not a single-task sort. A positive conf value pins the count. */
   val PqSortSelectSaltsKey = "spark.graft.pq.sortselect.salts"
+
+  /** Fold factor for the sort path's phase-2 rank (conf
+    * [[PqSortSelectFoldKey]]): phase 2 reduces the phase-1 salt
+    * groups to the global per-query top-`rerank` by merging at most
+    * `fold` groups per level (salt → salt mod ⌈s/fold⌉, rank within
+    * the merged group, keep `rerank`) until one group remains. Each
+    * level's group input is ≤ fold·rerank rows, so no single task
+    * ever sorts the full rerank·salts survivor set — the r19 shape
+    * (one spillable task per query of ≤ 64·rerank ≈ 6.4 M rows at the
+    * cap) becomes log_fold(salts) levels of bounded sorts at
+    * (queries × live-groups)-task width. Correctness is the phase-1
+    * superset argument applied inductively: a globally-top-`rerank`
+    * row has < rerank rows ordered ahead of it in ANY group it lands
+    * in, so it survives every level; the final single-group rank is
+    * exact, and the (adc desc, n_id) ordering is total per query —
+    * byte-identical rows at every fold (spec-pinned alongside the
+    * salt pins in DedupSimilaritySpec). Default 8, committed from the
+    * r20 A/B at the 10 M synthetic corpus with 4 queries × 1e5 rerank
+    * and salts pinned at the 64 cap — the worst committed phase-2
+    * shape (few queries: the per-query task cannot fill the machine;
+    * the cap: maximum survivor volume): min-wall 55.4 s single-level
+    * (fold ≥ salts ≡ the r19 shape) vs 14.5/12.3 s at fold=8 (run +
+    * repeat), 12.4 s at fold=4, 17.0 s at fold=2 (the extra levels'
+    * shuffles outweigh their smaller sorts), and the derived-salt
+    * auto path reads 11.9 s at the default
+    * (target/r20_treefold_10m{,_b}.log). Wide batches are untouched
+    * by construction: at ≥ 16 queries the derived salt count is ≤ 8,
+    * so the tree is a single level — identical to r19. */
+  val PqSortSelectFoldKey = "spark.graft.pq.sortselect.fold"
+  val PqSortSelectFoldDefault: Int = 8
 
   /** Bounded ADC-candidate selection + exact re-rank (shared by the PQ
     * and IVFADC paths). Small queries × rerank products (every auto
@@ -1779,8 +1809,10 @@ object Similarity extends org.apache.spark.internal.Logging {
     * bounded by partition size — phase 1 ranks within (q_id, salt =
     * hash(n_id) mod S) and keeps each group's top-`rerank` (a
     * superset of the global top-`rerank`: any globally-surviving row
-    * survives its own salt group), phase 2 ranks the ≤ rerank · S
-    * survivors per query — and the re-rank joins by shuffle. Same
+    * survives its own salt group), phase 2 folds the salt groups down
+    * to the exact global top-`rerank` ≤ `fold` groups at a time
+    * ([[PqSortSelectFoldKey]] — r20: no single task sorts the full
+    * rerank · S survivor set) — and the re-rank joins by shuffle. Same
     * rows out as the heap path (deterministic (adc desc, n_id)
     * ordering in both phases), different resource shape; the salt
     * restores scan-width parallelism the r18 single-phase
@@ -1816,18 +1848,29 @@ object Similarity extends org.apache.spark.internal.Logging {
         if (saltsConf > 0) saltsConf
         else math.min(64L, math.max(2L,
           (4L * shufflePart + nq - 1) / math.max(1L, nq))).toInt
-      val localW = Window.partitionBy(col("q_id"), col("salt"))
+      val fold = math.max(2, spark.conf.get(PqSortSelectFoldKey,
+        PqSortSelectFoldDefault.toString).toInt)
+      val saltW = Window.partitionBy(col("q_id"), col("salt"))
         .orderBy(col("adc").desc, col("n_id"))
-      val local = scored
+      var cur = scored
         .withColumn("salt", pmod(xxhash64(col("n_id")), lit(salts.toLong)))
-        .withColumn("loc_rk", row_number().over(localW))
-        .filter(col("loc_rk") <= rerank)
-        .select(col("q_id"), col("n_id"), col("adc"))
-      val selW = Window.partitionBy(col("q_id"))
-        .orderBy(col("adc").desc, col("n_id"))
-      val pairs = local.withColumn("sel_rk", row_number().over(selW))
-        .filter(col("sel_rk") <= rerank)
-        .select(col("q_id"), col("n_id"))
+        .withColumn("rk", row_number().over(saltW))
+        .filter(col("rk") <= rerank)
+        .select(col("q_id"), col("n_id"), col("adc"), col("salt"))
+      // phase 2 as a fold tree (see PqSortSelectFoldKey): merge ≤ fold
+      // salt groups per level until one remains; each level's rank is
+      // over ≤ fold·rerank rows per group, and the survivor invariant
+      // (cur ⊇ the global per-query top-rerank) holds inductively
+      var live = salts
+      while (live > 1) {
+        val next = if (live <= fold) 1 else (live + fold - 1) / fold
+        cur = cur.withColumn("salt", pmod(col("salt"), lit(next.toLong)))
+          .withColumn("rk", row_number().over(saltW))
+          .filter(col("rk") <= rerank)
+          .select(col("q_id"), col("n_id"), col("adc"), col("salt"))
+        live = next
+      }
+      val pairs = cur.select(col("q_id"), col("n_id"))
       val cos = VectorFunctions.cosinePre(
         VectorFunctions.dot(col("q_emb"), col("embedding")),
         col("q_nrm"), col("nrm"))

@@ -32,6 +32,24 @@ import org.apache.spark.sql.functions._
   * 3e6 > the 2²¹ ceiling), SPARK_GRAFT_SORTSEL_SALTS (comma list,
   * default "1,0,8"), SPARK_GRAFT_SORTSEL_PASSES (default 2; the
   * reported number is the min).
+  *
+  * r20 additions (the phase-2 fold-tree A/B — the r19 verdict's
+  * "worth a tree-rank if a future measurement ever shows phase 2 as
+  * the pole" measurement): SPARK_GRAFT_SORTSEL_SYNTH=<n> reads the
+  * ScaleProbe SYNTHETIC mixed fixture at n rows instead of the
+  * replica fixture (no source-fixture ceiling — the r20 10 M ANN
+  * decade); SPARK_GRAFT_SORTSEL_NQ (default 30) bounds the id-spread
+  * query set so the small-batch regime (nq ≪ cores — where phase 2's
+  * per-query task cannot fill the machine) is measurable;
+  * SPARK_GRAFT_SORTSEL_FOLD (comma list, default "" = leave the conf
+  * at its default) pins `spark.graft.pq.sortselect.fold` per leg —
+  * a value ≥ the salt count reproduces the r19 single-level phase 2;
+  * SPARK_GRAFT_SORTSEL_HEAPMAX pins `spark.graft.pq.heapselect.max`
+  * so the sort path engages at small-nq products (nq=4 × 1e5 sits
+  * under the default 2²¹ ceiling; raising rerank past the per-salt
+  * group size instead would degenerate phase 1 to keep-everything).
+  * Each leg's stage log now carries summed executorRunTime per stage
+  * so the phase-2 share is attributed, not inferred.
   */
 object SortSelProbe {
   private val K = 5
@@ -44,6 +62,11 @@ object SortSelProbe {
     val saltsList = sys.env.getOrElse("SPARK_GRAFT_SORTSEL_SALTS", "1,0,8")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val passes = sys.env.getOrElse("SPARK_GRAFT_SORTSEL_PASSES", "2").toInt
+    val synthN = sys.env.getOrElse("SPARK_GRAFT_SORTSEL_SYNTH", "").trim
+    val nqWant = sys.env.getOrElse("SPARK_GRAFT_SORTSEL_NQ", "30").toInt
+    val foldList = sys.env.getOrElse("SPARK_GRAFT_SORTSEL_FOLD", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    val heapMax = sys.env.getOrElse("SPARK_GRAFT_SORTSEL_HEAPMAX", "").trim
     val cpus = graft.Bench.probeCpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,28 +79,41 @@ object SortSelProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val S = graft.api.Similarity
+    if (heapMax.nonEmpty) spark.conf.set(S.PqHeapSelectMaxKey, heapMax)
     val off = ScaleProbe.ReplicaOffset
 
     // stage log: (stageId, numTasks, name); cleared per timed leg so
     // each leg's selection width is separable
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String)]()
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
-        stages.add((i.stageId, i.numTasks, i.name.takeWhile(_ != '\n')))
+        stages.add((i.stageId, i.numTasks, i.taskMetrics.executorRunTime,
+          i.name.takeWhile(_ != '\n')))
         ()
       }
     })
 
     graft.api.Barrier.scoped {
-      val dir = ScaleProbe.ensureMixedFixture(spark, src, reps, lam)
+      val dir =
+        if (synthN.nonEmpty)
+          ScaleProbe.ensureSynthMixedFixture(spark, synthN.toLong, 64, lam)
+        else ScaleProbe.ensureMixedFixture(spark, src, reps, lam)
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = emb.count()
-      val queries = emb.filter(
-        col("vec_id") % off < 3 && col("vec_id") / off < 10)
+      // replica fixtures: base-id × sign-replica grid; synthetic
+      // fixtures have no replica structure — every (n/nq)th id (the
+      // MixProbe id-spread rule, nq-parameterized)
+      val queries =
+        if (synthN.nonEmpty) emb.filter(
+          pmod(col("vec_id"), lit(math.max(1L, n / nqWant))) === 0 &&
+            col("vec_id") < n / nqWant * nqWant)
+        else emb.filter(
+          col("vec_id") % off < 3 && col("vec_id") / off < math.max(1,
+            (nqWant + 2) / 3))
       val nq = queries.count()
-      println(s"[sortsel] fixture reps=$reps lambda=$lam n=$n nq=$nq " +
-        s"rerank=$rerank (ceiling=${S.PqHeapSelectMaxDefault}, " +
+      println(s"[sortsel] fixture reps=$reps lambda=$lam synth=$synthN " +
+        s"n=$n nq=$nq rerank=$rerank (ceiling=${S.PqHeapSelectMaxDefault}, " +
         s"crossing=${nq * rerank > S.PqHeapSelectMaxDefault})")
       // train + encode once, outside every timed region
       val books = graft.api.Barrier(
@@ -86,10 +122,17 @@ object SortSelProbe {
         S.pqEncodeIndex(emb, books, "vec_id", "embedding"))
       println(s"[sortsel] index built: ${index.count()} rows")
 
-      for (salts <- saltsList) {
+      val foldOpts: Seq[Option[Int]] =
+        if (foldList.isEmpty) Seq(None) else foldList.map(Some(_))
+      for (salts <- saltsList; foldOpt <- foldOpts) {
         if (salts > 0)
           spark.conf.set(S.PqSortSelectSaltsKey, salts.toString)
         else spark.conf.unset(S.PqSortSelectSaltsKey)
+        foldOpt match {
+          case Some(f) => spark.conf.set(S.PqSortSelectFoldKey, f.toString)
+          case None => spark.conf.unset(S.PqSortSelectFoldKey)
+        }
+        val foldTag = foldOpt.map(f => s" fold=$f").getOrElse("")
         val times = (1 to passes).map { p =>
           stages.clear()
           val t0 = System.nanoTime()
@@ -97,23 +140,25 @@ object SortSelProbe {
             index, emb, queries, books, "vec_id", "embedding", K, rerank))
           val sec = (System.nanoTime() - t0) / 1e9
           val st = {
-            val it = stages.iterator(); val b = Seq.newBuilder[(Int, Int, String)]
+            val it = stages.iterator()
+            val b = Seq.newBuilder[(Int, Int, Long, String)]
             while (it.hasNext) b += it.next()
             b.result().sortBy(_._1)
           }
-          val stageStr = st.map { case (id, t, nm) => s"$id:$t" }.mkString(" ")
-          println(f"[sortsel] salts=$salts pass=$p wall=$sec%.2f s " +
+          val stageStr = st.map { case (id, t, rt, nm) =>
+            s"$id:$t:${rt}ms" }.mkString(" ")
+          println(f"[sortsel] salts=$salts$foldTag pass=$p wall=$sec%.2f s " +
             s"stage_tasks=[$stageStr]")
           // the selection stages are the post-scoring window sorts —
           // print names once per leg for attribution
-          if (p == 1) st.foreach { case (id, t, nm) =>
-            println(s"[sortsel]   stage $id tasks=$t $nm") }
+          if (p == 1) st.foreach { case (id, t, rt, nm) =>
+            println(s"[sortsel]   stage $id tasks=$t runtime=${rt}ms $nm") }
           sec
         }
         val effSalts = if (salts > 0) salts.toLong
           else math.min(64L, math.max(2L,
             (4L * cpus.toInt + nq - 1) / math.max(1L, nq)))
-        println(f"[sortsel] salts=$salts min-wall=${times.min}%.2f s " +
+        println(f"[sortsel] salts=$salts$foldTag min-wall=${times.min}%.2f s " +
           s"(groups=${nq * effSalts})")
       }
       graft.api.Barrier.release(index)

@@ -1408,6 +1408,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
           s"salted two-phase rank diverged at salts=$salts")
         finally spark.conf.unset(S.PqSortSelectSaltsKey)
       }
+      // r20 phase-2 fold tree: byte-identical at every fold — a
+      // non-dividing fold (3 over 16 salts: levels 16→6→2→1), the
+      // minimum fold, and fold ≥ salts (one level — the r19 shape).
+      // The survivor invariant must hold at EVERY level or rows with
+      // globally-top adc in a merged-late group are lost.
+      spark.conf.set(S.PqSortSelectSaltsKey, "16")
+      try {
+        for (fold <- Seq(2, 3, 64)) {
+          spark.conf.set(S.PqSortSelectFoldKey, fold.toString)
+          try assert(
+            rows(S.pqTopK(emb, q, "vid", "v", 5, 8, 16, 1, 300)) == heap,
+            s"phase-2 fold tree diverged at fold=$fold")
+          finally spark.conf.unset(S.PqSortSelectFoldKey)
+        }
+      } finally spark.conf.unset(S.PqSortSelectSaltsKey)
     } finally spark.conf.unset(S.PqHeapSelectMaxKey)
   }
 
