@@ -27,6 +27,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     * mod-P 3-shingle hashes, nh). */
   def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     HashFunctions.register(df.sparkSession)
+    // r20 A/B note: widening below the shingle kernel was measured and
+    // REJECTED (target/r20opt_ab1.log — dd2/dd3/dd6/dd7/dd12/p1 all
+    // slower with it: the kernel is ~0.1 s serial here, and the widened
+    // barrier turns every downstream guard/band stage into 32 trivial
+    // tasks whose scheduling overhead exceeds the saving)
     Barrier(df.select(
       col(idCol).as("doc_id"),
       HashFunctions.shingleHashes(col(textCol)).as("hs"))
@@ -878,6 +883,9 @@ object Dedup extends org.apache.spark.internal.Logging {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     HashFunctions.register(df.sparkSession)
+    // r20 A/B note: widening below the simhash kernel measured and
+    // REJECTED (target/r20opt_ab1.log — dd4 slower: ~0.1 s of serial
+    // kernel saved, more lost to 32-task trivial piece-join stages)
     hammingPairs(
       df.select(col(idCol).as("doc_id"),
         HashFunctions.simhashText(col(textCol)).as("sig")),
@@ -918,8 +926,12 @@ object Dedup extends org.apache.spark.internal.Logging {
       s"probes must be in [0, planes=$planes], got $probes")
     validateLshRecall(tables, planes, threshold, probes, df.sparkSession)
     VectorFunctions.register(df.sparkSession)
-    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-      VectorFunctions.norm(col(vecCol)).as("nrm"))
+    // r20: widen below the hashing kernel and the tagged barrier — the
+    // fixture's one-task scan otherwise serializes the band self-join
+    // (measured 1.4 s in ONE task at sf0.1; Scan.widen, no-op at scale)
+    val e = Scan.widen(df, col(idCol))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        VectorFunctions.norm(col(vecCol)).as("nrm"))
     // Same slim-candidate shape as jaccardPairs: only (vec_id, tbl, sig)
     // shuffles through the band join; embeddings attach once per pair.
     // barrier the slim (vec_id, tbl, sig) rows: the probe and build
@@ -1015,6 +1027,8 @@ object Dedup extends org.apache.spark.internal.Logging {
   def lshSignatureTable(df: DataFrame, idCol: String, vecCol: String,
       tables: Int, planes: Int): DataFrame = {
     VectorFunctions.register(df.sparkSession)
+    // r20 A/B note: widening here measured and REJECTED (dd9 slower,
+    // target/r20opt_ab1.log — the probe side is increment-sized)
     df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
       VectorFunctions.norm(col(vecCol)).as("nrm"),
       VectorFunctions.lshSignatures(col(vecCol), tables, planes).as("sigs"))
@@ -1254,6 +1268,9 @@ object Dedup extends org.apache.spark.internal.Logging {
     * whole corpus. */
   def semanticSurvivors(corpus: DataFrame, seeds: DataFrame,
       idCol: String, vecCol: String, iters: Int, threshold: Double): DataFrame =
+    // r20 A/B note: widening the assignment input measured and
+    // REJECTED (dd11 slower, target/r20opt_ab1.log — the Lloyd-round
+    // aggregates repeat over the widened frame as 32 trivial tasks)
     semanticSurvivorsFrom(Barrier(
       Similarity.kmeansAssign(corpus, seeds, idCol, vecCol, iters)), threshold)
 

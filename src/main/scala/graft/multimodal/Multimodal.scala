@@ -350,10 +350,21 @@ object Multimodal {
     * lets p6p's timed path decode ONLY the daily increment (the id
     * filter sits below the decode `mapPartitions`, so the corpus split
     * never reaches the codec loop). */
-  private def ahashSigsOf(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+  private def ahashSigsOf(ids: org.apache.spark.sql.Dataset[Long],
+      wide: Boolean = false): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
-    ids
+    // r20: `wide` floors the decode parallelism — the fixture's
+    // single-row-group scan is ONE task, serializing the codec loop
+    // (Scan.widen over bare ids; no-op at corpus scale). A/B-measured
+    // per call site (target/r20opt_ab1.log): ON for mm9 (corpus-sized
+    // decode feeding the contraction, −0.8 s), OFF for mm8/p6p (their
+    // direct consumers are trivial 32-task stages that cost more than
+    // the 0.5 s serial decode saved).
+    val in = if (wide)
+      graft.api.Scan.widen(ids.toDF("doc_id"), col("doc_id")).as[Long](longEnc)
+    else ids
+    in
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { id =>
         val fam = id / AHashFamily
         val w = (fam % 16 + 8).toInt
@@ -431,7 +442,7 @@ object Multimodal {
   // same contraction over the shared CTE chain.
   private def ahashGroupsQ(s: SparkSession, dir: String): DataFrame =
     graft.api.Dedup.hammingGroups(
-      ahashSigs(s, dir), "doc_id", "sig", AHashMaxHamming)
+      ahashSigsOf(docIds(s, dir), wide = true), "doc_id", "sig", AHashMaxHamming)
 
   private val ahashGroupsSql: String =
     s"""WITH RECURSIVE $ahashCtes,

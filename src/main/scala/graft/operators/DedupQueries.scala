@@ -192,6 +192,8 @@ object DedupQueries {
   private def incrementalSimhash(s: SparkSession, dir: String): DataFrame = {
     HashFunctions.register(s)
     val docs = Tables.documents(s, dir)
+    // r20 A/B note: widening below the simhash kernel measured and
+    // REJECTED (dd8 slower, target/r20opt_ab1.log)
     def sigs(df: DataFrame) = df.select(col("doc_id"),
       HashFunctions.simhashText(col("text")).as("sig"))
     graft.api.Dedup.incrementalHammingPairs(
@@ -212,6 +214,8 @@ object DedupQueries {
   private def incrementalSimhashLadder(s: SparkSession, dir: String): DataFrame = {
     HashFunctions.register(s)
     val docs = Tables.documents(s, dir)
+    // r20 A/B note: widening below the simhash kernel measured and
+    // REJECTED (dd13 slower, target/r20opt_ab1.log)
     def sigs(df: DataFrame) = df.select(col("doc_id"),
       HashFunctions.simhashText(col("text")).as("sig"))
     graft.api.Dedup.incrementalHammingPairs(

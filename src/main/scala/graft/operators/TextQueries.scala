@@ -240,13 +240,25 @@ object TextQueries {
   private[graft] def substringOverlapPairs(docs: DataFrame,
       maxFpFreq: Int): DataFrame = {
     graft.functions.HashFunctions.register(docs.sparkSession)
-    val fps = graft.api.Barrier(docs
+    // r20: widen below the winnow kernel — the fixture scan is one
+    // task, and the barrier's partitioning is inherited by the whole
+    // candidate self-join above it (measured 4.9 s in ONE task at
+    // sf0.1; see Scan.widen — no-op at corpus scale)
+    val fps = graft.api.Barrier(graft.api.Scan.widen(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.HashFunctions.winnowFingerprints(col("text")))
           .as("f"))) // the freq agg and both self-join sides reuse the explode
-    // doc-frequency cap: one slim (f) aggregate, broadcast anti-join
-    val hot = fps.groupBy(col("f")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > maxFpFreq).select(col("f"))
+    // doc-frequency cap: one slim (f) aggregate, broadcast anti-join.
+    // r20: the hot set is barrier'd — `cold` feeds BOTH sides of the
+    // self-join below, and without the barrier each side re-ran the
+    // full aggregate tower (two identical HashAggregate+Exchange
+    // subtrees over the fps barrier in the committed plan; exchange
+    // reuse does not fire across ExistingRDD scans). One corpus-scale
+    // aggregate instead of two at any scale; the barrier'd frame is a
+    // few hot fingerprints.
+    val hot = graft.api.Barrier(
+      fps.groupBy(col("f")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > maxFpFreq).select(col("f")))
     val cold = fps.join(broadcast(hot), Seq("f"), "left_anti")
     cold.alias("a").join(cold.alias("b"),
         col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
