@@ -1149,9 +1149,20 @@ object Dedup extends org.apache.spark.internal.Logging {
     * own trivial groups by definition. */
   def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50): DataFrame = {
+    // r20: the edge barrier is hash-partitioned on the probe key (dst)
+    // BEFORE checkpointing — localCheckpoint preserves the physical
+    // partitioning in its LogicalRDD, so every round's ed⋈labels join
+    // reuses it instead of re-exchanging the edge list once per round
+    // (guide §2.4: operations keyed the same way share one exchange).
+    // One extra exchange at build time buys rounds × 1 fewer exchanges
+    // at ANY scale (rounds ≥ 1 always; near-dup graphs run 2–5).
     val ed = Barrier(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()) // scanned every iteration
+      .distinct() // scanned every iteration
+      .repartition(col("dst")))
+    // labels partitioned on v for the same reason (both per-round joins
+    // key on it); the distinct()'s own exchange is on the same column,
+    // so the explicit repartition collapses into it at planning time
     var labels = Barrier(ed.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl")))
     // the frame actually holding this round's barrier (labels is later
@@ -1159,19 +1170,30 @@ object Dedup extends org.apache.spark.internal.Logging {
     var barriered = labels
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIters) {
-      // labels flow one hop along (symmetric) edges; keep the min.
-      // One aggregate + one left join per round: the improved label and
-      // the did-anything-change flag come out of the same pass (no
-      // separate convergence join against the previous labels).
-      val prop = ed.join(labels, ed("dst") === labels("v"))
-        .select(ed("src").as("v"), labels("lbl"))
+    // labels flow one hop along (symmetric) edges; keep the min. One
+    // aggregate + one left join per hop: the improved label and the
+    // did-anything-change flag come out of the same pass (no separate
+    // convergence join against the previous labels).
+    def hop(l: DataFrame): DataFrame = {
+      val prop = ed.join(l, ed("dst") === l("v"))
+        .select(ed("src").as("v"), l("lbl"))
         .groupBy("v").agg(min("lbl").as("plbl"))
-      val next = Barrier(labels.alias("o")
+      l.alias("o")
         .join(prop.alias("p"), col("o.v") === col("p.v"), "left")
         .select(col("o.v").as("v"),
           least(col("o.lbl"), col("p.plbl")).as("lbl"),
-          (col("p.plbl") < col("o.lbl")).as("changed")))
+          (col("p.plbl") < col("o.lbl")).as("changed"))
+    }
+    while (!converged && iter < maxIters) {
+      // r20: TWO hops per materialized round — halves the barrier +
+      // convergence-check jobs (the fixed per-round driver cost that
+      // dominates small-graph fixpoints) without changing the
+      // fixpoint: labels only ever decrease toward the component min,
+      // so extra hops inside a round just converge faster. The
+      // convergence test needs only the SECOND hop's changed flag:
+      // hop is a deterministic function of the labels, so
+      // hop2.changed empty ⟺ hop(h1) = h1 ⟺ h1 is the fixpoint.
+      val next = Barrier(hop(hop(labels).select(col("v"), col("lbl"))))
       converged = next.filter(col("changed")).isEmpty
       Barrier.release(barriered) // persist mode: one cached copy per round otherwise
       barriered = next
@@ -1383,7 +1405,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     val unmatched = Barrier(endpoints
       .join(matched.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("lbl")))
-    val labeled = Barrier(matched.union(unmatched))
+    // r20: no barrier on the union — both inputs are already
+    // materialized, so re-reading them per consumer is a checkpoint
+    // block read, not a recompute; the dropped barrier was one full
+    // materialization job of rows that exist twice already
+    val labeled = matched.union(unmatched)
     // contract each pair to a (label, label) edge; self-edges collapse
     val la = labeled.select(col("doc_id").as("da"), col("lbl").as("la"))
     val lb = labeled.select(col("doc_id").as("db"), col("lbl").as("lb"))
