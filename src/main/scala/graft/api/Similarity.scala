@@ -1498,46 +1498,72 @@ object Similarity extends org.apache.spark.internal.Logging {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
     val d = dim / m
-    val base = Barrier(corpus.select(col(idCol).as("vec_id"),
-      col(vecCol).as("embedding")))
-    // The m trainings are independent chains of tiny barriered jobs
-    // (slice, assign, recentre per round) — run them as CONCURRENT
-    // driver-submitted jobs so wall-clock is one chain, not m chains.
-    // Each job is small; the executor pool interleaves them. Output
-    // order is fixed by the union below regardless of completion order.
-    // Barrier.collecting/adopt hands each pool thread's barriers back
-    // to THIS thread's scope — without it a caller's Barrier.scoped
-    // (e.g. a streaming seeding step under `persist` mode) could never
-    // release the training intermediates (scope stacks are per-thread).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val futures = (0 until m).map { s => Future {
-      Barrier.collecting {
-        val sliced = Barrier(base.select(col("vec_id"),
-          slice(col("embedding"), s * d + 1, d).as("embedding")))
-        val book = kmeansLoopL2(sliced,
-          sliced.filter(col("vec_id") < ks), iters)
-        book.select(lit(s).as("m"), col("cent_id").as("code_id"), col("c_emb"))
-      }
-    }}
-    // Settle EVERY future before inspecting failures: if one subspace
-    // throws, the siblings that completed have collected frames nobody
-    // will adopt — release them before rethrowing, or `persist` mode
-    // leaks one cached frame per completed subspace (the failing
-    // thread's own frames are released inside collecting itself).
-    val settled = futures.map(f =>
-      scala.util.Try(Await.result(f, Duration.Inf)))
-    settled.collectFirst { case scala.util.Failure(e) => e }.foreach { e =>
-      settled.foreach {
-        case scala.util.Success((_, frames)) => frames.foreach(Barrier.release)
-        case _ => ()
-      }
-      throw e
+    // r20: ONE fused Lloyd chain over (vec_id, m, sub-embedding) rows
+    // instead of m concurrent per-subspace chains. The arithmetic is
+    // untouched — per-m seeds are the same first-ks subvectors, the
+    // assignment argmin runs against the same cent_id-sorted per-m
+    // codebook array, and the recentre is the same quantized integer
+    // mean, just grouped by (m, cent_id) — so the books are
+    // bit-identical (the existing SimilaritySpec / oracle rows pin
+    // them). What changes is the JOB graph: 1 slice barrier + iters
+    // round barriers, vs m slice barriers + m·iters round barriers
+    // fanned out on a thread pool (measured r20: the concurrent
+    // chains serialized on driver scheduling — s6/s8 carried 109/128
+    // stages of 30-300 ms each at par ≈ 1). Fewer driver round trips
+    // at any scale; the per-round exchange volume is identical
+    // (m × slices instead of m separate slice frames).
+    val sliced = Barrier(corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("embedding"), s * d + 1, lit(d)))))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "embedding"))
+    var cents = sliced.filter(col("vec_id") < ks)
+      .select(col("m"), col("vec_id").as("cent_id"),
+        col("embedding").as("c_emb"))
+    var i = 0
+    while (i < iters) {
+      // Barrier per round: the books are m·ks rows, but their lineage
+      // is a full corpus pass (see kmeansLoop's rationale)
+      cents = Barrier(recentreByM(assignCellsL2ByM(sliced, cents)))
+      i += 1
     }
-    val results = settled.map(_.get)
-    results.foreach(_._2.foreach(Barrier.adopt))
-    results.map(_._1).reduce(_ union _)
+    cents.select(col("m"), col("cent_id").as("code_id"), col("c_emb"))
+  }
+
+  /** [[assignCellsL2]] fused across subspaces: rows and centroids both
+    * carry `m`, the per-m codebook arrays broadcast as one tiny keyed
+    * frame, and the argmin runs within the row's own subspace. */
+  private def assignCellsL2ByM(c: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.PqFunctions
+    val centsRows = cents.groupBy(col("m")).agg(array_sort(
+      collect_list(struct(col("cent_id"), col("c_emb")))).as("cents"))
+    c.join(broadcast(centsRows), "m")
+      .select(col("m"), col("vec_id"), col("embedding"),
+        PqFunctions.nearestCentroidL2(col("cents"), col("embedding")).as("best"))
+      .select(col("m"), col("vec_id"), col("embedding"),
+        col("best.cent_id").as("cent_id"))
+  }
+
+  /** [[recentre]] fused across subspaces — identical quantized
+    * fixed-point mean, grouped by (m, cent_id); no norm column (the
+    * PQ books never use one, matching kmeansLoopL2's projection). */
+  private def recentreByM(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val scale = lit(KMeansQuantScale.toDouble)
+    assigned
+      .select(col("m"), col("cent_id"), posexplode(col("embedding")))
+      .select(col("m"), col("cent_id"), col("pos"),
+        floor(col("col").cast(DoubleType) * scale).as("q"))
+      .groupBy("m", "cent_id", "pos")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .select(col("m"), col("cent_id"), col("pos"),
+        (col("sq").cast(DoubleType) / (scale * col("n").cast(DoubleType)))
+          .cast(FloatType).as("v"))
+      .groupBy("m", "cent_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("c_emb"))
   }
 
   /** L2 Lloyd loop over (vec_id, embedding) frames: argmin-L2 assign

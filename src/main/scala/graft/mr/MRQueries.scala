@@ -134,6 +134,10 @@ object MRQueries {
     val lLines = Tables.lineitem(s, dir).select(concat_ws(",",
       col("l_orderkey"), col("l_linenumber"),
       col("l_quantity"), col("l_extendedprice")).as("value"))
+    // r20 A/B note: widening the map input measured and REJECTED
+    // (mr2 off 2.05 s vs on 2.59 s min-of-3, target/r20opt_ab4.log —
+    // the CSV-line exchange costs more than the parallel map saves;
+    // the facade's own reducer shuffle already spreads stage 2)
     oLines.union(lLines).as[String](stringEncoder)
   }
 

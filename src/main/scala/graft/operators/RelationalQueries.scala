@@ -56,7 +56,11 @@ object RelationalQueries {
   // D2/D5/D8-class headline aggregation (flagship; TPC-H Q1-shaped)
   // ---------------------------------------------------------------------
   private def pricingSummary(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // r20: the fixture scan is one task, so the decimal partial
+    // aggregate over the full table ran serial (~0.8 s of the row's
+    // ~1.1 s); widen moves slim rows once and aggregates scan-wide
+    // (Scan.widen — no-op at production scan widths)
+    graft.api.Scan.widen(Tables.lineitem(s, dir), col("l_orderkey"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
