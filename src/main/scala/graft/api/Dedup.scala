@@ -1337,7 +1337,11 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         cos.as("cos"))
       .filter(col("cos") >= threshold)
-    val groups = Barrier(duplicateGroups(pairs, "va", "vb"))
+    // r20: no re-barrier — duplicateGroups' output is a projection of
+    // its own final labels checkpoint (live until the enclosing scope
+    // exits), so both consumers below read materialized blocks; the
+    // extra Barrier was one more materialization job of the same rows
+    val groups = duplicateGroups(pairs, "va", "vb")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group_id"))
       .orderBy(col("ccos").asc, col("vec_id").asc)

@@ -119,21 +119,34 @@ object Sketches {
     val cum = binned.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy("g").orderBy("bin")))
     val tot = binned.groupBy("g").agg(sum(col("cnt")).as("n"))
-    val base = cum.join(broadcast(tot), "g").crossJoin(broadcast(bounds))
-    val perQ = qs.map { q =>
-      val name = s"p${math.round(q * 100)}_est"
-      val target = lit(q) * col("n").cast("double")
-      val est = col("lo") + width *
-        (col("bin").cast("double") +
-          (target - (col("cum") - col("cnt")).cast("double")) /
-            col("cnt").cast("double"))
-      base.filter(col("cum").cast("double") >= target)
-        .withColumn("rn",
-          row_number().over(Window.partitionBy("g").orderBy("bin")))
-        .filter(col("rn") === 1)
-        .select(col("g"), est.as(name))
-    }
-    perQ.reduce(_.join(_, "g")).withColumnRenamed("g", groupCol)
+    val base = cum.join(broadcast(tot), "g")
+    // r20: ONE aggregation picks every quantile's crossing bin at once
+    // — min(struct(bin, cnt, cum)) over the bins past q·n is exactly
+    // the first-crossing row the per-q window/rn=1 branch selected
+    // (bin is unique per group, so struct order = bin order) — where
+    // the previous shape ran a window + filter per quantile and then
+    // (|qs|−1) joins to stitch the columns back together: |qs|+1
+    // extra exchanges per call at any scale. The interpolation applies
+    // the same IEEE sequence to the picked fields, so estimates are
+    // bit-identical (oracle-gated).
+    def sName(q: Double) = s"s_p${math.round(q * 100)}"
+    val picked = base.groupBy(col("g")).agg(
+      first(col("n")).as("n"),
+      qs.map { q =>
+        val target = lit(q) * col("n").cast("double")
+        min(when(col("cum").cast("double") >= target,
+          struct(col("bin"), col("cnt"), col("cum")))).as(sName(q))
+      }: _*)
+    picked.crossJoin(broadcast(bounds))
+      .select(col("g").as(groupCol) +: qs.map { q =>
+        val s = col(sName(q))
+        val target = lit(q) * col("n").cast("double")
+        (col("lo") + width *
+          (s.getField("bin").cast("double") +
+            (target - (s.getField("cum") - s.getField("cnt")).cast("double")) /
+              s.getField("cnt").cast("double")))
+          .as(s"p${math.round(q * 100)}_est")
+      }: _*)
   }
 
   /** DuckDB twin of [[histQuantile]] over a FROM-able relation. */
