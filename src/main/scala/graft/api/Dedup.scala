@@ -926,10 +926,12 @@ object Dedup extends org.apache.spark.internal.Logging {
       s"probes must be in [0, planes=$planes], got $probes")
     validateLshRecall(tables, planes, threshold, probes, df.sparkSession)
     VectorFunctions.register(df.sparkSession)
-    // r20: widen below the hashing kernel and the tagged barrier — the
-    // fixture's one-task scan otherwise serializes the band self-join
-    // (measured 1.4 s in ONE task at sf0.1; Scan.widen, no-op at scale)
-    val e = Scan.widen(df, col(idCol))
+    // r20 A/B note: widening below this projection measured MIXED
+    // (−0.5 s on one quiet-window A/B, +0.3–0.7 under host steal —
+    // the widened band join's min-pass delay factors read 1.5–1.8 vs
+    // 1.09–1.12 unwidened, target/r20opt_bench_opt_{c..f}.json) and
+    // was reverted: steal-fragile for a sub-second saving.
+    val e = df
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
         VectorFunctions.norm(col(vecCol)).as("nrm"))
     // Same slim-candidate shape as jaccardPairs: only (vec_id, tbl, sig)

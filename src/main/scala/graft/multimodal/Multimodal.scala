@@ -357,10 +357,12 @@ object Multimodal {
     // r20: `wide` floors the decode parallelism — the fixture's
     // single-row-group scan is ONE task, serializing the codec loop
     // (Scan.widen over bare ids; no-op at corpus scale). A/B-measured
-    // per call site (target/r20opt_ab1.log): ON for mm9 (corpus-sized
-    // decode feeding the contraction, −0.8 s), OFF for mm8/p6p (their
-    // direct consumers are trivial 32-task stages that cost more than
-    // the 0.5 s serial decode saved).
+    // and currently OFF at every call site: quiet-window A/Bs won
+    // −0.8 s for the corpus-sized decode (target/r20opt_ab1.log), but
+    // under the measured box's host-steal waves the 32-way stage's
+    // min-pass delay factors read 1.7–2.1 vs 1.15–1.3 serial and the
+    // bench mins regressed (see ahashGroupsQ's note) — the seam stays
+    // for boxes where decode, not steal, is the binding cost.
     val in = if (wide)
       graft.api.Scan.widen(ids.toDF("doc_id"), col("doc_id")).as[Long](longEnc)
     else ids
@@ -440,9 +442,17 @@ object Multimodal {
   // first: banding over ≤716 rows, components over the SIG graph,
   // members labeled through one join — linear in n. Oracle replays the
   // same contraction over the shared CTE chain.
+  // r20 A/B note: wide=true here won −0.8 s on quiet-window A/Bs
+  // (target/r20opt_ab1.log) but LOST on the bench legs under host
+  // steal — the 32-way decode stage samples the steal continuously
+  // where the 1-task stage needs only 0.5 s of one quiet core, and
+  // every optimized-leg min carried delay_factor 1.7–2.1 vs 1.15–1.3
+  // baseline (target/r20opt_bench_opt_{c..f}.json). Reverted: the
+  // widen's only value is the local bench number, and the measured
+  // box runs steal waves.
   private def ahashGroupsQ(s: SparkSession, dir: String): DataFrame =
     graft.api.Dedup.hammingGroups(
-      ahashSigsOf(docIds(s, dir), wide = true), "doc_id", "sig", AHashMaxHamming)
+      ahashSigs(s, dir), "doc_id", "sig", AHashMaxHamming)
 
   private val ahashGroupsSql: String =
     s"""WITH RECURSIVE $ahashCtes,
