@@ -76,6 +76,37 @@ object Barrier {
     out
   }
 
+  /** A LAZY barrier (r21, guide §1/§2: the fixed per-job driver latency
+    * dominates small-frame iterative operators): marks `df` for
+    * materialization per the session mode but launches NO job — the
+    * CALLER must immediately run one FULL-SCAN action (an aggregate
+    * that reads every row: `count`, a global `agg`) on the returned
+    * frame, which fills the barrier as a side effect of that job. One
+    * job where [[apply]] + the action cost two driver round-trips.
+    *
+    * Caller contract (the reason this is not the default): the first
+    * action must NOT short-circuit (`isEmpty`/`take`/`head` leave the
+    * barrier partially filled), and the frame must have exactly ONE
+    * consumer inside that first job (two consumers race to materialize
+    * the same partitions — the duplicated-scan defect the eager mode
+    * exists to prevent; see the class scaladoc). Modes where lazy
+    * filling is wrong fall back to eager [[apply]]: `checkpoint` (a
+    * lazy reliable checkpoint RECOMPUTES the frame in a second job —
+    * strictly worse) and `none` (nothing to fill). Under
+    * `localCheckpoint` any partition the first action somehow missed
+    * is computed by the checkpoint finalizer's fill-in job, so the
+    * contract violation costs an extra job, never correctness. */
+  def lazily(df: DataFrame): DataFrame = {
+    val out = mode(df) match {
+      case "none" => df
+      case "persist" => df.persist(StorageLevel.MEMORY_AND_DISK)
+      case "checkpoint" => return apply(df)
+      case _ => df.localCheckpoint(false)
+    }
+    scopeStack.get.headOption.foreach(_ += out)
+    out
+  }
+
   /** Run `body` and release every barrier it creates (on this thread)
     * when it returns — the seam for REPEATED operator invocations that
     * would otherwise accumulate cached frames under `persist` mode: a

@@ -241,19 +241,21 @@ object Dedup extends org.apache.spark.internal.Logging {
       CandBudgetDefault.toString).toLong
     val hist = Barrier(banded.groupBy(col("tbl"), col("sig"))
       .agg(count(lit(1)).cast("double").as("c")))
-    val oneShot = hist
+    val oneShotF = hist
       .agg(coalesce(sum(col("c") * (col("c") - 1.0) / 2.0), lit(0.0)))
-      .head.getDouble(0)
-    // all probed flips in ONE union → one aggregate job, not `probes`
-    val crossTerms = if (probes == 0) 0.0 else {
+    // all probed flips in ONE union → one aggregate, not `probes`;
+    // r21: the one-shot and cross-term scalars evaluate in ONE fused
+    // job (scalarsOf) over the barrier'd histogram — two driver
+    // round-trips before
+    val crossTermsF = if (probes == 0) None else {
       val flips = (0 until probes).map(p => hist.select(col("tbl"),
           col("sig").bitwiseXOR(lit(1L << p)).as("sig"), col("c").as("cn")))
         .reduce(_ union _)
-      hist.join(flips, Seq("tbl", "sig"))
-        .agg(coalesce(sum(col("c") * col("cn")), lit(0.0)))
-        .head.getDouble(0) / 2.0
+      Some(hist.join(flips, Seq("tbl", "sig"))
+        .agg(coalesce(sum(col("c") * col("cn")), lit(0.0))))
     }
-    val est = oneShot + crossTerms
+    val ests = scalarsOf(Seq(oneShotF) ++ crossTermsF.toSeq)
+    val est = ests.head + (if (crossTermsF.isEmpty) 0.0 else ests.last / 2.0)
     Barrier.release(hist)
     if (est > budget) {
       val msg = f"$what: the band join would generate ~$est%.3g candidate " +
@@ -315,21 +317,21 @@ object Dedup extends org.apache.spark.internal.Logging {
         val incAgg = Barrier(incBanded.groupBy(col("tbl"), col("sig"))
           .agg(count(lit(1)).cast("double").as("ci")))
         val ccOf = coalesce(col("hcc"), lit(0.0)) + 1.0
-        val oneShot = incAgg.join(h, Seq("tbl", "sig"), "left")
+        val oneShotF = incAgg.join(h, Seq("tbl", "sig"), "left")
           .agg(coalesce(sum(ccOf * col("ci") +
             col("ci") * (col("ci") - 1.0) / 2.0), lit(0.0)))
-          .head.getDouble(0)
-        val crossTerms = if (probes == 0) 0.0 else {
+        val crossTermsF = if (probes == 0) None else {
           val flips = flippedCounts(incAgg, "ci", flipMasks)
-          flips.join(incAgg, Seq("tbl", "sig"), "left")
+          Some(flips.join(incAgg, Seq("tbl", "sig"), "left")
             .join(h, Seq("tbl", "sig"), "left")
             .agg(coalesce(sum(col("cin") *
-              (ccOf + coalesce(col("ci"), lit(0.0)))), lit(0.0)))
-            .head.getDouble(0)
+              (ccOf + coalesce(col("ci"), lit(0.0)))), lit(0.0))))
         }
+        // r21: both scalars in one fused job (scalarsOf), not one each
+        val ests = scalarsOf(Seq(oneShotF) ++ crossTermsF.toSeq)
         Barrier.release(incAgg)
         Barrier.release(h)
-        oneShot + crossTerms
+        ests.sum
       case None =>
         val hist = Barrier(
           corpusBanded.select(col("tbl"), col("sig"), lit(0).as("side"))
@@ -337,18 +339,17 @@ object Dedup extends org.apache.spark.internal.Logging {
             .groupBy("tbl", "sig")
             .agg(sum(when(col("side") === 0, 1.0).otherwise(0.0)).as("cc"),
               sum(when(col("side") === 1, 1.0).otherwise(0.0)).as("ci")))
-        val oneShot = hist
+        val oneShotF = hist
           .agg(coalesce(sum(col("ci") * col("cc") +
             col("ci") * (col("ci") - 1.0) / 2.0), lit(0.0)))
-          .head.getDouble(0)
-        val crossTerms = if (probes == 0) 0.0 else {
+        val crossTermsF = if (probes == 0) None else {
           val flips = flippedCounts(hist, "ci", flipMasks)
-          hist.join(flips, Seq("tbl", "sig"))
-            .agg(coalesce(sum(col("cin") * (col("cc") + col("ci"))), lit(0.0)))
-            .head.getDouble(0)
+          Some(hist.join(flips, Seq("tbl", "sig"))
+            .agg(coalesce(sum(col("cin") * (col("cc") + col("ci"))), lit(0.0))))
         }
+        val ests = scalarsOf(Seq(oneShotF) ++ crossTermsF.toSeq)
         Barrier.release(hist)
-        oneShot + crossTerms
+        ests.sum
     }
     if (est > budget) {
       val msg = f"$what: the probe join would generate ~$est%.3g " +
@@ -403,17 +404,31 @@ object Dedup extends org.apache.spark.internal.Logging {
     * duplicate-heap mechanism, one signature family over from mm8's
     * measured wall). `remedy` names the contraction verb the caller
     * should compose instead. */
-  private def validatePairBudget(docs: DataFrame, key: Column,
-      what: String, remedy: String): Unit = {
-    val spark = docs.sparkSession
-    val mode = Similarity.guardMode(spark, PairBudgetConfKey)
-    if (mode == "off") return
-    val budget = spark.conf.get(PairBudgetMaxKey,
-      PairBudgetDefault.toString).toLong
-    val est = docs.groupBy(key.as("k"))
+  /** Evaluate several single-row single-DOUBLE-column estimate frames
+    * in ONE Spark job (a crossJoin of the scalar aggregates) — each
+    * guard estimate was its own driver-synchronized `.head` job
+    * otherwise, and on the multi-guard operators (the extended hamming
+    * band runs a pair guard AND a candidate guard) the precheck cost
+    * was 2-3 jobs per call (r20 verdict: dd13 re-priced an unchanged
+    * corpus every run). The guarded join still never starts before
+    * every estimate clears. */
+  private def scalarsOf(frames: Seq[DataFrame]): Seq[Double] =
+    if (frames.isEmpty) Seq.empty
+    else {
+      val row = frames.reduce(_.crossJoin(_)).head
+      frames.indices.map(row.getDouble)
+    }
+
+  /** [[validatePairBudget]]'s estimate as a 1-row frame — the seam
+    * that lets callers fuse it with other guard scalars via
+    * [[scalarsOf]]. */
+  private def pairBudgetEstFrame(docs: DataFrame, key: Column): DataFrame =
+    docs.groupBy(key.as("k"))
       .agg(count(lit(1)).cast("double").as("c"))
       .agg(coalesce(sum(col("c") * (col("c") - 1.0) / 2.0), lit(0.0)))
-      .head.getDouble(0)
+
+  private def checkPairBudget(est: Double, budget: Long, mode: String,
+      what: String, remedy: String): Unit =
     if (est > budget) {
       val msg = f"$what: equal-signature heaps alone guarantee ~$est%.3g " +
         s"output pairs (> budget $budget, conf $PairBudgetMaxKey) — the " +
@@ -424,6 +439,16 @@ object Dedup extends org.apache.spark.internal.Logging {
       if (mode == "warn") logWarning(msg)
       else throw new IllegalArgumentException(msg)
     }
+
+  private def validatePairBudget(docs: DataFrame, key: Column,
+      what: String, remedy: String): Unit = {
+    val spark = docs.sparkSession
+    val mode = Similarity.guardMode(spark, PairBudgetConfKey)
+    if (mode == "off") return
+    val budget = spark.conf.get(PairBudgetMaxKey,
+      PairBudgetDefault.toString).toLong
+    checkPairBudget(pairBudgetEstFrame(docs, key).head.getDouble(0),
+      budget, mode, what, remedy)
   }
 
   /** Two-sided [[validatePairBudget]] for the INCREMENTAL pair
@@ -471,7 +496,16 @@ object Dedup extends org.apache.spark.internal.Logging {
     if (mode == "off") return
     val budget = spark.conf.get(PairBudgetMaxKey,
       PairBudgetDefault.toString).toLong
-    val est = corpusHist match {
+    val est = incPairEstFrame(corpus, inc, key, corpusHist).head.getDouble(0)
+    checkIncPairBudget(est, budget, mode, what, remedy)
+  }
+
+  /** [[validateIncPairBudget]]'s estimate as a 1-row frame
+    * ([[scalarsOf]] seam — the extended hamming band fuses it with the
+    * candidate estimate into one precheck job). */
+  private def incPairEstFrame(corpus: DataFrame, inc: DataFrame,
+      key: Column, corpusHist: Option[DataFrame]): DataFrame =
+    corpusHist match {
       case Some(hist) =>
         inc.select(key.as("k")).groupBy("k")
           .agg(count(lit(1)).cast("double").as("ci"))
@@ -479,7 +513,6 @@ object Dedup extends org.apache.spark.internal.Logging {
           .agg(coalesce(sum(
             (coalesce(col("cc").cast("double"), lit(0.0)) + 1.0) * col("ci") +
               col("ci") * (col("ci") - 1.0) / 2.0), lit(0.0)))
-          .head.getDouble(0)
       case None =>
         corpus.select(key.as("k"), lit(0).as("side"))
           .union(inc.select(key.as("k"), lit(1).as("side")))
@@ -488,8 +521,10 @@ object Dedup extends org.apache.spark.internal.Logging {
             sum(when(col("side") === 1, 1.0).otherwise(0.0)).as("ci"))
           .agg(coalesce(sum(col("cc") * col("ci") +
             col("ci") * (col("ci") - 1.0) / 2.0), lit(0.0)))
-          .head.getDouble(0)
     }
+
+  private def checkIncPairBudget(est: Double, budget: Long, mode: String,
+      what: String, remedy: String): Unit =
     if (est > budget) {
       val msg = f"$what: equal-signature heaps alone guarantee ~$est%.3g " +
         s"inc-touching output pairs (> budget $budget, conf " +
@@ -500,7 +535,6 @@ object Dedup extends org.apache.spark.internal.Logging {
       if (mode == "warn") logWarning(msg)
       else throw new IllegalArgumentException(msg)
     }
-  }
 
   /** Piece-collision CANDIDATE budget for the extended hamming band
     * (maxHamming ∈ [4, 7] — r19 ADVICE, the option it offered beyond
@@ -533,14 +567,25 @@ object Dedup extends org.apache.spark.internal.Logging {
     if (mode == "off") return
     val budget = spark.conf.get(CandBudgetMaxKey,
       CandBudgetDefault.toString).toLong
+    val est = hamCandEstFrame(probeHist, buildHist).head.getDouble(0)
+    checkHamCandBudget(est, budget, mode, what, remedy, partial)
+  }
+
+  /** [[validateHamCandBudget]]'s estimate as a 1-row frame
+    * ([[scalarsOf]] seam). */
+  private def hamCandEstFrame(probeHist: DataFrame,
+      buildHist: DataFrame): DataFrame = {
     val probed = probeHist.select(col("piece"),
       explode(array(col("pval") +:
         (0 until 16).map(b => col("pval").bitwiseXOR(lit(1L << b))): _*))
         .as("pval"),
       col("c").as("cp"))
-    val est = probed.join(buildHist, Seq("piece", "pval"))
+    probed.join(buildHist, Seq("piece", "pval"))
       .agg(coalesce(sum(col("cp") * col("c")), lit(0.0)))
-      .head.getDouble(0)
+  }
+
+  private def checkHamCandBudget(est: Double, budget: Long, mode: String,
+      what: String, remedy: String, partial: Boolean): Unit =
     if (est > budget) {
       val part = if (!partial) "" else " (an UNDERcount here: the " +
         "sidecar histogram's >=2-copy truncation hides singleton " +
@@ -555,7 +600,6 @@ object Dedup extends org.apache.spark.internal.Logging {
       if (mode == "warn") logWarning(msg)
       else throw new IllegalArgumentException(msg)
     }
-  }
 
   /** (piece, pval) histogram of slim piece rows — bounded at 4·2¹⁶
     * rows at any corpus size (the property [[validateHamCandBudget]]
@@ -650,20 +694,42 @@ object Dedup extends org.apache.spark.internal.Logging {
         posexplode(array((0 until 4).map(i =>
           shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "piece").withColumnRenamed("col", "pval")
-    validatePairBudget(docs, col("sig"), "hammingPairs",
-      "Use Dedup.hammingGroups (contracts to distinct signatures " +
-        "first — linear in n, members never pair-expanded)")
-    if (maxHamming > 3) {
-      // both sides of the candidate estimate read one histogram — a
-      // barrier keeps the (possibly expensive) signature input from
-      // being aggregated twice
-      val hist = Barrier(pieceHistOf(pieces))
-      validateHamCandBudget(hist, hist, "hammingPairs",
+    // r21: the pair guard and (at the extended band) the candidate
+    // guard evaluate in ONE fused precheck job (scalarsOf) — each
+    // estimate was its own driver-synchronized head job before
+    val spark = sigs.sparkSession
+    val pairMode = Similarity.guardMode(spark, PairBudgetConfKey)
+    val candMode = Similarity.guardMode(spark, CandBudgetConfKey)
+    val pairEst =
+      if (pairMode == "off") None
+      else Some(pairBudgetEstFrame(docs, col("sig")))
+    val candGuardOn = maxHamming > 3 && candMode != "off"
+    var histBarrier: Option[DataFrame] = None
+    val candEst =
+      if (!candGuardOn) None
+      else {
+        // both sides of the candidate estimate read one histogram — a
+        // barrier keeps the (possibly expensive) signature input from
+        // being aggregated twice
+        val hist = Barrier(pieceHistOf(pieces))
+        histBarrier = Some(hist)
+        Some(hamCandEstFrame(hist, hist))
+      }
+    val ests = scalarsOf(pairEst.toSeq ++ candEst.toSeq)
+    pairEst.foreach { _ =>
+      checkPairBudget(ests.head, spark.conf.get(PairBudgetMaxKey,
+        PairBudgetDefault.toString).toLong, pairMode, "hammingPairs",
+        "Use Dedup.hammingGroups (contracts to distinct signatures " +
+          "first — linear in n, members never pair-expanded)")
+    }
+    candEst.foreach { _ =>
+      checkHamCandBudget(ests.last, spark.conf.get(CandBudgetMaxKey,
+        CandBudgetDefault.toString).toLong, candMode, "hammingPairs",
         "Use Dedup.hammingGroups (the 17x probe expansion then runs " +
           "over DISTINCT signatures) or tighten maxHamming to <= 3",
         partial = false)
-      Barrier.release(hist)
     }
+    histBarrier.foreach(Barrier.release)
     val a = piecesProbed(pieces, maxHamming).alias("a")
     val b = pieces.alias("b")
     val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
@@ -823,46 +889,79 @@ object Dedup extends org.apache.spark.internal.Logging {
       p.filter(col("piece") === 0).select(col("doc_id"), col("sig"))
     // r15 guard: two-sided exact-signature heap estimate (an increment
     // image landing in a corpus duplicate heap pairs with every copy);
-    // r16: Θ(increment) when the hammingGuardKeys sidecar is passed
-    validateIncPairBudget(
-      keyed(corpusPieces), keyed(incPieces),
-      col("sig"), "incrementalHammingPairs",
-      "Contract the corpus heaps with Dedup.hammingGroups (persist the " +
-        "contracted signature asset) or exact-dedup the increment first",
-      corpusHist)
-    // r20 (r19 ADVICE): at the extended band, price the flip-adjacent
-    // candidate volume the exact-heap pair guard above cannot see.
-    // Probe histogram is Θ(increment); the build histogram is the
+    // r16: Θ(increment) when the hammingGuardKeys sidecar is passed.
+    // r20 (r19 ADVICE): at the extended band, ALSO price the
+    // flip-adjacent candidate volume the exact-heap pair guard cannot
+    // see. Probe histogram is Θ(increment); the build histogram is the
     // sidecar's heap sigs exploded to weighted piece rows when the
     // sidecar is present (Θ(histogram) — the daily path's
     // no-corpus-scan contract kept; its >= 2-copy truncation makes
     // the estimate partial, which the failure message says) or one
     // corpus-scan aggregate otherwise (the same cost shape as the
     // pair guard's own fallback).
-    if (maxHamming > 3) {
-      val incHist = Barrier(pieceHistOf(incPieces))
-      val buildHist = corpusHist match {
-        case Some(h) =>
-          val corpusPieceHist = h.select(col("k").as("sig"),
-              col("cc").cast("double").as("cc"))
-            .select(col("cc"), posexplode(array((0 until 4).map(i =>
-              shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL)): _*)))
-            .withColumnRenamed("pos", "piece")
-            .withColumnRenamed("col", "pval")
-            .groupBy(col("piece"), col("pval"))
-            .agg(sum(col("cc")).as("c"))
-          // split (piece, pval) keys across the two sides sum
-          // linearly through the estimate's Σ cp·cb — no re-aggregate
-          corpusPieceHist.union(incHist)
-        case None => pieceHistOf(allPieces)
+    // r21 (r20 verdict item 3 — dd13 paid ~0.5 s/run re-pricing an
+    // unchanged corpus): BOTH guards' estimates evaluate in ONE fused
+    // job (scalarsOf) over the shared piece barriers, instead of a
+    // barrier + head job per guard — at the extended band that is 1
+    // precheck job where r20 ran 3 (incHist barrier + 2 heads). The
+    // incHist barrier is kept ONLY on the sidecar path, where the
+    // build histogram unions the probe histogram (two reads in the
+    // fused job); the fallback path reads each histogram once.
+    val spark = corpusSigs.sparkSession
+    val pairMode = Similarity.guardMode(spark, PairBudgetConfKey)
+    val candMode = Similarity.guardMode(spark, CandBudgetConfKey)
+    val pairRemedy = "Contract the corpus heaps with Dedup.hammingGroups " +
+      "(persist the contracted signature asset) or exact-dedup the " +
+      "increment first"
+    val candRemedy = "Contract the corpus heaps with Dedup.hammingGroups " +
+      "(persist the contracted signature asset), exact-dedup the " +
+      "increment first, or tighten maxHamming to <= 3"
+    val pairEst =
+      if (pairMode == "off") None
+      else Some(incPairEstFrame(keyed(corpusPieces), keyed(incPieces),
+        col("sig"), corpusHist))
+    val candGuardOn = maxHamming > 3 && candMode != "off"
+    var incHistBarrier: Option[DataFrame] = None
+    val candEst =
+      if (!candGuardOn) None
+      else {
+        val incHist =
+          if (corpusHist.isEmpty) pieceHistOf(incPieces)
+          else {
+            val b = Barrier(pieceHistOf(incPieces))
+            incHistBarrier = Some(b)
+            b
+          }
+        val buildHist = corpusHist match {
+          case Some(h) =>
+            val corpusPieceHist = h.select(col("k").as("sig"),
+                col("cc").cast("double").as("cc"))
+              .select(col("cc"), posexplode(array((0 until 4).map(i =>
+                shiftright(col("sig"), 16 * i).bitwiseAND(0xFFFFL)): _*)))
+              .withColumnRenamed("pos", "piece")
+              .withColumnRenamed("col", "pval")
+              .groupBy(col("piece"), col("pval"))
+              .agg(sum(col("cc")).as("c"))
+            // split (piece, pval) keys across the two sides sum
+            // linearly through the estimate's Σ cp·cb — no re-aggregate
+            corpusPieceHist.union(incHist)
+          case None => pieceHistOf(allPieces)
+        }
+        Some(hamCandEstFrame(incHist, buildHist))
       }
-      validateHamCandBudget(incHist, buildHist, "incrementalHammingPairs",
-        "Contract the corpus heaps with Dedup.hammingGroups (persist " +
-          "the contracted signature asset), exact-dedup the increment " +
-          "first, or tighten maxHamming to <= 3",
-        partial = corpusHist.isDefined)
-      Barrier.release(incHist)
+    val ests = scalarsOf(pairEst.toSeq ++ candEst.toSeq)
+    pairEst.foreach { _ =>
+      checkIncPairBudget(ests.head, spark.conf.get(PairBudgetMaxKey,
+        PairBudgetDefault.toString).toLong, pairMode,
+        "incrementalHammingPairs", pairRemedy)
     }
+    candEst.foreach { _ =>
+      checkHamCandBudget(ests.last, spark.conf.get(CandBudgetMaxKey,
+        CandBudgetDefault.toString).toLong, candMode,
+        "incrementalHammingPairs", candRemedy,
+        partial = corpusHist.isDefined)
+    }
+    incHistBarrier.foreach(Barrier.release)
     val hamming = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
     // inc probes the union: inc-inc pairs arrive in both orientations,
     // inc-corpus in one; canonicalize + distinct (hamming is symmetric
@@ -926,11 +1025,11 @@ object Dedup extends org.apache.spark.internal.Logging {
       s"probes must be in [0, planes=$planes], got $probes")
     validateLshRecall(tables, planes, threshold, probes, df.sparkSession)
     VectorFunctions.register(df.sparkSession)
-    // r20 A/B note: widening below this projection measured MIXED
-    // (−0.5 s on one quiet-window A/B, +0.3–0.7 under host steal —
-    // the widened band join's min-pass delay factors read 1.5–1.8 vs
-    // 1.09–1.12 unwidened, target/r20opt_bench_opt_{c..f}.json) and
-    // was reverted: steal-fragile for a sub-second saving.
+    // r20 A/B note: widening below this projection (the full e frame)
+    // measured MIXED (−0.5 s on one quiet-window A/B, +0.3–0.7 under
+    // host steal — the widened band join's min-pass delay factors read
+    // 1.5–1.8 vs 1.09–1.12 unwidened,
+    // target/r20opt_bench_opt_{c..f}.json) and was reverted.
     val e = df
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
         VectorFunctions.norm(col(vecCol)).as("nrm"))
@@ -939,10 +1038,17 @@ object Dedup extends org.apache.spark.internal.Logging {
     // barrier the slim (vec_id, tbl, sig) rows: the probe and build
     // sides of the band join both re-derive `tagged`, which would
     // otherwise run the tables×planes hyperplane hashing twice per
-    // vector
-    val tagged = Barrier(e.select(col("vec_id"),
+    // vector.
+    // r21 (verdict item 7): widen the SLIM barrier itself — the r20
+    // StageProbe re-attribution put dd5's wall at 42% in the ONE-task
+    // candidate-generation stage above this barrier (1.09 s serial,
+    // 7.7 MB of candidate shuffle written by one core); the widen
+    // moves only the (vec_id, tbl, sig) rows, not the embeddings, and
+    // the probe-side Generate + band join then run core-wide.
+    val tagged = Scan.widen(Barrier(e.select(col("vec_id"),
         posexplode(VectorFunctions.lshSignatures(col("embedding"), tables, planes)))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig"))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")),
+      col("vec_id"))
     validateCandBudget(tagged, probes, "embeddingPairs")
     val probed =
       if (probes == 0) tagged
@@ -1195,8 +1301,14 @@ object Dedup extends org.apache.spark.internal.Logging {
       // convergence test needs only the SECOND hop's changed flag:
       // hop is a deterministic function of the labels, so
       // hop2.changed empty ⟺ hop(h1) = h1 ⟺ h1 is the fixpoint.
-      val next = Barrier(hop(hop(labels).select(col("v"), col("lbl"))))
-      converged = next.filter(col("changed")).isEmpty
+      // r21: the round is ONE job, not two — the barrier fills lazily
+      // and the convergence count (a full-scan aggregate, the
+      // Barrier.lazily contract) is the job that materializes it;
+      // the eager-barrier + isEmpty shape paid a second driver
+      // round-trip per round for the same scan.
+      val next = Barrier.lazily(hop(hop(labels).select(col("v"), col("lbl"))))
+      converged = next.agg(count(when(col("changed"), lit(1))))
+        .head.getLong(0) == 0L
       Barrier.release(barriered) // persist mode: one cached copy per round otherwise
       barriered = next
       labels = next.select(col("v"), col("lbl"))
@@ -1237,8 +1349,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     def mins(se: DataFrame): DataFrame = se
       .groupBy(col("u").as("c")).agg(least(min(col("v")), col("c")).as("m"))
 
-    var edges = Barrier(canon(
+    // r21: lazy barrier + count — the count is the materializing job
+    // (Barrier.lazily contract), and carrying each round's count
+    // forward drops the previous round's re-count; with the
+    // equal-count precondition short-circuiting the except, a round is
+    // 1-2 jobs where the eager shape paid 4 (barrier, 2 counts, except)
+    var edges = Barrier.lazily(canon(
       pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))))
+    var edgeCount = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -1256,11 +1374,12 @@ object Dedup extends org.apache.spark.internal.Logging {
         large.join(m2, col("u") === col("c"))
           .select(col("v").as("u"), col("m").as("v"))
         .union(m2.select(col("c").as("u"), col("m").as("v"))))
-      val next = Barrier(small)
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      val next = Barrier.lazily(small)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       Barrier.release(edges) // persist mode: one cached copy per round otherwise
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     require(converged, s"star contraction did not converge in $maxIters rounds")

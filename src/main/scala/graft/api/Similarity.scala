@@ -1531,6 +1531,17 @@ object Similarity extends org.apache.spark.internal.Logging {
     cents.select(col("m"), col("cent_id").as("code_id"), col("c_emb"))
   }
 
+  // r21 A/B note: a driver-collected LocalRelation book per Lloyd round
+  // (collect each round's m·ks rows, rebuild as a local frame, broadcast
+  // joblessly) was measured and REVERTED: job counts dropped (s8 50→40,
+  // s6 31→24) but wall REGRESSED ~2x (s8 5.2→9.1/10.9 s, s6 3.4→5.2 s,
+  // two probe runs, target/r21/probe_s_after2.log) — the book rows
+  // embedded in every job's LogicalPlan make each of the remaining jobs
+  // pay plan canonicalization/hashing over the data, and booksRowOf's
+  // per-call collect re-read the 32-file books asset at 32 tasks × 2
+  // calls on s7 (sumRun 0.24→3.7-6.9 s). The checkpoint-per-round +
+  // in-plan broadcast-build shape is the faster one on every leg.
+
   /** [[assignCellsL2]] fused across subspaces: rows and centroids both
     * carry `m`, the per-m codebook arrays broadcast as one tiny keyed
     * frame, and the argmin runs within the row's own subspace. */
@@ -1635,9 +1646,12 @@ object Similarity extends org.apache.spark.internal.Logging {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int, ks: Int, iters: Int, rerank: Int): DataFrame = {
-    val c = Barrier(normed(corpus, idCol, vecCol))
-    // the count is over the barriered (materialized) frame — cheap
-    validateRerankSizing(c.count(), k, rerank, corpus.sparkSession)
+    // r21: lazy barrier + count — the sizing count is the job that
+    // materializes the barrier (Barrier.lazily contract), one driver
+    // round-trip instead of two
+    val c = Barrier.lazily(normed(corpus, idCol, vecCol))
+    val n = c.count()
+    validateRerankSizing(n, k, rerank, corpus.sparkSession)
     pqTopKImpl(c, queries, idCol, vecCol, k, m, ks, iters, rerank)
   }
 
@@ -1650,7 +1664,7 @@ object Similarity extends org.apache.spark.internal.Logging {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int, ks: Int, iters: Int): DataFrame = {
-    val c = Barrier(normed(corpus, idCol, vecCol))
+    val c = Barrier.lazily(normed(corpus, idCol, vecCol))
     val n = c.count()
     validatePqConcentration(c, n, k, "pqTopK")
     pqTopKImpl(c, queries, idCol, vecCol, k, m, ks, iters, rerankFor(n, k))
@@ -1743,7 +1757,8 @@ object Similarity extends org.apache.spark.internal.Logging {
       queriesNormed: DataFrame, booksRow: DataFrame,
       k: Int, rerank: Int): DataFrame = {
     import graft.functions.PqFunctions
-    val qB = Barrier(queriesNormed.crossJoin(broadcast(booksRow))
+    // r21: lazy barrier — the nq count below is the materializing job
+    val qB = Barrier.lazily(queriesNormed.crossJoin(broadcast(booksRow))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"),
         PqFunctions.pqLut(col("books"), col("embedding")).as("lut")))
@@ -1926,9 +1941,11 @@ object Similarity extends org.apache.spark.internal.Logging {
       idCol: String, vecCol: String, k: Int,
       nCells: Int, coarseIters: Int, m: Int, ks: Int, pqIters: Int,
       nProbe: Int, rerank: Int): DataFrame = {
-    val c = Barrier(normed(corpus, idCol, vecCol))
+    // r21: lazy barrier + count (one materializing job, see pqTopK)
+    val c = Barrier.lazily(normed(corpus, idCol, vecCol))
+    val n = c.count()
     validateProbeSizing(nCells, nProbe, corpus.sparkSession)
-    validateRerankSizing(c.count(), k, rerank, corpus.sparkSession)
+    validateRerankSizing(n, k, rerank, corpus.sparkSession)
     ivfadcTopKImpl(c, queries, idCol, vecCol, k, nCells, coarseIters,
       m, ks, pqIters, nProbe, rerank)
   }
@@ -1942,7 +1959,7 @@ object Similarity extends org.apache.spark.internal.Logging {
       idCol: String, vecCol: String, k: Int,
       nCells: Int, coarseIters: Int, m: Int, ks: Int,
       pqIters: Int): DataFrame = {
-    val c = Barrier(normed(corpus, idCol, vecCol))
+    val c = Barrier.lazily(normed(corpus, idCol, vecCol))
     val n = c.count()
     validatePqConcentration(c, n, k, "ivfadcTopK")
     ivfadcTopKImpl(c, queries, idCol, vecCol, k, nCells, coarseIters,
@@ -1994,9 +2011,11 @@ object Similarity extends org.apache.spark.internal.Logging {
     // qB carries nProbe rows per query — barrier the distinct query
     // projection so the dedup shuffle runs ONCE (the pre-r19 shape
     // re-ran it per consumer: one distinct+shuffle job just to count,
-    // another under the re-rank join — the r18 ADVICE finding) and
-    // its count is a cached scan
-    val qSmall = Barrier(
+    // another under the re-rank join — the r18 ADVICE finding).
+    // r21: the barrier fills LAZILY and the count (a full scan, the
+    // Barrier.lazily contract) is the job that materializes it — one
+    // job, not two.
+    val qSmall = Barrier.lazily(
       qB.select(col("q_id"), col("q_emb"), col("q_nrm")).distinct())
     adcSelectRerank(scored, qSmall, c, k, rerank, qSmall.count())
   }

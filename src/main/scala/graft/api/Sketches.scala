@@ -100,26 +100,37 @@ object Sketches {
     // would inflate n — drop them here and in the SQL twin
     val vals = df.select(col(groupCol).as("g"), col(valCol).cast("double").as("x"))
       .filter(col("x").isNotNull)
-    // barrier: bounds feed both the binning pass and the final
-    // interpolation join — one scan, not two
-    val bounds = Barrier(
-      vals.agg(min(col("x")).as("lo"), max(col("x")).as("hi")))
-    val width = (col("hi") - col("lo")) / lit(bins.toDouble)
+    // r21: the global bounds are TWO doubles — collect them to the
+    // driver (the bounded-book pattern) and inject them as literals
+    // instead of barriering a 1-row frame and crossJoin-broadcasting it
+    // into both the binning pass and the interpolation tail: one job
+    // either way, two BroadcastExchanges and a checkpoint fewer in the
+    // plan. Identical IEEE arithmetic — the literals are the same
+    // doubles the broadcast row carried.
+    val bRow = vals.agg(min(col("x")).as("lo"), max(col("x")).as("hi")).head
+    val (lo, hi) =
+      if (bRow.isNullAt(0)) (lit(0.0), lit(0.0)) // empty input: binned is empty anyway
+      else (lit(bRow.getDouble(0)), lit(bRow.getDouble(1)))
+    val width = (hi - lo) / lit(bins.toDouble)
     // materialization barrier after the one heavy pass: the per-q
     // branches, the totals, and the cumulative window all re-derive
     // `binned` — without the barrier each branch re-scans the fact
     // table (4-5 full scans at 100 TB); with it they read ≤ groups·bins
     // counter rows
-    val binned = Barrier(vals.crossJoin(broadcast(bounds))
+    val binned = Barrier(vals
       .select(col("g"),
-        when(col("hi") === col("lo"), lit(0))
-          .otherwise(least(floor((col("x") - col("lo")) / width).cast("int"),
+        when(hi === lo, lit(0))
+          .otherwise(least(floor((col("x") - lo) / width).cast("int"),
             lit(bins - 1))).as("bin"))
       .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt")))
+    // r21: per-group totals as an unbounded window over the SAME g
+    // partitioning the cumulative window establishes — the separate
+    // groupBy + broadcast-join tower (one more aggregate + exchange +
+    // BroadcastExchange in the plan) is gone; n is the same Σ cnt.
     val cum = binned.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy("g").orderBy("bin")))
-    val tot = binned.groupBy("g").agg(sum(col("cnt")).as("n"))
-    val base = cum.join(broadcast(tot), "g")
+    val base = cum.withColumn("n",
+      sum(col("cnt")).over(Window.partitionBy("g")))
     // r20: ONE aggregation picks every quantile's crossing bin at once
     // — min(struct(bin, cnt, cum)) over the bins past q·n is exactly
     // the first-crossing row the per-q window/rn=1 branch selected
@@ -137,11 +148,11 @@ object Sketches {
         min(when(col("cum").cast("double") >= target,
           struct(col("bin"), col("cnt"), col("cum")))).as(sName(q))
       }: _*)
-    picked.crossJoin(broadcast(bounds))
+    picked
       .select(col("g").as(groupCol) +: qs.map { q =>
         val s = col(sName(q))
         val target = lit(q) * col("n").cast("double")
-        (col("lo") + width *
+        (lo + width *
           (s.getField("bin").cast("double") +
             (target - (s.getField("cum") - s.getField("cnt")).cast("double")) /
               s.getField("cnt").cast("double")))

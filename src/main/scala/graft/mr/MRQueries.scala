@@ -131,13 +131,22 @@ object MRQueries {
     val oLines = Tables.orders(s, dir).select(concat_ws(",",
       col("o_orderkey"), col("o_custkey"),
       date_format(col("o_orderdate"), "yyyy-MM-dd")).as("value"))
-    val lLines = Tables.lineitem(s, dir).select(concat_ws(",",
-      col("l_orderkey"), col("l_linenumber"),
-      col("l_quantity"), col("l_extendedprice")).as("value"))
-    // r20 A/B note: widening the map input measured and REJECTED
-    // (mr2 off 2.05 s vs on 2.59 s min-of-3, target/r20opt_ab4.log —
-    // the CSV-line exchange costs more than the parallel map saves;
-    // the facade's own reducer shuffle already spreads stage 2)
+    // r20 A/B note: widening the unioned CSV-LINE stream measured and
+    // REJECTED (mr2 off 2.05 s vs on 2.59 s min-of-3,
+    // target/r20opt_ab4.log — the concatenated-string exchange costs
+    // more than the parallel map saves).
+    // r21 (verdict item 7): StageProbe re-attribution shows the map
+    // stage SKEWED, not merely serial — 4 tasks, maxTask 0.82 s, and
+    // the straggler is the lineitem side (600 k rows through
+    // concat_ws + split + Tagged per row) while orders finishes in a
+    // fraction of that. Widening the RAW lineitem scan BELOW the
+    // concat (narrow typed columns cross the exchange, not the
+    // concatenated strings) splits exactly the straggler.
+    val lLines = graft.api.Scan.widen(
+        Tables.lineitem(s, dir), col("l_orderkey"))
+      .select(concat_ws(",",
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice")).as("value"))
     oLines.union(lLines).as[String](stringEncoder)
   }
 

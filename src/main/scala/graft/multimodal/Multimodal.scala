@@ -674,19 +674,33 @@ object Multimodal {
     import graft.api.Dedup
     import graft.operators.DedupQueries.IncMod
     val root = seedP6Assets(s, dir)
-    // the day's ONLY decode work: the increment's
-    ahashSigsOf(docIds(s, dir).filter(col("doc_id") % IncMod === 0))
-      .write.mode("overwrite").parquet(s"$root/sigs/inc_0")
-    Dedup.incrementalHammingPairs(
-        Dedup.readSignatureAsset(s, s"$root/sigs", excludeInc = Some("inc_0")),
-        s.read.parquet(s"$root/sigs/inc_0"), "doc_id", "sig", AHashMaxHamming,
-        Dedup.readSignatureHistogram(s, s"$root/sigs",
-          Dedup.hammingGuardKeys("sig"), excludeInc = Some("inc_0")))
-      .write.mode("overwrite").parquet(s"$root/pairs")
+    // r21 (guide §2.6): the sigs/inc_0 and pairs WRITES run on side
+    // threads while the driver runs the next stage — it reads the
+    // in-memory barrier (value-identical to the parquet round-trip:
+    // longs), never the file being written, and the corpus-side asset
+    // reads exclude inc_0 by contract. Both writes join before the
+    // groups upsert lands: same dirs, same rows, replay idempotence
+    // unchanged. The decode (the day's ONLY codec work: the
+    // increment's) runs once, in the barrier job.
+    val incSigs = graft.api.Barrier(
+      ahashSigsOf(docIds(s, dir).filter(col("doc_id") % IncMod === 0)))
+    val joinSigsW = graft.api.Overlap.background("p6-sigs") {
+      incSigs.write.mode("overwrite").parquet(s"$root/sigs/inc_0")
+    }
+    val pairs = graft.api.Barrier(Dedup.incrementalHammingPairs(
+      Dedup.readSignatureAsset(s, s"$root/sigs", excludeInc = Some("inc_0")),
+      incSigs, "doc_id", "sig", AHashMaxHamming,
+      Dedup.readSignatureHistogram(s, s"$root/sigs",
+        Dedup.hammingGuardKeys("sig"), excludeInc = Some("inc_0"))))
+    val joinPairsW = graft.api.Overlap.background("p6-pairs") {
+      pairs.write.mode("overwrite").parquet(s"$root/pairs")
+    }
     Dedup.incrementalGroups(
         Dedup.readGroupsAsset(s, s"$root/groups", excludeInc = Some("inc_0")),
-        s.read.parquet(s"$root/pairs"), "doc_a", "doc_b")
+        pairs, "doc_a", "doc_b")
       .write.mode("overwrite").parquet(s"$root/groups/inc_0")
+    joinSigsW()
+    joinPairsW()
     val losers = Dedup.readGroupsAsset(s, s"$root/groups")
       .filter(col("doc_id") =!= col("group_id")).select(col("doc_id"))
     Tables.documents(s, dir).select(col("doc_id"))

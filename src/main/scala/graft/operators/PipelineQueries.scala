@@ -257,22 +257,36 @@ private[graft] object DailyPipeline {
   def runIncrement(s: SparkSession, docs: DataFrame, root: String,
       compact: Boolean): Unit =
     graft.api.Barrier.scoped {
-      graft.api.Dedup.minhashSignatures(
-          increment(docs), "doc_id", "text", DD3Bands, DD3Rows)
-        .write.mode("overwrite").parquet(s"$root/sigs/inc_0")
-      graft.api.Dedup.incrementalJaccardPairs(
-          graft.api.Dedup.readSignatureAsset(
-            s, s"$root/sigs", excludeInc = Some("inc_0")),
-          s.read.parquet(s"$root/sigs/inc_0"), Jaccard,
-          graft.api.Dedup.readSignatureHistogram(
-            s, s"$root/sigs", graft.api.Dedup.jaccardGuardKeys,
-            excludeInc = Some("inc_0")))
-        .write.mode("overwrite").parquet(s"$root/pairs")
+      // r21 (guide §2.6): the sigs/inc_0 and pairs WRITES run on side
+      // threads while the driver thread runs the next stage — the next
+      // stage reads the in-memory barrier (value-identical to the
+      // parquet round-trip: longs and long arrays), never the file it
+      // is concurrently writing, and the corpus-side asset reads
+      // exclude inc_0 by contract. Both writes join before the groups
+      // upsert lands, so the on-disk protocol (overwrite to fixed
+      // inc_0 names, same rows) and replay idempotence are unchanged.
+      val incSigs = graft.api.Barrier(graft.api.Dedup.minhashSignatures(
+        increment(docs), "doc_id", "text", DD3Bands, DD3Rows))
+      val joinSigsW = graft.api.Overlap.background("p4-sigs") {
+        incSigs.write.mode("overwrite").parquet(s"$root/sigs/inc_0")
+      }
+      val pairs = graft.api.Barrier(graft.api.Dedup.incrementalJaccardPairs(
+        graft.api.Dedup.readSignatureAsset(
+          s, s"$root/sigs", excludeInc = Some("inc_0")),
+        incSigs, Jaccard,
+        graft.api.Dedup.readSignatureHistogram(
+          s, s"$root/sigs", graft.api.Dedup.jaccardGuardKeys,
+          excludeInc = Some("inc_0"))))
+      val joinPairsW = graft.api.Overlap.background("p4-pairs") {
+        pairs.write.mode("overwrite").parquet(s"$root/pairs")
+      }
       graft.api.Dedup.incrementalGroups(
           graft.api.Dedup.readGroupsAsset(
             s, s"$root/groups", excludeInc = Some("inc_0")),
-          s.read.parquet(s"$root/pairs"), "doc_a", "doc_b")
+          pairs, "doc_a", "doc_b")
         .write.mode("overwrite").parquet(s"$root/groups/inc_0")
+      joinSigsW()
+      joinPairsW()
       if (compact) {
         graft.api.Dedup.compactSignatureAsset(s, s"$root/sigs",
           guardKeys = Some(graft.api.Dedup.jaccardGuardKeys))

@@ -66,7 +66,15 @@ object StageProbe {
         var inputB: Long = 0L)
       val byStage = new ConcurrentHashMap[Int, Agg]()
       val stageNames = new ConcurrentHashMap[Int, String]()
+      // r21: job count — the orchestration-bound family's cost is
+      // driver round-trips, so the probe reports how many jobs the
+      // measured pass launched beside the per-stage attribution
+      val jobCount = new java.util.concurrent.atomic.AtomicInteger()
       val listener = new SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
         override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
           if (m != null) {
@@ -101,7 +109,7 @@ object StageProbe {
       import scala.jdk.CollectionConverters._
       val rows = byStage.asScala.toSeq.sortBy(-_._2.runMs)
       val totRun = rows.map(_._2.runMs).sum
-      println(f"%n== $tagged: wall=${wallMs / 1000}%.3f s  sumRun=${totRun / 1000.0}%.3f s  par=${totRun / wallMs}%.2f  stages=${rows.size}")
+      println(f"%n== $tagged: wall=${wallMs / 1000}%.3f s  sumRun=${totRun / 1000.0}%.3f s  par=${totRun / wallMs}%.2f  stages=${rows.size}  jobs=${jobCount.get()}")
       rows.take(10).foreach { case (sid, a) =>
         val nm = Option(stageNames.get(sid)).getOrElse("?")
         println(f"  stage $sid%4d tasks=${a.tasks}%4d sumRun=${a.runMs / 1000.0}%8.3f s maxTask=${a.maxMs / 1000.0}%7.3f s fetchWait=${a.fetchWaitMs}%6d ms in=${a.inputB / 1024}%8d KiB sR=${a.shuffleReadB / 1024}%7d KiB sW=${a.shuffleWriteB / 1024}%7d KiB  $nm")
